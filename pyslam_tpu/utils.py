@@ -1,0 +1,74 @@
+"""Numeric utilities — parity with ``pyslam/utils.py`` (SURVEY.md §1 L1):
+``invsqrt``, ``stackmul``, ``bilinear_interpolate``; TPU-native additions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def invsqrt(A):
+    """Matrix inverse square root of an SPD matrix (or batch): Sigma -> stiffness.
+
+    The reference uses this to turn measurement covariances into residual
+    'stiffness' weights (pyslam/utils.py per SURVEY.md §2.1).  Computed via a
+    symmetric eigendecomposition; broadcasts over leading batch dims.
+    """
+    A = jnp.asarray(A)
+    if A.ndim == 0:
+        return 1.0 / jnp.sqrt(A)
+    w, V = jnp.linalg.eigh(A)
+    w = jnp.clip(w, 1e-30, None)
+    return jnp.einsum("...ik,...k,...jk->...ij", V, 1.0 / jnp.sqrt(w), V)
+
+
+def stackmul(A, B):
+    """Batched matrix multiply over leading dims (reference: pyslam/utils.py).
+
+    On TPU this lowers to an MXU batched matmul via XLA.
+    """
+    return jnp.matmul(A, B)
+
+
+def bilinear_interpolate(im, u, v, compute_gradients: bool = False):
+    """Bilinearly sample image ``im`` (H, W) or (H, W, C) at float pixel
+    coordinates ``u`` (x / col) and ``v`` (y / row), both (...,).
+
+    Returns values (and, if ``compute_gradients``, the image-space gradients
+    d/du and d/dv — needed by the photometric residual's analytic Jacobian,
+    reference pyslam/residuals.py PhotometricResidualSE3 per SURVEY.md §2.1).
+
+    Out-of-bounds samples clamp to the border (validity is handled by the
+    caller's masks, keeping this kernel branch-free for XLA).
+    """
+    im = jnp.asarray(im)
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
+    H, W = im.shape[0], im.shape[1]
+
+    u0 = jnp.clip(jnp.floor(u), 0, W - 2)
+    v0 = jnp.clip(jnp.floor(v), 0, H - 2)
+    au = jnp.clip(u - u0, 0.0, 1.0)
+    av = jnp.clip(v - v0, 0.0, 1.0)
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+
+    if im.ndim == 3:
+        au = au[..., None]
+        av = av[..., None]
+
+    f00 = im[v0, u0]
+    f01 = im[v0, u0 + 1]
+    f10 = im[v0 + 1, u0]
+    f11 = im[v0 + 1, u0 + 1]
+
+    top = f00 + au * (f01 - f00)
+    bot = f10 + au * (f11 - f10)
+    val = top + av * (bot - top)
+
+    if not compute_gradients:
+        return val
+
+    grad_u = (f01 - f00) + av * ((f11 - f10) - (f01 - f00))
+    grad_v = bot - top
+    return val, grad_u, grad_v

@@ -1,0 +1,254 @@
+"""Lie-group correctness: exp/log round trips, Jacobians vs. jax autodiff,
+group identities.  Mirrors the reference's finite-difference test philosophy
+(SURVEY.md §4) but with exact autodiff ground truth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.lie import se2, se3, so2, so3
+from pyslam_tpu.lie import SE2, SE3, SO2, SO3
+
+
+def random_tangent(rng, dof, scale=1.0, batch=()):
+    """Random tangent vectors; rotation part kept inside the injectivity
+    radius (|phi| < pi) so exp/log round trips are exact."""
+    xi = rng.normal(size=batch + (dof,)) * scale
+    if dof == 6:
+        phi = xi[..., 3:]
+        n = np.linalg.norm(phi, axis=-1, keepdims=True)
+        xi[..., 3:] = phi / np.maximum(n, 1e-12) * np.minimum(n, np.pi - 0.05)
+    elif dof == 3:
+        n = np.linalg.norm(xi, axis=-1, keepdims=True)
+        xi = xi / np.maximum(n, 1e-12) * np.minimum(n, np.pi - 0.05)
+    return jnp.asarray(xi)
+
+
+# ---------------------------------------------------------------- SO3 / SO2
+class TestSO3:
+    def test_exp_log_roundtrip(self, rng):
+        phi = random_tangent(rng, 3, 1.5, (64,))
+        np.testing.assert_allclose(so3.log(so3.exp(phi)), phi, atol=1e-6)
+
+    def test_exp_log_small_angle(self, rng):
+        phi = random_tangent(rng, 3, 1e-7, (16,))
+        np.testing.assert_allclose(so3.log(so3.exp(phi)), phi, atol=1e-12)
+
+    def test_exp_log_near_pi(self, rng):
+        axis = rng.normal(size=(32, 3))
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        for theta in [np.pi - 1e-2, np.pi - 1e-5, np.pi]:
+            phi = jnp.asarray(axis * theta)
+            R = so3.exp(phi)
+            phi_back = so3.log(R)
+            # Axis sign is gauge at exactly pi; compare rotations instead.
+            np.testing.assert_allclose(so3.exp(phi_back), R, atol=1e-5)
+
+    def test_orthogonality(self, rng):
+        phi = random_tangent(rng, 3, 2.0, (32,))
+        R = so3.exp(phi)
+        eye = jnp.broadcast_to(jnp.eye(3), R.shape)
+        np.testing.assert_allclose(R @ so3.inv(R), eye, atol=1e-6)
+        np.testing.assert_allclose(jnp.linalg.det(R), 1.0, atol=1e-6)
+
+    def test_left_jacobian_vs_autodiff(self, rng):
+        # d/d eps log(exp(eps) exp(phi)) at eps=0 == inv_left_jacobian? No:
+        # J_l(phi) satisfies exp(phi + dphi) ~ exp(J_l dphi) exp(phi), i.e.
+        # d/d dphi [ log(exp(phi + dphi) exp(phi)^-1) ] at 0 == J_l(phi).
+        phi = random_tangent(rng, 3, 1.2)
+
+        def f(dphi):
+            return so3.log(so3.exp(phi + dphi) @ so3.inv(so3.exp(phi)))
+
+        J_auto = jax.jacfwd(f)(jnp.zeros(3))
+        np.testing.assert_allclose(so3.left_jacobian(phi), J_auto, atol=1e-5)
+
+    def test_inv_left_jacobian(self, rng):
+        phi = random_tangent(rng, 3, 1.7, (16,))
+        J = so3.left_jacobian(phi)
+        Jinv = so3.inv_left_jacobian(phi)
+        eye = jnp.broadcast_to(jnp.eye(3), J.shape)
+        np.testing.assert_allclose(J @ Jinv, eye, atol=1e-6)
+
+    def test_left_jacobian_small_angle(self, rng):
+        phi = random_tangent(rng, 3, 1e-8, (8,))
+        np.testing.assert_allclose(so3.left_jacobian(phi), jnp.eye(3) + so3.wedge(phi) / 2, atol=1e-10)
+
+    def test_wedge_vee(self, rng):
+        phi = random_tangent(rng, 3, 1.0, (8,))
+        np.testing.assert_allclose(so3.vee(so3.wedge(phi)), phi)
+
+    def test_grad_through_exp_at_zero(self):
+        # the safe-norm pattern must not yield NaN grads at phi=0
+        g = jax.grad(lambda p: jnp.sum(so3.exp(p)))(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestSO2:
+    def test_exp_log_roundtrip(self, rng):
+        phi = jnp.asarray(rng.uniform(-np.pi + 1e-6, np.pi - 1e-6, size=(64,)))
+        np.testing.assert_allclose(so2.log(so2.exp(phi)), phi, atol=1e-7)
+
+    def test_wedge_vee(self, rng):
+        phi = jnp.asarray(rng.normal(size=(8,)))
+        np.testing.assert_allclose(so2.vee(so2.wedge(phi)), phi)
+
+
+# ---------------------------------------------------------------- SE3 / SE2
+class TestSE3:
+    def test_exp_log_roundtrip(self, rng):
+        xi = random_tangent(rng, 6, 1.0, (64,))
+        np.testing.assert_allclose(se3.log(se3.exp(xi)), xi, atol=1e-6)
+
+    def test_inv(self, rng):
+        xi = random_tangent(rng, 6, 1.0, (16,))
+        T = se3.exp(xi)
+        eye = jnp.broadcast_to(jnp.eye(4), T.shape)
+        np.testing.assert_allclose(T @ se3.inv(T), eye, atol=1e-6)
+
+    def test_adjoint_identity(self, rng):
+        # T exp(xi) T^-1 == exp(Ad(T) xi)
+        xi = random_tangent(rng, 6, 0.5)
+        xiT = random_tangent(rng, 6, 1.0)
+        T = se3.exp(xiT)
+        lhs = T @ se3.exp(xi) @ se3.inv(T)
+        rhs = se3.exp(se3.adjoint(T) @ xi)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-6)
+
+    def test_odot_identity(self, rng):
+        # wedge(xi) @ [p;1] == odot(p) @ xi
+        xi = random_tangent(rng, 6, 1.0, (8,))
+        p = jnp.asarray(rng.normal(size=(8, 3)))
+        ph = jnp.concatenate([p, jnp.ones((8, 1))], axis=-1)
+        lhs = jnp.einsum("...ij,...j->...i", se3.wedge(xi), ph)[..., :3]
+        rhs = jnp.einsum("...ij,...j->...i", se3.odot(p), xi)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-12)
+
+    def test_left_jacobian_vs_autodiff(self, rng):
+        xi = random_tangent(rng, 6, 1.1)
+
+        def f(dxi):
+            return se3.log(se3.exp(xi + dxi) @ se3.inv(se3.exp(xi)))
+
+        J_auto = jax.jacfwd(f)(jnp.zeros(6))
+        np.testing.assert_allclose(se3.left_jacobian(xi), J_auto, atol=1e-5)
+
+    def test_inv_left_jacobian(self, rng):
+        xi = random_tangent(rng, 6, 1.4, (16,))
+        J = se3.left_jacobian(xi)
+        Jinv = se3.inv_left_jacobian(xi)
+        eye = jnp.broadcast_to(jnp.eye(6), J.shape)
+        np.testing.assert_allclose(J @ Jinv, eye, atol=1e-6)
+
+    def test_act_matches_matrix(self, rng):
+        xi = random_tangent(rng, 6, 1.0, (8,))
+        T = se3.exp(xi)
+        p = jnp.asarray(rng.normal(size=(8, 3)))
+        ph = jnp.concatenate([p, jnp.ones((8, 1))], axis=-1)
+        np.testing.assert_allclose(
+            se3.act(T, p), jnp.einsum("...ij,...j->...i", T, ph)[..., :3], atol=1e-9
+        )
+
+    def test_perturb(self, rng):
+        xi = random_tangent(rng, 6, 1.0)
+        dx = random_tangent(rng, 6, 0.1)
+        T = se3.exp(xi)
+        np.testing.assert_allclose(se3.perturb(T, dx), se3.exp(dx) @ T, atol=1e-9)
+
+    def test_normalize(self, rng):
+        xi = random_tangent(rng, 6, 1.0)
+        T = se3.exp(xi)
+        T_drift = T.at[:3, :3].multiply(1.0 + 1e-4)
+        Tn = se3.normalize(T_drift)
+        R = Tn[:3, :3]
+        np.testing.assert_allclose(R @ R.T, jnp.eye(3), atol=1e-7)
+        np.testing.assert_allclose(jnp.linalg.det(R), 1.0, atol=1e-7)
+
+
+class TestSE2:
+    def test_exp_log_roundtrip(self, rng):
+        xi = jnp.asarray(
+            np.concatenate(
+                [rng.normal(size=(64, 2)), rng.uniform(-3.0, 3.0, size=(64, 1))], axis=-1
+            )
+        )
+        np.testing.assert_allclose(se2.log(se2.exp(xi)), xi, atol=1e-6)
+
+    def test_small_angle(self, rng):
+        xi = jnp.asarray(rng.normal(size=(16, 3)) * np.array([1.0, 1.0, 1e-9]))
+        np.testing.assert_allclose(se2.log(se2.exp(xi)), xi, atol=1e-9)
+
+    def test_adjoint_identity(self, rng):
+        xi = jnp.asarray(rng.normal(size=3) * 0.5)
+        xiT = jnp.asarray(rng.normal(size=3))
+        T = se2.exp(xiT)
+        lhs = T @ se2.exp(xi) @ se2.inv(T)
+        rhs = se2.exp(se2.adjoint(T) @ xi)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-6)
+
+    def test_odot_identity(self, rng):
+        xi = jnp.asarray(rng.normal(size=(8, 3)))
+        p = jnp.asarray(rng.normal(size=(8, 2)))
+        ph = jnp.concatenate([p, jnp.ones((8, 1))], axis=-1)
+        lhs = jnp.einsum("...ij,...j->...i", se2.wedge(xi), ph)[..., :2]
+        rhs = jnp.einsum("...ij,...j->...i", se2.odot(p), xi)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-12)
+
+    def test_left_jacobian_vs_autodiff(self, rng):
+        xi = jnp.asarray(rng.normal(size=3))
+
+        def f(dxi):
+            return se2.log(se2.exp(xi + dxi) @ se2.inv(se2.exp(xi)))
+
+        J_auto = jax.jacfwd(f)(jnp.zeros(3))
+        np.testing.assert_allclose(se2.left_jacobian(xi), J_auto, atol=1e-5)
+
+    def test_inv_left_jacobian(self, rng):
+        xi = jnp.asarray(rng.normal(size=(16, 3)))
+        J = se2.left_jacobian(xi)
+        Jinv = se2.inv_left_jacobian(xi)
+        eye = jnp.broadcast_to(jnp.eye(3), J.shape)
+        np.testing.assert_allclose(J @ Jinv, eye, atol=1e-6)
+
+
+# -------------------------------------------------------------- object API
+class TestObjectAPI:
+    @pytest.mark.parametrize("cls,dof", [(SO2, 1), (SO3, 3), (SE2, 3), (SE3, 6)])
+    def test_exp_log(self, rng, cls, dof):
+        xi = jnp.asarray(rng.normal(size=(dof,)) * 0.8)
+        if dof == 1:
+            xi = xi[0]
+        g = cls.exp(xi)
+        np.testing.assert_allclose(g.log(), xi, atol=1e-6)
+
+    def test_dot_and_inv(self, rng):
+        a = SE3.exp(jnp.asarray(rng.normal(size=6)))
+        b = SE3.exp(jnp.asarray(rng.normal(size=6)))
+        c = a.dot(b)
+        np.testing.assert_allclose(c.mat, a.mat @ b.mat)
+        np.testing.assert_allclose(a.dot(a.inv()).mat, jnp.eye(4), atol=1e-6)
+
+    def test_act_on_points(self, rng):
+        T = SE3.exp(jnp.asarray(rng.normal(size=6)))
+        pts = jnp.asarray(rng.normal(size=(10, 3)))
+        out = T.dot(pts)
+        assert out.shape == (10, 3)
+
+    def test_rot_trans_accessors(self, rng):
+        T = SE3.exp(jnp.asarray(rng.normal(size=6)))
+        assert T.rot.mat.shape == (3, 3)
+        assert T.trans.shape == (3,)
+
+    def test_pytree(self, rng):
+        T = SE3.exp(jnp.asarray(rng.normal(size=6)))
+        T2 = jax.jit(lambda t: t.perturb(jnp.ones(6) * 0.01))(T)
+        assert isinstance(T2, SE3)
+
+    def test_perturb_convention(self, rng):
+        T = SE3.exp(jnp.asarray(rng.normal(size=6)))
+        dx = jnp.asarray(rng.normal(size=6) * 0.1)
+        np.testing.assert_allclose(
+            T.perturb(dx).mat, SE3.exp(dx).dot(T).mat, atol=1e-9
+        )
