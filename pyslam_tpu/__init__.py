@@ -29,8 +29,16 @@ import jax as _jax
 # jax.config.update("jax_default_matmul_precision", ...) if desired.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from . import lie, losses, sensors, utils  # noqa: F401
+from . import graph, io, lie, losses, residuals, sensors, solver, utils  # noqa: F401
 from .lie import SE2, SE3, SO2, SO3  # noqa: F401
+from .problem import Options, Problem  # noqa: F401
+from .residuals import (  # noqa: F401
+    PoseResidual,
+    PoseToPoseResidual,
+    QuadraticResidual,
+    ReprojectionMotionOnlyBatchResidual,
+    ReprojectionResidual,
+)
 from .losses import (  # noqa: F401
     CauchyLoss,
     HuberLoss,

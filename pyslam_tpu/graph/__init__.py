@@ -1,0 +1,13 @@
+"""Struct-of-arrays factor-graph core (TPU-native L4 layer, SURVEY.md §7)."""
+
+from . import factor_defs  # noqa: F401  (registers factor kernels)
+from .core import FactorBatch, FactorGraph, VariableBlock, MANIFOLDS, manifold_dof, retract
+
+__all__ = [
+    "FactorBatch",
+    "FactorGraph",
+    "VariableBlock",
+    "MANIFOLDS",
+    "manifold_dof",
+    "retract",
+]

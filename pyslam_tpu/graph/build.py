@@ -1,0 +1,79 @@
+"""Builders: dataset containers -> FactorGraph.
+
+These produce the struct-of-arrays graphs the solver consumes, from the
+synthetic generators (io/synth.py), the g2o/BAL readers (io/g2o.py, io/bal.py)
+or user arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses import L2Loss
+from ..sensors import StereoCamera
+from .core import FactorBatch, FactorGraph, VariableBlock
+
+
+def pose_graph(
+    data,
+    loss=None,
+    anchor_first: bool = True,
+    dtype=jnp.float32,
+    init: str = "odometry",
+) -> FactorGraph:
+    """Build a pose-graph FactorGraph from PoseGraphData (2D or 3D).
+
+    ``anchor_first`` freezes pose 0 (gauge fixing — the reference's
+    set_parameters_constant pattern).  ``init`` selects 'odometry'
+    (integrated measurements, the standard benchmark init) or 'gt'.
+    """
+    loss = loss if loss is not None else L2Loss()
+    kind = "se2" if data.dim == 2 else "se3"
+    T0 = data.T_init if init == "odometry" else data.T_gt
+    n = T0.shape[0]
+    const = np.zeros(n, bool)
+    if anchor_first:
+        const[0] = True
+    blocks = {"poses": VariableBlock.create(kind, jnp.asarray(T0, dtype), const)}
+    batch = FactorBatch.create(
+        kind=f"between_{kind}",
+        slots=("poses", "poses"),
+        indices=(data.edges_i, data.edges_j),
+        data={
+            "T_obs": jnp.asarray(data.T_meas, dtype),
+            "sqrt_info": jnp.asarray(data.sqrt_info, dtype),
+        },
+        loss=loss,
+    )
+    return FactorGraph(blocks, [batch])
+
+
+def ba_graph(data, loss=None, dtype=jnp.float32, init: str = "noisy") -> FactorGraph:
+    """Build a bundle-adjustment FactorGraph from BAData: SE(3) camera poses
+    + Euclidean landmarks + stereo reprojection factors."""
+    loss = loss if loss is not None else L2Loss()
+    T0 = data.T_init if init == "noisy" else data.T_gt
+    p0 = data.pts_init if init == "noisy" else data.pts_gt
+    n_cams = T0.shape[0]
+    const = np.zeros(n_cams, bool)
+    const[0] = True  # gauge anchor
+    cam = StereoCamera(**{k: v for k, v in data.camera.items()})
+    m = len(data.cam_idx)
+    sqrt_info = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m, 3, 3))
+    blocks = {
+        "poses": VariableBlock.create("se3", jnp.asarray(T0, dtype), const),
+        "landmarks": VariableBlock.create("euclidean", jnp.asarray(p0, dtype)),
+    }
+    batch = FactorBatch.create(
+        kind="reprojection",
+        slots=("poses", "landmarks"),
+        indices=(data.cam_idx, data.pt_idx),
+        data={
+            "obs": jnp.asarray(data.obs, dtype),
+            "sqrt_info": sqrt_info,
+            "camera": cam,
+        },
+        loss=loss,
+    )
+    return FactorGraph(blocks, [batch])

@@ -1,0 +1,237 @@
+"""Factor-graph core: variables and factors as struct-of-arrays batches.
+
+This is the TPU-native replacement for the reference's per-block Python object
+model (pyslam/problem.py residual-block list per SURVEY.md §3.1 hot loop 1):
+heterogeneity lives in a *static* dict of typed batches, each evaluated by one
+broadcast-batched kernel; there is no per-factor Python anywhere on the hot
+path.
+
+Data model
+----------
+* ``VariableBlock`` — N manifold elements of one kind stored contiguously
+  (e.g. all SE(3) poses as one (N, 4, 4) array) with a per-element
+  constant mask (reference ``set_parameters_constant``).
+* ``FactorBatch``   — F factors of one kind: per-slot index arrays into the
+  variable blocks, a dict of measurement arrays, a robust loss, and a
+  per-factor weight (0 for padding — SURVEY.md §7 "static shapes").
+* ``FactorGraph``   — ordered blocks + batches; knows the global tangent
+  layout (block offsets) and provides linearize / chi2 / retract.
+
+All three are registered pytrees whose static structure (kinds, slots, names,
+shapes) lives in aux_data, so a whole GN/LM solve jit-compiles once per graph
+structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..lie import se2, se3, so2, so3
+
+# --------------------------------------------------------------------------
+# Manifolds
+# --------------------------------------------------------------------------
+
+_EUCLIDEAN = "euclidean"
+
+
+def _retract_euclidean(x, dx):
+    return x + dx.reshape(x.shape)
+
+
+MANIFOLDS: dict[str, dict[str, Any]] = {
+    "se3": dict(dof=6, retract=lambda T, dx: se3.perturb(T, dx), shape=(4, 4)),
+    "se2": dict(dof=3, retract=lambda T, dx: se2.perturb(T, dx), shape=(3, 3)),
+    "so3": dict(dof=3, retract=lambda R, dx: so3.perturb(R, dx), shape=(3, 3)),
+    "so2": dict(dof=1, retract=lambda R, dx: so2.perturb(R, dx[..., 0]), shape=(2, 2)),
+}
+
+
+def manifold_dof(kind: str, element_shape) -> int:
+    if kind == _EUCLIDEAN:
+        size = 1
+        for s in element_shape:
+            size *= s
+        return size
+    return MANIFOLDS[kind]["dof"]
+
+
+def retract(kind: str, values, dx):
+    """Batched manifold update: Lie kinds use the reference's left-mult
+    convention exp(dx) * T (pyslam/problem.py ``_update_params``)."""
+    if kind == _EUCLIDEAN:
+        return _retract_euclidean(values, dx.reshape(values.shape))
+    return MANIFOLDS[kind]["retract"](values, dx)
+
+
+# --------------------------------------------------------------------------
+# Variable blocks
+# --------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class VariableBlock:
+    """N manifold elements stored contiguously.
+
+    kind:       'se3' | 'se2' | 'so3' | 'so2' | 'euclidean'  (static)
+    values:     (N, *element_shape)
+    const_mask: (N,) bool — True freezes the element (zero update)
+    """
+
+    kind: str
+    values: jnp.ndarray
+    const_mask: jnp.ndarray
+
+    @classmethod
+    def create(cls, kind: str, values, const_mask=None):
+        values = jnp.asarray(values)
+        if const_mask is None:
+            const_mask = jnp.zeros(values.shape[0], dtype=bool)
+        return cls(kind, values, jnp.asarray(const_mask))
+
+    @property
+    def n(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def dof(self) -> int:
+        return manifold_dof(self.kind, self.values.shape[1:])
+
+    def tree_flatten(self):
+        return (self.values, self.const_mask), self.kind
+
+    @classmethod
+    def tree_unflatten(cls, kind, children):
+        return cls(kind, *children)
+
+
+# --------------------------------------------------------------------------
+# Factor batches
+# --------------------------------------------------------------------------
+
+# kind -> fn(data: dict, *vals) -> (r (F, m), jacs tuple[(F, m, dof_slot)])
+FACTOR_KERNELS: dict[str, Callable] = {}
+
+
+def register_factor(kind: str):
+    def deco(fn):
+        FACTOR_KERNELS[kind] = fn
+        return fn
+
+    return deco
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FactorBatch:
+    """F factors of one kind over the same variable-slot pattern.
+
+    kind:    registered kernel name                        (static)
+    slots:   variable-block names, one per parameter slot  (static)
+    indices: per-slot (F,) int32 arrays into the blocks
+    data:    measurement arrays, each (F, ...)             (keys static)
+    loss:    robust M-estimator (pytree; applied elementwise, reference
+             semantics per pyslam/losses.py)
+    weight:  (F,) float — 1 for live factors, 0 for padding
+    """
+
+    kind: str
+    slots: tuple
+    indices: tuple
+    data: dict
+    loss: Any
+    weight: jnp.ndarray
+
+    @classmethod
+    def create(cls, kind, slots, indices, data, loss, weight=None):
+        indices = tuple(jnp.asarray(i, jnp.int32) for i in indices)
+        if weight is None:
+            weight = jnp.ones(indices[0].shape[0], dtype=jnp.float32)
+        return cls(kind, tuple(slots), indices, dict(data), loss, jnp.asarray(weight))
+
+    @property
+    def n(self) -> int:
+        return self.indices[0].shape[0]
+
+    def evaluate(self, blocks: dict, compute_jacobians: bool = True):
+        """Gather slot values and run the batched residual kernel."""
+        vals = [blocks[name].values[idx] for name, idx in zip(self.slots, self.indices)]
+        return FACTOR_KERNELS[self.kind](self.data, *vals, compute_jacobians=compute_jacobians)
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.data))
+        children = (self.indices, tuple(self.data[k] for k in keys), self.loss, self.weight)
+        return children, (self.kind, self.slots, keys)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, slots, keys = aux
+        indices, data_vals, loss, weight = children
+        return cls(kind, slots, indices, dict(zip(keys, data_vals)), loss, weight)
+
+
+# --------------------------------------------------------------------------
+# Factor graph
+# --------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FactorGraph:
+    """Ordered variable blocks + factor batches, with the global tangent
+    layout.  The TPU-native analogue of the reference's ``Problem`` state
+    (param_dict + block list, pyslam/problem.py per SURVEY.md §2.1)."""
+
+    blocks: dict  # name -> VariableBlock (insertion order = tangent order)
+    batches: list  # FactorBatch
+
+    # ---- layout ----
+    def offsets(self) -> dict:
+        off, cur = {}, 0
+        for name, b in self.blocks.items():
+            off[name] = cur
+            cur += b.n * b.dof
+        return off
+
+    @property
+    def total_dof(self) -> int:
+        return sum(b.n * b.dof for b in self.blocks.values())
+
+    # ---- evaluation ----
+    def chi2(self) -> jnp.ndarray:
+        """Robustified total cost: sum of loss.loss over all (weighted)
+        residual elements — the reference's ``eval_cost`` semantics."""
+        total = 0.0
+        for fb in self.batches:
+            r, _ = fb.evaluate(self.blocks, compute_jacobians=False)
+            total = total + jnp.sum(fb.loss.loss(r) * fb.weight[:, None])
+        return total
+
+    def retract_all(self, dx: jnp.ndarray) -> "FactorGraph":
+        """Apply a global tangent update, respecting constant masks."""
+        new_blocks = {}
+        cur = 0
+        for name, b in self.blocks.items():
+            d = b.dof
+            seg = dx[cur : cur + b.n * d].reshape(b.n, d)
+            seg = jnp.where(b.const_mask[:, None], 0.0, seg)
+            new_blocks[name] = VariableBlock(b.kind, retract(b.kind, b.values, seg), b.const_mask)
+            cur += b.n * d
+        return FactorGraph(new_blocks, self.batches)
+
+    def with_values(self, blocks: dict) -> "FactorGraph":
+        return FactorGraph(blocks, self.batches)
+
+    def tree_flatten(self):
+        names = tuple(self.blocks)
+        return (tuple(self.blocks[n] for n in names), tuple(self.batches)), names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        block_vals, batches = children
+        return cls(dict(zip(names, block_vals)), list(batches))

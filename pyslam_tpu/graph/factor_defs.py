@@ -1,0 +1,159 @@
+"""Batched residual + analytic-Jacobian kernels, one per factor kind.
+
+Capability parity with the reference's residual library
+(pyslam/residuals.py per SURVEY.md §2.1): pose prior, pose-to-pose
+(odometry / loop closure), stereo/RGB-D reprojection, quadratic demo — each
+evaluated for a whole factor batch at once (vmap-free broadcasting over the
+leading F axis) with analytic Lie-group Jacobians.
+
+Conventions (matching the reference, SURVEY.md §3.2):
+  * residuals are pre-multiplied by ``sqrt_info`` (the 'stiffness'
+    inverse-sqrt-covariance weight, pyslam/utils.py ``invsqrt``),
+  * Jacobians are w.r.t. *left* perturbations exp(eps) * T,
+  * pose-to-pose measurement is T_2_1 (frame 1 expressed in frame 2), with
+    estimate T_2_1_est = T_2_0 * T_1_0^-1.
+
+Every kernel returns ``(r, jacs)`` with r (F, m) and jacs a tuple of
+(F, m, dof_slot) arrays (or ``(r, None)`` when Jacobians are skipped).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..lie import se2, se3
+from .core import register_factor
+
+
+def _bmm(A, B):
+    return jnp.einsum("...ij,...jk->...ik", A, B)
+
+
+def _bmv(A, v):
+    return jnp.einsum("...ij,...j->...i", A, v)
+
+
+# --------------------------------------------------------------------------
+# Pose priors: r = sqrt_info * log(T_est * T_obs^-1)
+# --------------------------------------------------------------------------
+
+
+def _prior(ops, data, T, compute_jacobians):
+    r_local = ops.log(T @ ops.inv(data["T_obs"]))
+    r = _bmv(data["sqrt_info"], r_local)
+    if not compute_jacobians:
+        return r, None
+    J = _bmm(data["sqrt_info"], ops.inv_left_jacobian(r_local))
+    return r, (J,)
+
+
+@register_factor("prior_se3")
+def prior_se3(data, T, compute_jacobians=True):
+    """Unary SE(3) prior (reference PoseResidual)."""
+    return _prior(se3, data, T, compute_jacobians)
+
+
+@register_factor("prior_se2")
+def prior_se2(data, T, compute_jacobians=True):
+    """Unary SE(2) prior (reference PoseResidual)."""
+    return _prior(se2, data, T, compute_jacobians)
+
+
+# --------------------------------------------------------------------------
+# Pose-to-pose (odometry / loop closure):
+#   r = sqrt_info * log(T_2_0 * T_1_0^-1 * T_obs^-1)
+# --------------------------------------------------------------------------
+
+
+def _between(ops, data, T1, T2, compute_jacobians):
+    T_est = T2 @ ops.inv(T1)
+    r_local = ops.log(T_est @ ops.inv(data["T_obs"]))
+    r = _bmv(data["sqrt_info"], r_local)
+    if not compute_jacobians:
+        return r, None
+    Jl_inv = ops.inv_left_jacobian(r_local)
+    J2 = _bmm(data["sqrt_info"], Jl_inv)
+    # exp(-Ad(T_est) eps) appears for a left perturbation of T1 (see chain
+    # rule in SURVEY.md §3.2); hence the -Adjoint factor.
+    J1 = -_bmm(J2, ops.adjoint(T_est))
+    return r, (J1, J2)
+
+
+@register_factor("between_se3")
+def between_se3(data, T1, T2, compute_jacobians=True):
+    """SE(3) relative-pose factor (reference PoseToPoseResidual)."""
+    return _between(se3, data, T1, T2, compute_jacobians)
+
+
+@register_factor("between_se2")
+def between_se2(data, T1, T2, compute_jacobians=True):
+    """SE(2) relative-pose factor (reference PoseToPoseResidual)."""
+    return _between(se2, data, T1, T2, compute_jacobians)
+
+
+# --------------------------------------------------------------------------
+# Reprojection: r = sqrt_info * (camera.project(T_cam_w * pt_w) - obs)
+# --------------------------------------------------------------------------
+
+
+@register_factor("reprojection")
+def reprojection(data, T, pt, compute_jacobians=True):
+    """Stereo/RGB-D reprojection factor (reference ReprojectionResidual,
+    call stack SURVEY.md §3.2).  ``data['camera']`` is a sensors.* pytree;
+    observations are (F, 3)."""
+    cam = data["camera"]
+    pt_cam = se3.act(T, pt)
+    if not compute_jacobians:
+        pred = cam.project(pt_cam)
+        return _bmv(data["sqrt_info"], pred - data["obs"]), None
+    pred, cam_jac = cam.project(pt_cam, compute_jacobians=True)
+    r = _bmv(data["sqrt_info"], pred - data["obs"])
+    S_cam = _bmm(data["sqrt_info"], cam_jac)
+    J_T = _bmm(S_cam, se3.odot(pt_cam))
+    J_pt = _bmm(S_cam, T[..., :3, :3])
+    return r, (J_T, J_pt)
+
+
+@register_factor("reprojection_motion_only")
+def reprojection_motion_only(data, T, compute_jacobians=True):
+    """Motion-only batched reprojection: landmarks fixed in ``data['pt_w']``
+    (reference ReprojectionMotionOnlyBatchResidual)."""
+    cam = data["camera"]
+    pt_cam = se3.act(T, data["pt_w"])
+    if not compute_jacobians:
+        pred = cam.project(pt_cam)
+        return _bmv(data["sqrt_info"], pred - data["obs"]), None
+    pred, cam_jac = cam.project(pt_cam, compute_jacobians=True)
+    r = _bmv(data["sqrt_info"], pred - data["obs"])
+    J_T = _bmm(_bmm(data["sqrt_info"], cam_jac), se3.odot(pt_cam))
+    return r, (J_T,)
+
+
+# --------------------------------------------------------------------------
+# Quadratic curve-fit demo: r = stiffness * (p0 x^2 + p1 x + p2 - y)
+# --------------------------------------------------------------------------
+
+
+@register_factor("quadratic")
+def quadratic(data, p, compute_jacobians=True):
+    """The reference's README demo residual (QuadraticResidual)."""
+    x, y, s = data["x"], data["y"], data["stiffness"]
+    pred = p[..., 0] * x * x + p[..., 1] * x + p[..., 2]
+    r = (s * (pred - y))[..., None]
+    if not compute_jacobians:
+        return r, None
+    J = (s[..., None] * jnp.stack([x * x, x, jnp.ones_like(x)], axis=-1))[..., None, :]
+    return r, (J,)
+
+
+# --------------------------------------------------------------------------
+# Euclidean prior: r = sqrt_info * (x - obs)
+# --------------------------------------------------------------------------
+
+
+@register_factor("prior_euclidean")
+def prior_euclidean(data, x, compute_jacobians=True):
+    r = _bmv(data["sqrt_info"], x - data["obs"])
+    if not compute_jacobians:
+        return r, None
+    return r, (data["sqrt_info"],)

@@ -1,0 +1,189 @@
+"""g2o pose-graph file I/O (benchmark config #2 'Intel/M3500 (g2o format)',
+BASELINE.json:8).
+
+Supported records:
+  VERTEX_SE2 id x y theta
+  EDGE_SE2 i j dx dy dtheta  <6 upper-tri info entries>
+  VERTEX_SE3:QUAT id x y z qx qy qz qw
+  EDGE_SE3:QUAT i j dx dy dz qx qy qz qw  <21 upper-tri info entries>
+
+Convention bridge: g2o vertices are body-to-world and the edge measurement is
+M_ij = T_i^-1 @ T_j.  This framework follows the reference's world-to-body
+convention (pyslam poses are T_b_w, SURVEY.md §3.2), where P = T^-1 and
+M_ij = P_i @ P_j^-1 — i.e. a between factor with slots (j, i) and
+T_obs = M_ij.  The readers/writers perform that mapping, so solving a loaded
+g2o graph optimizes the standard g2o objective.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .synth import PoseGraphData
+
+
+def _quat_to_mat(q):
+    """[qx, qy, qz, qw] -> 3x3 rotation matrix."""
+    x, y, z, w = q
+    n = x * x + y * y + z * z + w * w
+    s = 2.0 / n
+    return np.array(
+        [
+            [1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w)],
+            [s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w)],
+            [s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y)],
+        ]
+    )
+
+
+def _mat_to_quat(R):
+    """3x3 rotation -> [qx, qy, qz, qw] (Shepperd's method)."""
+    t = np.trace(R)
+    if t > 0:
+        w = 0.5 * np.sqrt(1 + t)
+        f = 0.25 / w
+        return np.array(
+            [(R[2, 1] - R[1, 2]) * f, (R[0, 2] - R[2, 0]) * f, (R[1, 0] - R[0, 1]) * f, w]
+        )
+    i = int(np.argmax(np.diagonal(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    q = np.zeros(4)
+    q[i] = 0.5 * np.sqrt(1 + R[i, i] - R[j, j] - R[k, k])
+    f = 0.25 / q[i]
+    q[j] = (R[j, i] + R[i, j]) * f
+    q[k] = (R[k, i] + R[i, k]) * f
+    q[3] = (R[k, j] - R[j, k]) * f
+    return q
+
+
+def _unpack_upper(vals, d):
+    info = np.zeros((d, d))
+    k = 0
+    for a in range(d):
+        for b in range(a, d):
+            info[a, b] = info[b, a] = vals[k]
+            k += 1
+    return info
+
+
+def _sqrt_info(info):
+    w, V = np.linalg.eigh(info)
+    w = np.clip(w, 0.0, None)
+    return V @ np.diag(np.sqrt(w)) @ V.T
+
+
+def read_g2o(path) -> PoseGraphData:
+    """Parse a g2o file into PoseGraphData (world-to-body poses, between-
+    factor slots already swapped per the convention bridge above)."""
+    verts: dict[int, np.ndarray] = {}
+    edges = []
+    dim = None
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            tag = tok[0]
+            if tag == "VERTEX_SE2":
+                dim = dim or 2
+                i = int(tok[1])
+                x, y, th = map(float, tok[2:5])
+                T = np.eye(3)
+                c, s = np.cos(th), np.sin(th)
+                T[:2, :2] = [[c, -s], [s, c]]
+                T[:2, 2] = [x, y]
+                verts[i] = T
+            elif tag == "VERTEX_SE3:QUAT":
+                dim = dim or 3
+                i = int(tok[1])
+                v = list(map(float, tok[2:9]))
+                T = np.eye(4)
+                T[:3, :3] = _quat_to_mat(v[3:7])
+                T[:3, 3] = v[0:3]
+                verts[i] = T
+            elif tag == "EDGE_SE2":
+                i, j = int(tok[1]), int(tok[2])
+                dx, dy, dth = map(float, tok[3:6])
+                M = np.eye(3)
+                c, s = np.cos(dth), np.sin(dth)
+                M[:2, :2] = [[c, -s], [s, c]]
+                M[:2, 2] = [dx, dy]
+                info = _unpack_upper(list(map(float, tok[6:12])), 3)
+                edges.append((i, j, M, info))
+            elif tag == "EDGE_SE3:QUAT":
+                i, j = int(tok[1]), int(tok[2])
+                v = list(map(float, tok[3:10]))
+                M = np.eye(4)
+                M[:3, :3] = _quat_to_mat(v[3:7])
+                M[:3, 3] = v[0:3]
+                info = _unpack_upper(list(map(float, tok[10:31])), 6)
+                edges.append((i, j, M, info))
+
+    n = max(verts) + 1
+    d = 3 if dim == 2 else 4
+    dof = 3 if dim == 2 else 6
+    T_bw = np.stack([np.linalg.inv(verts[i]) for i in range(n)])  # world-to-body
+    E = len(edges)
+    edges_i = np.zeros(E, np.int64)
+    edges_j = np.zeros(E, np.int64)
+    T_meas = np.zeros((E, d, d))
+    sqrt_info = np.zeros((E, dof, dof))
+    for k, (i, j, M, info) in enumerate(edges):
+        # between factor est = P_slot2 @ inv(P_slot1); M_ij = P_i @ P_j^-1
+        edges_i[k] = j
+        edges_j[k] = i
+        T_meas[k] = M
+        sqrt_info[k] = _sqrt_info(info)
+    return PoseGraphData(
+        2 if dim == 2 else 3, T_bw, T_bw.copy(), edges_i, edges_j, T_meas, sqrt_info
+    )
+
+
+def write_g2o(path, data: PoseGraphData, use_init: bool = True):
+    """Write PoseGraphData to a g2o file (inverse of read_g2o)."""
+    T = data.T_init if use_init else data.T_gt
+    with open(path, "w") as f:
+        if data.dim == 2:
+            for i, P in enumerate(T):
+                V = np.linalg.inv(P)  # world-to-body -> body-to-world
+                th = np.arctan2(V[1, 0], V[0, 0])
+                f.write(f"VERTEX_SE2 {i} {V[0, 2]:.9g} {V[1, 2]:.9g} {th:.9g}\n")
+            for k in range(len(data.edges_i)):
+                # our (slot1, slot2) = (j, i) in g2o terms
+                gj, gi = int(data.edges_i[k]), int(data.edges_j[k])
+                M = data.T_meas[k]
+                th = np.arctan2(M[1, 0], M[0, 0])
+                info = data.sqrt_info[k].T @ data.sqrt_info[k]
+                up = [info[a, b] for a in range(3) for b in range(a, 3)]
+                f.write(
+                    f"EDGE_SE2 {gi} {gj} {M[0, 2]:.9g} {M[1, 2]:.9g} {th:.9g} "
+                    + " ".join(f"{v:.9g}" for v in up)
+                    + "\n"
+                )
+        else:
+            for i, P in enumerate(T):
+                V = np.linalg.inv(P)
+                q = _mat_to_quat(V[:3, :3])
+                t = V[:3, 3]
+                f.write(
+                    f"VERTEX_SE3:QUAT {i} "
+                    + " ".join(f"{v:.9g}" for v in t)
+                    + " "
+                    + " ".join(f"{v:.9g}" for v in q)
+                    + "\n"
+                )
+            for k in range(len(data.edges_i)):
+                gj, gi = int(data.edges_i[k]), int(data.edges_j[k])
+                M = data.T_meas[k]
+                q = _mat_to_quat(M[:3, :3])
+                info = data.sqrt_info[k].T @ data.sqrt_info[k]
+                up = [info[a, b] for a in range(6) for b in range(a, 6)]
+                f.write(
+                    f"EDGE_SE3:QUAT {gi} {gj} "
+                    + " ".join(f"{v:.9g}" for v in M[:3, 3])
+                    + " "
+                    + " ".join(f"{v:.9g}" for v in q)
+                    + " "
+                    + " ".join(f"{v:.9g}" for v in up)
+                    + "\n"
+                )

@@ -1,0 +1,303 @@
+"""Synthetic dataset generators with benchmark-equivalent statistics.
+
+The canonical datasets (Intel/M3500, sphere2500, BAL) are not on disk and
+there is no network access (SURVEY.md §4.5, §7 hard part #5), so these
+generators synthesize graphs with matching structure for the five benchmark
+configs (BASELINE.json:7-11):
+
+  * ``se2_loop``      — small 2D pose ring with loop closures     (config #1)
+  * ``se2_manhattan`` — M3500-style 2D grid walk                  (config #2)
+  * ``se3_sphere``    — sphere2500-style 3D pose graph            (config #3)
+  * ``ba_synthetic``  — BAL-style bundle-adjustment problem       (configs #4/#5)
+
+All generators are numpy-based (host-side data prep, device-side solving) and
+return ground truth + noisy initialization + the measurement set, from which
+``build_*_graph`` assemble FactorGraphs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def _rot2(theta):
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s], [s, c]])
+
+
+def _se2_mat(x, y, theta):
+    T = np.eye(3)
+    T[:2, :2] = _rot2(theta)
+    T[:2, 2] = (x, y)
+    return T
+
+
+def _se2_noise(rng, trans_std, rot_std):
+    """Sample a small SE(2) displacement (as a matrix) for measurement noise."""
+    return _se2_mat(
+        rng.normal(0, trans_std), rng.normal(0, trans_std), rng.normal(0, rot_std)
+    )
+
+
+@dataclasses.dataclass
+class PoseGraphData:
+    """A pose-graph problem: ground truth, noisy init, edge list."""
+
+    dim: int  # 2 or 3
+    T_gt: np.ndarray  # (N, d+1, d+1) ground-truth poses
+    T_init: np.ndarray  # (N, d+1, d+1) noisy initialization
+    edges_i: np.ndarray  # (E,)
+    edges_j: np.ndarray  # (E,)
+    T_meas: np.ndarray  # (E, d+1, d+1) measured relative poses T_j_i
+    sqrt_info: np.ndarray  # (E, dof, dof)
+
+
+def se2_loop(n_poses=100, n_loops=12, odo_trans_std=0.03, odo_rot_std=0.01, seed=0):
+    """Config #1: ~100-pose SE(2) ring with odometry + loop closures."""
+    rng = np.random.default_rng(seed)
+    # ground truth: a circle
+    radius = n_poses / (2 * np.pi)
+    T_gt = np.stack(
+        [
+            _se2_mat(
+                radius * np.cos(2 * np.pi * k / n_poses),
+                radius * np.sin(2 * np.pi * k / n_poses),
+                2 * np.pi * k / n_poses + np.pi / 2,
+            )
+            for k in range(n_poses)
+        ]
+    )
+    return _finish_se2(rng, T_gt, n_loops, odo_trans_std, odo_rot_std, loop_span=(2, n_poses - 1))
+
+
+def se2_manhattan(n_poses=3500, step=1.0, odo_trans_std=0.05, odo_rot_std=0.02, seed=0):
+    """Config #2: M3500-style Manhattan-world random walk with proximity
+    loop closures (matching the published dataset's statistics: grid motion,
+    ~2.2k loop edges at distance <= 1 cell)."""
+    rng = np.random.default_rng(seed)
+    side = int(np.sqrt(n_poses)) + 1
+    pos = np.zeros(2)
+    heading = 0.0
+    poses = [np.eye(3)]
+    for _ in range(n_poses - 1):
+        if rng.random() < 0.25:  # turn at intersections
+            heading += rng.choice([-1, 1]) * np.pi / 2
+        nxt = pos + step * np.array([np.cos(heading), np.sin(heading)])
+        if np.any(np.abs(nxt) > side / 2):  # bounce off the arena walls
+            heading += np.pi / 2
+            nxt = pos + step * np.array([np.cos(heading), np.sin(heading)])
+        pos = nxt
+        poses.append(_se2_mat(pos[0], pos[1], heading))
+    T_gt = np.stack(poses)
+    # proximity loop closures
+    n_loops = max(1, n_poses // 2)
+    return _finish_se2(
+        rng, T_gt, n_loops, odo_trans_std, odo_rot_std, loop_span=(10, None), proximity=1.5
+    )
+
+
+def _finish_se2(rng, T_gt, n_loops, trans_std, rot_std, loop_span, proximity=None):
+    n = len(T_gt)
+    edges_i = list(range(n - 1))
+    edges_j = list(range(1, n))
+    # loop closures
+    added = set()
+    tries = 0
+    while len(added) < n_loops and tries < n_loops * 50:
+        tries += 1
+        i = int(rng.integers(0, n - 1))
+        lo, hi = loop_span
+        hi = hi or n - 1
+        j = int(rng.integers(min(i + lo, n - 1), n))
+        if proximity is not None:
+            if np.linalg.norm(T_gt[i][:2, 2] - T_gt[j][:2, 2]) > proximity:
+                continue
+            if j - i < lo:
+                continue
+        if (i, j) in added or i == j:
+            continue
+        added.add((i, j))
+    for i, j in sorted(added):
+        edges_i.append(i)
+        edges_j.append(j)
+    edges_i = np.asarray(edges_i)
+    edges_j = np.asarray(edges_j)
+
+    # measurement convention: T_meas = noise @ T_j_w @ inv(T_i_w), matching
+    # the between-factor estimate T_est = T_j @ inv(T_i)
+    T_meas = np.stack(
+        [
+            _se2_noise(rng, trans_std, rot_std) @ T_gt[j] @ np.linalg.inv(T_gt[i])
+            for i, j in zip(edges_i, edges_j)
+        ]
+    )
+    dof = 3
+    info = np.zeros((len(edges_i), dof, dof))
+    info[:] = np.diag([1.0 / trans_std, 1.0 / trans_std, 1.0 / rot_std])
+
+    # noisy init: integrate odometry only
+    T_init = [T_gt[0]]
+    for k in range(n - 1):
+        T_init.append(T_meas[k] @ T_init[-1])
+    return PoseGraphData(2, T_gt, np.stack(T_init), edges_i, edges_j, T_meas, info)
+
+
+def _so3_noise(rng, std):
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_rotvec(rng.normal(0, std, 3)).as_matrix()
+
+
+def _se3_noise(rng, trans_std, rot_std):
+    T = np.eye(4)
+    T[:3, :3] = _so3_noise(rng, rot_std)
+    T[:3, 3] = rng.normal(0, trans_std, 3)
+    return T
+
+
+def se3_sphere(n_poses=2500, n_loops=None, odo_trans_std=0.02, odo_rot_std=0.01, seed=0):
+    """Config #3: sphere2500-style SE(3) pose graph — a spiral trajectory on
+    a sphere with odometry plus latitude-adjacent loop closures (the
+    published sphere2500 has 2500 poses / 4949 constraints; default loop
+    count reproduces that edge density)."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    if n_loops is None:
+        n_loops = n_poses - 51  # sphere2500: 4949 edges = (n-1) odo + 2450 loops
+    radius = 10.0
+    # spiral from pole to pole
+    k = np.arange(n_poses)
+    theta = np.arccos(1 - 2 * (k + 0.5) / n_poses)  # polar angle
+    golden = np.pi * (3 - np.sqrt(5))
+    phi = golden * k  # azimuth
+    pts = radius * np.stack(
+        [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), np.cos(theta)], axis=-1
+    )
+    # orientation: z-axis outward, x-axis along the trajectory
+    T_gt = np.zeros((n_poses, 4, 4))
+    for i in range(n_poses):
+        z = pts[i] / np.linalg.norm(pts[i])
+        t = pts[min(i + 1, n_poses - 1)] - pts[max(i - 1, 0)]
+        x = t - z * (t @ z)
+        x /= np.linalg.norm(x) + 1e-12
+        y = np.cross(z, x)
+        T_gt[i] = np.eye(4)
+        T_gt[i][:3, :3] = np.stack([x, y, z], axis=-1)
+        T_gt[i][:3, 3] = pts[i]
+
+    edges_i = list(range(n_poses - 1))
+    edges_j = list(range(1, n_poses))
+    # loop closures between spatially-near poses on adjacent spiral rings
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(r=radius * 2 * np.pi / np.sqrt(n_poses) * 0.9, output_type="ndarray")
+    pairs = pairs[np.abs(pairs[:, 0] - pairs[:, 1]) > 10]
+    if len(pairs) > n_loops:
+        sel = rng.choice(len(pairs), n_loops, replace=False)
+        pairs = pairs[sel]
+    for i, j in pairs:
+        edges_i.append(min(i, j))
+        edges_j.append(max(i, j))
+    edges_i = np.asarray(edges_i)
+    edges_j = np.asarray(edges_j)
+
+    T_meas = np.stack(
+        [
+            _se3_noise(rng, odo_trans_std, odo_rot_std) @ T_gt[j] @ np.linalg.inv(T_gt[i])
+            for i, j in zip(edges_i, edges_j)
+        ]
+    )
+    info = np.zeros((len(edges_i), 6, 6))
+    info[:] = np.diag([1.0 / odo_trans_std] * 3 + [1.0 / odo_rot_std] * 3)
+
+    T_init = [T_gt[0]]
+    for k in range(n_poses - 1):
+        T_init.append(T_meas[k] @ T_init[-1])
+    # re-orthonormalize drifted rotations
+    T_init = np.stack(T_init)
+    u, _, vt = np.linalg.svd(T_init[:, :3, :3])
+    T_init[:, :3, :3] = u @ vt
+    return PoseGraphData(3, T_gt, T_init, edges_i, edges_j, T_meas, info)
+
+
+@dataclasses.dataclass
+class BAData:
+    """A BAL-style bundle-adjustment problem."""
+
+    T_gt: np.ndarray  # (C, 4, 4) camera poses (world -> camera)
+    T_init: np.ndarray
+    pts_gt: np.ndarray  # (L, 3)
+    pts_init: np.ndarray
+    cam_idx: np.ndarray  # (M,)
+    pt_idx: np.ndarray  # (M,)
+    obs: np.ndarray  # (M, 3) stereo observations [u, v, d]
+    camera: dict  # intrinsics for sensors.StereoCamera
+
+
+def ba_synthetic(
+    n_cams=49,
+    n_pts=7000,
+    obs_per_pt=4,
+    pixel_std=0.5,
+    pose_noise=(0.05, 0.01),
+    pt_noise=0.05,
+    seed=0,
+):
+    """Configs #4/#5: BAL-Ladybug-style BA — cameras on a ring looking at a
+    central point cloud, stereo observations with pixel noise."""
+    rng = np.random.default_rng(seed)
+    cam = dict(cu=320.0, cv=240.0, fu=500.0, fv=500.0, b=0.3, w=640, h=480)
+
+    # point cloud in a central blob
+    pts = rng.normal(0, 2.0, (n_pts, 3))
+    # cameras on a ring of radius 10 looking inward
+    T_gt = np.zeros((n_cams, 4, 4))
+    for c in range(n_cams):
+        ang = 2 * np.pi * c / n_cams
+        center = np.array([10 * np.cos(ang), 10 * np.sin(ang), rng.normal(0, 0.5)])
+        z = -center / np.linalg.norm(center)  # optical axis toward origin
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(z, up)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_wc = np.stack([x, y, z], axis=-1)  # camera axes in world coords
+        T = np.eye(4)
+        T[:3, :3] = R_wc.T  # world -> camera
+        T[:3, 3] = -R_wc.T @ center
+        T_gt[c] = T
+
+    # observations: each point seen by obs_per_pt nearest cameras
+    cam_centers = np.stack([-T_gt[c, :3, :3].T @ T_gt[c, :3, 3] for c in range(n_cams)])
+    cam_idx, pt_idx, obs = [], [], []
+    fu, fv, cu, cv, b = cam["fu"], cam["fv"], cam["cu"], cam["cv"], cam["b"]
+    for p in range(n_pts):
+        d2 = np.sum((cam_centers - pts[p]) ** 2, axis=-1)
+        for c in np.argsort(d2)[:obs_per_pt]:
+            pc = T_gt[c, :3, :3] @ pts[p] + T_gt[c, :3, 3]
+            if pc[2] < 0.5:
+                continue
+            u = fu * pc[0] / pc[2] + cu + rng.normal(0, pixel_std)
+            v = fv * pc[1] / pc[2] + cv + rng.normal(0, pixel_std)
+            d = fu * b / pc[2] + rng.normal(0, pixel_std)
+            if 0 <= u < cam["w"] and 0 <= v < cam["h"] and d > 0:
+                cam_idx.append(c)
+                pt_idx.append(p)
+                obs.append((u, v, d))
+
+    T_init = np.stack([_se3_noise(rng, *pose_noise) @ T_gt[c] for c in range(n_cams)])
+    T_init[0] = T_gt[0]  # gauge anchor
+    pts_init = pts + rng.normal(0, pt_noise, pts.shape)
+    return BAData(
+        T_gt,
+        T_init,
+        pts,
+        pts_init,
+        np.asarray(cam_idx),
+        np.asarray(pt_idx),
+        np.asarray(obs),
+        cam,
+    )

@@ -1,0 +1,227 @@
+"""Ceres-style Problem API — parity with ``pyslam/problem.py``
+(SURVEY.md §2.1/§3.1): ``Options``, ``Problem`` with ``add_residual_block``,
+``initialize_params``, ``set_parameters_constant/variable``, ``solve``,
+``solve_one_iter``, ``eval_cost``, ``compute_covariance``,
+``get_covariance_block``.
+
+TPU-native lowering: where the reference iterates residual blocks in Python
+(hot loop 1, SURVEY.md §3.1), this builder groups blocks by factor kind into
+struct-of-arrays FactorBatches, packs named parameters into contiguous
+VariableBlocks per manifold, and runs the fully-jitted GN/LM core
+(solver/lm.py).  The user-facing semantics (names, losses per block, constant
+params, update convention) match the reference exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph.core import FactorBatch, FactorGraph, VariableBlock
+from .lie.groups import SE2, SE3, SO2, SO3, _LieGroupBase
+from .losses import L2Loss
+from .solver import lm
+from .solver.assemble import assemble_dense
+from .solver.linear import cholesky_solve
+
+# Re-export the solver Options under the reference's name.
+Options = lm.Options
+
+_WRAPPERS = {"se2": SE2, "se3": SE3, "so2": SO2, "so3": SO3}
+_KIND_OF = {SE2: "se2", SE3: "se3", SO2: "so2", SO3: "so3"}
+
+
+def _param_kind(value):
+    for cls, kind in _KIND_OF.items():
+        if isinstance(value, cls):
+            return kind
+    return "euclidean"
+
+
+@dataclasses.dataclass
+class _ParamSlot:
+    block: str
+    index: int
+    kind: str
+    shape: tuple
+    wrapper: type | None
+
+
+class Problem:
+    """Builds and solves a nonlinear least-squares problem (reference API)."""
+
+    def __init__(self, options: Options | None = None, dtype=None):
+        self.options = options or Options()
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        self.param_dict: dict = {}
+        self.residual_blocks: list = []  # (residual, param_keys, loss)
+        self.constant_param_keys: set = set()
+        self.summary: lm.SolveInfo | None = None
+        self._graph = None
+        self._slots: dict[str, _ParamSlot] = {}
+
+    # ------------------------------------------------------------ building
+    def add_residual_block(self, residual, param_keys, loss=None):
+        if isinstance(param_keys, str):
+            param_keys = [param_keys]
+        self.residual_blocks.append((residual, list(param_keys), loss or L2Loss()))
+        self._graph = None
+
+    def initialize_params(self, param_dict: dict):
+        self.param_dict.update(param_dict)
+        self._graph = None
+
+    def set_parameters_constant(self, param_keys):
+        if isinstance(param_keys, str):
+            param_keys = [param_keys]
+        self.constant_param_keys.update(param_keys)
+        self._graph = None
+
+    def set_parameters_variable(self, param_keys):
+        if isinstance(param_keys, str):
+            param_keys = [param_keys]
+        self.constant_param_keys.difference_update(param_keys)
+        self._graph = None
+
+    # ------------------------------------------------------------ lowering
+    def _build(self) -> FactorGraph:
+        if self._graph is not None:
+            return self._graph
+
+        # 1. pack named params into per-(kind, shape) variable blocks
+        groups: dict = {}
+        self._slots = {}
+        for name, value in self.param_dict.items():
+            kind = _param_kind(value)
+            arr = np.asarray(value.mat if isinstance(value, _LieGroupBase) else value)
+            key = (kind, arr.shape)
+            groups.setdefault(key, []).append((name, arr))
+        blocks = {}
+        for (kind, shape), members in groups.items():
+            bname = f"{kind}_{'x'.join(map(str, shape)) or 'scalar'}"
+            vals = np.stack([m[1] for m in members]).astype(self.dtype)
+            const = np.array([m[0] in self.constant_param_keys for m in members])
+            blocks[bname] = VariableBlock.create(kind, jnp.asarray(vals), const)
+            for i, (name, _) in enumerate(members):
+                wrapper = type(self.param_dict[name]) if isinstance(
+                    self.param_dict[name], _LieGroupBase
+                ) else None
+                self._slots[name] = _ParamSlot(bname, i, kind, shape, wrapper)
+
+        # 2. group residual blocks into factor batches
+        def loss_key(loss):
+            return (type(loss).__name__,) + tuple(
+                (f.name, getattr(loss, f.name)) for f in dataclasses.fields(loss)
+            )
+
+        batch_groups: dict = {}
+        for residual, keys, loss in self.residual_blocks:
+            data = residual.batch_data()
+            cam = data.pop("camera", None)
+            gkey = (residual.factor_kind, loss_key(loss), id(cam) if cam is not None else None)
+            batch_groups.setdefault(gkey, dict(items=[], loss=loss, camera=cam)).setdefault(
+                "kind", residual.factor_kind
+            )
+            batch_groups[gkey]["items"].append((data, keys))
+
+        batches = []
+        for gkey, grp in batch_groups.items():
+            items = grp["items"]
+            data0 = items[0][0]
+            stacked = {
+                k: jnp.asarray(np.stack([np.asarray(it[0][k]) for it in items]), self.dtype)
+                for k in data0
+            }
+            if grp["camera"] is not None:
+                stacked["camera"] = grp["camera"]
+            n_slots = len(items[0][1])
+            indices = []
+            slot_names = []
+            for s in range(n_slots):
+                slot = [self._slots[it[1][s]] for it in items]
+                slot_names.append(slot[0].block)
+                indices.append(np.array([sl.index for sl in slot], np.int32))
+            batches.append(
+                FactorBatch.create(
+                    grp["kind"], tuple(slot_names), tuple(indices), stacked, grp["loss"]
+                )
+            )
+
+        self._graph = FactorGraph(blocks, batches)
+        return self._graph
+
+    def _writeback(self, graph: FactorGraph):
+        for name, slot in self._slots.items():
+            val = graph.blocks[slot.block].values[slot.index]
+            if slot.wrapper is not None:
+                self.param_dict[name] = slot.wrapper(val)
+            else:
+                self.param_dict[name] = val
+        self._graph = graph
+
+    # ------------------------------------------------------------ solving
+    def solve(self) -> dict:
+        """Optimize all free parameters; returns the updated param_dict
+        (reference Problem.solve)."""
+        graph = self._build()
+        solved, info = lm.solve(graph, self.options)
+        self.summary = info
+        self._writeback(solved)
+        return self.param_dict
+
+    def solve_one_iter(self):
+        """One GN/LM step (reference Problem.solve_one_iter); returns the
+        update norm."""
+        graph = self._build()
+        solved, dx, _ = lm.solve_one_iter(graph, self.options)
+        self._writeback(solved)
+        return float(jnp.linalg.norm(dx))
+
+    def eval_cost(self, param_dict: dict | None = None) -> float:
+        """Robustified total cost at the current (or given) params
+        (reference Problem.eval_cost)."""
+        if param_dict is not None:
+            saved = dict(self.param_dict)
+            self.param_dict.update(param_dict)
+            self._graph = None
+            cost = float(self._build().chi2())
+            self.param_dict = saved
+            self._graph = None
+            return cost
+        return float(self._build().chi2())
+
+    # ----------------------------------------------------------- covariance
+    def compute_covariance(self):
+        """Posterior covariance = (J^T W J)^-1 over free parameters
+        (reference Problem.compute_covariance — SURVEY.md §3.4).  Computed by
+        Cholesky solves against identity columns, not an explicit inverse."""
+        graph = self._build()
+        H, _, _ = assemble_dense(graph)
+        eye = jnp.eye(H.shape[0], dtype=H.dtype)
+        self._covariance = cholesky_solve(H, eye)
+        return self._covariance
+
+    def get_covariance_block(self, param_key_1: str, param_key_2: str):
+        """Covariance block between two named parameters (reference API)."""
+        if not hasattr(self, "_covariance"):
+            self.compute_covariance()
+        graph = self._build()
+        offsets = graph.offsets()
+
+        def span(name):
+            slot = self._slots[name]
+            dof = graph.blocks[slot.block].dof
+            start = offsets[slot.block] + slot.index * dof
+            return start, start + dof
+
+        a0, a1 = span(param_key_1)
+        b0, b1 = span(param_key_2)
+        return self._covariance[a0:a1, b0:b1]
+
+
+__all__ = ["Problem", "Options"]

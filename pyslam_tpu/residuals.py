@@ -1,0 +1,198 @@
+"""Residual library — API parity with ``pyslam/residuals.py`` (SURVEY.md §2.1):
+``QuadraticResidual``, ``PoseResidual``, ``PoseToPoseResidual``,
+``ReprojectionResidual``, ``ReprojectionMotionOnlyBatchResidual``
+(``PhotometricResidualSE3`` lives in pipelines/photometric.py with the dense
+VO stack).
+
+Each object holds one measurement and exposes the reference's
+``evaluate(params, compute_jacobians) -> (residual, jacobians)`` — but the
+math is *shared with the batched solver*: evaluate() adds a batch axis and
+calls the same registered factor kernel the TPU solve path uses
+(graph/factor_defs.py), so the object API and the struct-of-arrays path can
+never drift apart.
+
+``Problem`` (problem.py) groups same-kind residual blocks into FactorBatches;
+these classes declare their kind / parameter manifolds / data layout for that
+grouping.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph.core import FACTOR_KERNELS
+from .lie.groups import SE2, SE3, _LieGroupBase
+
+
+def _as_matrix(T):
+    return T.mat if isinstance(T, _LieGroupBase) else jnp.asarray(T)
+
+
+def _stiffness_matrix(stiffness, dim, dtype=None):
+    """Normalize scalar / vector / matrix stiffness to a (dim, dim) matrix."""
+    s = jnp.asarray(stiffness, dtype=dtype)
+    if s.ndim == 0:
+        return s * jnp.eye(dim, dtype=s.dtype)
+    if s.ndim == 1:
+        return jnp.diag(s)
+    return s
+
+
+class _ResidualBase:
+    """Shared single-measurement evaluate() via the batched kernels."""
+
+    factor_kind: str = ""
+    param_kinds: tuple = ()
+
+    def batch_data(self) -> dict:
+        """Per-factor arrays (no batch axis) for FactorBatch stacking."""
+        raise NotImplementedError
+
+    def _prepare_params(self, params):
+        return [_as_matrix(p) for p in params]
+
+    def evaluate(self, params, compute_jacobians=None):
+        """Reference signature: ``compute_jacobians`` is None (residual only)
+        or a list of bools per parameter (which Jacobians to return)."""
+        want = compute_jacobians is not None and any(compute_jacobians)
+        vals = [v[None] for v in self._prepare_params(params)]
+        data = {k: (v if k == "camera" else jnp.asarray(v)[None]) for k, v in self.batch_data().items()}
+        r, jacs = FACTOR_KERNELS[self.factor_kind](data, *vals, compute_jacobians=want)
+        r = r[0]
+        if compute_jacobians is None:
+            return r
+        out = [
+            (jacs[i][0] if flag else None) for i, flag in enumerate(compute_jacobians)
+        ]
+        return r, out
+
+
+class QuadraticResidual(_ResidualBase):
+    """Curve-fit demo residual: r = stiffness * (a x^2 + b x + c - y)
+    (reference QuadraticResidual, the README example)."""
+
+    factor_kind = "quadratic"
+    param_kinds = ("euclidean",)
+
+    def __init__(self, x, y, stiffness):
+        self.x = float(x)
+        self.y = float(y)
+        self.stiffness = float(stiffness)
+
+    def batch_data(self):
+        return {"x": self.x, "y": self.y, "stiffness": self.stiffness}
+
+
+class PoseResidual(_ResidualBase):
+    """Unary pose prior: r = stiffness * log(T_est * T_obs^-1)
+    (reference PoseResidual).  Works for SE2 and SE3."""
+
+    def __init__(self, T_obs, stiffness):
+        self.T_obs = _as_matrix(T_obs)
+        dim = self.T_obs.shape[-1]
+        self.dof = 3 if dim == 3 else 6
+        self.factor_kind = "prior_se2" if dim == 3 else "prior_se3"
+        self.param_kinds = ("se2" if dim == 3 else "se3",)
+        self.sqrt_info = _stiffness_matrix(stiffness, self.dof, self.T_obs.dtype)
+
+    def batch_data(self):
+        return {"T_obs": self.T_obs, "sqrt_info": self.sqrt_info}
+
+
+class PoseToPoseResidual(_ResidualBase):
+    """Binary odometry / loop-closure factor:
+    r = stiffness * log(T_2_0 * T_1_0^-1 * T_2_1_obs^-1)
+    (reference PoseToPoseResidual).  Works for SE2 and SE3."""
+
+    def __init__(self, T_2_1_obs, stiffness):
+        self.T_obs = _as_matrix(T_2_1_obs)
+        dim = self.T_obs.shape[-1]
+        self.dof = 3 if dim == 3 else 6
+        self.factor_kind = "between_se2" if dim == 3 else "between_se3"
+        kind = "se2" if dim == 3 else "se3"
+        self.param_kinds = (kind, kind)
+        self.sqrt_info = _stiffness_matrix(stiffness, self.dof, self.T_obs.dtype)
+
+    def batch_data(self):
+        return {"T_obs": self.T_obs, "sqrt_info": self.sqrt_info}
+
+
+class ReprojectionResidual(_ResidualBase):
+    """Stereo/RGB-D reprojection: r = stiffness * (cam.project(T * p) - obs)
+    (reference ReprojectionResidual; call stack SURVEY.md §3.2).
+    Parameters: [T_cam_w (SE3), pt_w (3,)]."""
+
+    factor_kind = "reprojection"
+    param_kinds = ("se3", "euclidean")
+
+    def __init__(self, camera, obs, stiffness):
+        self.camera = camera
+        self.obs = jnp.asarray(obs)
+        self.sqrt_info = _stiffness_matrix(stiffness, 3, self.obs.dtype)
+
+    def batch_data(self):
+        return {"camera": self.camera, "obs": self.obs, "sqrt_info": self.sqrt_info}
+
+
+class ReprojectionMotionOnlyBatchResidual(_ResidualBase):
+    """Motion-only BA: N fixed landmarks, optimize one camera pose
+    (reference ReprojectionMotionOnlyBatchResidual).  Parameters: [T_cam_w].
+
+    The N landmarks are folded into the residual's own data, so one residual
+    block covers the whole point set (residual dim 3N) — matching the
+    reference's batched semantics.
+    """
+
+    param_kinds = ("se3",)
+
+    def __init__(self, camera, obs, pts_w, stiffness):
+        self.camera = camera
+        self.obs = jnp.asarray(obs)  # (N, 3)
+        self.pts_w = jnp.asarray(pts_w)  # (N, 3)
+        self.stiffness = stiffness
+
+    factor_kind = "reprojection_motion_only_flat"
+
+    def batch_data(self):
+        n = self.obs.shape[0]
+        s = _stiffness_matrix(self.stiffness, 3, self.obs.dtype)
+        return {
+            "camera": self.camera,
+            "obs": self.obs,
+            "pt_w": self.pts_w,
+            "sqrt_info": jnp.broadcast_to(s, (n, 3, 3)),
+        }
+
+
+# A flattened-residual variant of the motion-only kernel, so the whole point
+# set forms one residual block of dim 3N (reference semantics).
+from .graph.core import register_factor  # noqa: E402
+from .lie import se3 as _se3  # noqa: E402
+
+
+@register_factor("reprojection_motion_only_flat")
+def _reproj_motion_only_flat(data, T, compute_jacobians=True):
+    cam = data["camera"]
+    # data arrays are (F, N, ...); T is (F, 4, 4)
+    obs, pts, sqrt_info = data["obs"], data["pt_w"], data["sqrt_info"]
+    F, N = obs.shape[0], obs.shape[1]
+    pt_cam = _se3.act(T[:, None], pts)
+    if not compute_jacobians:
+        pred = cam.project(pt_cam)
+        r = jnp.einsum("fnij,fnj->fni", sqrt_info, pred - obs)
+        return r.reshape(F, 3 * N), None
+    pred, cam_jac = cam.project(pt_cam, compute_jacobians=True)
+    r = jnp.einsum("fnij,fnj->fni", sqrt_info, pred - obs)
+    S = jnp.einsum("fnij,fnjk->fnik", sqrt_info, cam_jac)
+    J = jnp.einsum("fnij,fnjk->fnik", S, _se3.odot(pt_cam))
+    return r.reshape(F, 3 * N), (J.reshape(F, 3 * N, 6),)
+
+
+__all__ = [
+    "QuadraticResidual",
+    "PoseResidual",
+    "PoseToPoseResidual",
+    "ReprojectionResidual",
+    "ReprojectionMotionOnlyBatchResidual",
+]

@@ -1,0 +1,110 @@
+"""Independent scipy Gauss-Newton reference solver (SURVEY.md §4.3).
+
+Deliberately written from the math with *different* algorithms than
+pyslam_tpu: matrix exp/log via scipy.linalg.expm/logm, Jacobians via central
+finite differences, linear solve via scipy.sparse spsolve.  Shares no code or
+derivation with the framework, so agreement on converged chi2 validates both
+the residual conventions and the optimizer — the reference-parity harness the
+(empty) reference mount cannot provide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import scipy.sparse
+import scipy.sparse.linalg
+
+
+def _logvee(T):
+    """SE(n) matrix log -> tangent [rho, phi] via scipy.linalg.logm."""
+    X = np.real(scipy.linalg.logm(T))
+    if T.shape[0] == 3:  # SE(2)
+        return np.array([X[0, 2], X[1, 2], X[1, 0]])
+    return np.array([X[0, 3], X[1, 3], X[2, 3], X[2, 1], X[0, 2], X[1, 0]])
+
+
+def _expwedge(xi):
+    n = 3 if len(xi) == 3 else 4
+    X = np.zeros((n, n))
+    if n == 3:
+        X[0, 2], X[1, 2] = xi[0], xi[1]
+        X[1, 0], X[0, 1] = xi[2], -xi[2]
+    else:
+        X[:3, 3] = xi[:3]
+        X[2, 1], X[1, 2] = xi[3], -xi[3]
+        X[0, 2], X[2, 0] = xi[4], -xi[4]
+        X[1, 0], X[0, 1] = xi[5], -xi[5]
+    return scipy.linalg.expm(X)
+
+
+def _residual(Ti, Tj, T_meas, sqrt_info):
+    return sqrt_info @ _logvee(Tj @ np.linalg.inv(Ti) @ np.linalg.inv(T_meas))
+
+
+def solve_pose_graph(data, max_iters=50, tol=1e-9, weight_fn=None):
+    """GN on a PoseGraphData problem, pose 0 held constant.
+
+    weight_fn(residual_vector) -> elementwise IRLS weights (None = L2).
+    Returns (T_opt, chi2, n_iters).  chi2 = sum of 0.5 * r^2 elementwise
+    (L2) — robust costs are compared through the caller's loss.
+    """
+    T = data.T_gt[0:1].copy()  # anchor
+    T = np.concatenate([T, data.T_init[1:].copy()])
+    n = T.shape[0]
+    dof = 3 if data.dim == 2 else 6
+    E = len(data.edges_i)
+    eps = 1e-6
+
+    def all_residuals(T):
+        return np.concatenate(
+            [
+                _residual(T[i], T[j], data.T_meas[k], data.sqrt_info[k])
+                for k, (i, j) in enumerate(zip(data.edges_i, data.edges_j))
+            ]
+        )
+
+    chi2_prev = np.inf
+    for it in range(max_iters):
+        rows, cols, vals = [], [], []
+        r_all = np.zeros(E * dof)
+        for k, (i, j) in enumerate(zip(data.edges_i, data.edges_j)):
+            r = _residual(T[i], T[j], data.T_meas[k], data.sqrt_info[k])
+            r_all[k * dof : (k + 1) * dof] = r
+            for which, p in (("i", i), ("j", j)):
+                if p == 0:
+                    continue  # anchored
+                J = np.zeros((dof, dof))
+                for d in range(dof):
+                    step = np.zeros(dof)
+                    step[d] = eps
+                    Tp = _expwedge(step) @ T[p]
+                    Tm = _expwedge(-step) @ T[p]
+                    if which == "i":
+                        rp = _residual(Tp, T[j], data.T_meas[k], data.sqrt_info[k])
+                        rm = _residual(Tm, T[j], data.T_meas[k], data.sqrt_info[k])
+                    else:
+                        rp = _residual(T[i], Tp, data.T_meas[k], data.sqrt_info[k])
+                        rm = _residual(T[i], Tm, data.T_meas[k], data.sqrt_info[k])
+                    J[:, d] = (rp - rm) / (2 * eps)
+                for a in range(dof):
+                    for b in range(dof):
+                        rows.append(k * dof + a)
+                        cols.append((p - 1) * dof + b)
+                        vals.append(J[a, b])
+        Jsp = scipy.sparse.coo_matrix(
+            (vals, (rows, cols)), shape=(E * dof, (n - 1) * dof)
+        ).tocsr()
+        w = weight_fn(r_all) if weight_fn is not None else np.ones_like(r_all)
+        W = scipy.sparse.diags(w)
+        H = (Jsp.T @ W @ Jsp).tocsc()
+        g = -Jsp.T @ (w * r_all)
+        dx = scipy.sparse.linalg.spsolve(H, g)
+        for p in range(1, n):
+            T[p] = _expwedge(dx[(p - 1) * dof : p * dof]) @ T[p]
+        chi2 = 0.5 * np.sum(r_all**2)
+        if abs(chi2_prev - chi2) < tol * max(chi2, 1.0):
+            break
+        chi2_prev = chi2
+    r_all = all_residuals(T)
+    return T, 0.5 * np.sum(r_all**2), it + 1

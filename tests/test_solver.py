@@ -1,0 +1,203 @@
+"""Solver-core tests: convergence, reference parity, metamorphic invariances
+(SURVEY.md §4: gauge-fixed perturbation recovery, padding inertness, factor
+-order invariance, scipy-parity harness)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.graph import FactorBatch, FactorGraph, VariableBlock, build
+from pyslam_tpu.io import synth
+from pyslam_tpu.lie import se2, se3
+from pyslam_tpu.losses import CauchyLoss, L2Loss
+from pyslam_tpu.solver import Options, solve, solve_one_iter
+
+import scipy_ref
+
+F64 = jnp.float64
+
+
+def small_se2(seed=1, **kw):
+    return synth.se2_loop(n_poses=40, n_loops=6, seed=seed, **kw)
+
+
+class TestQuadraticFit:
+    """The reference's README demo: fit y = a x^2 + b x + c."""
+
+    def test_converges_to_truth(self, rng):
+        truth = np.array([2.0, -1.0, 0.5])
+        x = rng.uniform(-3, 3, 80)
+        y = truth[0] * x * x + truth[1] * x + truth[2] + rng.normal(0, 0.01, 80)
+        blocks = {
+            "params": VariableBlock.create("euclidean", jnp.zeros((1, 3), F64))
+        }
+        batch = FactorBatch.create(
+            "quadratic",
+            slots=("params",),
+            indices=(np.zeros(80, np.int32),),
+            data={
+                "x": jnp.asarray(x, F64),
+                "y": jnp.asarray(y, F64),
+                "stiffness": jnp.full(80, 1.0 / 0.01, F64),
+            },
+            loss=L2Loss(),
+        )
+        g, info = solve(FactorGraph(blocks, [batch]), Options(method="gn", max_iters=20))
+        est = np.asarray(g.blocks["params"].values[0])
+        np.testing.assert_allclose(est, truth, atol=0.01)
+        # linear problem: GN converges in one step
+        assert int(info.iterations) <= 3
+
+
+class TestPoseGraph2D:
+    def test_gn_converges(self):
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+        g2, info = solve(g, Options(method="gn", max_iters=30))
+        assert float(info.chi2) < float(g.chi2()) * 0.5
+        err = se2.log(jnp.asarray(data.T_gt) @ se2.inv(g2.blocks["poses"].values))
+        assert float(jnp.max(jnp.abs(err))) < 0.5
+
+    def test_lm_converges(self):
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+        g2, info = solve(g, Options(method="lm", max_iters=50))
+        costs = np.asarray(info.cost_history)
+        costs = costs[~np.isnan(costs)]
+        # accepted-cost trajectory is monotone non-increasing for LM
+        assert np.all(np.diff(costs) <= 1e-9)
+
+    def test_scipy_parity(self):
+        """Converged chi2 must match the independent scipy GN solver
+        (BASELINE.json:5 'match converged cost within optimality gap')."""
+        data = synth.se2_loop(n_poses=25, n_loops=4, seed=3)
+        g = build.pose_graph(data, dtype=F64)
+        g2, info = solve(g, Options(method="lm", max_iters=60, min_cost_decrease=0.999999))
+        T_ref, chi2_ref, _ = scipy_ref.solve_pose_graph(data, max_iters=60)
+        # same convention: L2 cost = 0.5 sum r^2
+        assert abs(float(info.chi2) - chi2_ref) / chi2_ref < 1e-5
+
+    def test_robust_loss_rejects_outliers(self):
+        data = small_se2(seed=7)
+        # corrupt two loop-closure measurements badly
+        bad = data.T_meas.copy()
+        bad[-1] = synth._se2_mat(5.0, -3.0, 1.5) @ bad[-1]
+        bad[-2] = synth._se2_mat(-4.0, 2.0, -2.0) @ bad[-2]
+        data_bad = synth.PoseGraphData(
+            2, data.T_gt, data.T_init, data.edges_i, data.edges_j, bad, data.sqrt_info
+        )
+        g_l2 = build.pose_graph(data_bad, loss=L2Loss(), dtype=F64)
+        g_cauchy = build.pose_graph(data_bad, loss=CauchyLoss(1.0), dtype=F64)
+        opts = Options(method="lm", max_iters=50)
+        s_l2, _ = solve(g_l2, opts)
+        s_c, _ = solve(g_cauchy, opts)
+        err = lambda s: float(
+            jnp.max(jnp.abs(se2.log(jnp.asarray(data.T_gt) @ se2.inv(s.blocks["poses"].values))))
+        )
+        assert err(s_c) < err(s_l2) * 0.7  # robust loss materially better
+
+    def test_constant_params_respected(self):
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+        const = np.zeros(data.T_gt.shape[0], bool)
+        const[0] = const[5] = True
+        b = g.blocks["poses"]
+        g = FactorGraph(
+            {"poses": VariableBlock(b.kind, b.values, jnp.asarray(const))}, g.batches
+        )
+        g2, _ = solve(g, Options(method="lm", max_iters=20))
+        np.testing.assert_allclose(
+            np.asarray(g2.blocks["poses"].values[5]),
+            np.asarray(g.blocks["poses"].values[5]),
+            atol=1e-12,  # exp(0) @ T is identity up to rounding
+        )
+
+    def test_padding_inert(self):
+        """Zero-weight (padding) factors must not change the solution."""
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+        fb = g.batches[0]
+        pad = 7
+        fb_padded = FactorBatch(
+            fb.kind,
+            fb.slots,
+            tuple(jnp.concatenate([i, jnp.zeros(pad, jnp.int32)]) for i in fb.indices),
+            {k: jnp.concatenate([v, v[:pad]]) for k, v in fb.data.items()},
+            fb.loss,
+            jnp.concatenate([fb.weight, jnp.zeros(pad, fb.weight.dtype)]),
+        )
+        g_pad = FactorGraph(g.blocks, [fb_padded])
+        opts = Options(method="lm", max_iters=25)
+        s1, i1 = solve(g, opts)
+        s2, i2 = solve(g_pad, opts)
+        np.testing.assert_allclose(float(i1.chi2), float(i2.chi2), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(s1.blocks["poses"].values),
+            np.asarray(s2.blocks["poses"].values),
+            atol=1e-12,
+        )
+
+    def test_factor_order_invariance(self):
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+        perm = np.random.default_rng(0).permutation(len(data.edges_i))
+        data_shuf = synth.PoseGraphData(
+            2,
+            data.T_gt,
+            data.T_init,
+            data.edges_i[perm],
+            data.edges_j[perm],
+            data.T_meas[perm],
+            data.sqrt_info[perm],
+        )
+        g_shuf = build.pose_graph(data_shuf, dtype=F64)
+        opts = Options(method="lm", max_iters=25)
+        _, i1 = solve(g, opts)
+        _, i2 = solve(g_shuf, opts)
+        np.testing.assert_allclose(float(i1.chi2), float(i2.chi2), rtol=1e-8)
+
+    def test_solve_one_iter_decreases_cost(self):
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+        g2, dx, chi2_0 = solve_one_iter(g, Options(method="gn"))
+        assert float(g2.chi2()) < float(chi2_0)
+
+
+class TestPoseGraph3D:
+    def test_se3_sphere_converges(self):
+        data = synth.se3_sphere(n_poses=80, seed=2)
+        g = build.pose_graph(data, dtype=F64)
+        chi0 = float(g.chi2())
+        g2, info = solve(g, Options(method="lm", max_iters=40))
+        assert float(info.chi2) < chi0 * 0.1
+        err = se3.log(jnp.asarray(data.T_gt) @ se3.inv(g2.blocks["poses"].values))
+        assert float(jnp.max(jnp.abs(err))) < 0.5
+
+    def test_perturbation_recovery(self, rng):
+        """Metamorphic: perturb GT poses, solve with exact measurements,
+        recover GT (gauge-fixed)."""
+        data = synth.se3_sphere(n_poses=40, odo_trans_std=1e-8, odo_rot_std=1e-8, seed=5)
+        g = build.pose_graph(data, dtype=F64, init="odometry")
+        # init integrates (noiseless) odometry; perturb it
+        vals = g.blocks["poses"].values
+        noise = jnp.asarray(rng.normal(0, 0.05, (vals.shape[0], 6)))
+        noise = noise.at[0].set(0.0)
+        vals = se3.exp(noise) @ vals
+        g = FactorGraph(
+            {"poses": VariableBlock("se3", vals, g.blocks["poses"].const_mask)}, g.batches
+        )
+        g2, info = solve(g, Options(method="lm", max_iters=60))
+        err = se3.log(jnp.asarray(data.T_gt) @ se3.inv(g2.blocks["poses"].values))
+        assert float(jnp.max(jnp.abs(err))) < 1e-3
+
+
+class TestBundleAdjustment:
+    def test_small_ba_converges(self):
+        data = synth.ba_synthetic(n_cams=6, n_pts=60, obs_per_pt=3, seed=4)
+        g = build.ba_graph(data, dtype=F64)
+        chi0 = float(g.chi2())
+        g2, info = solve(g, Options(method="lm", max_iters=40))
+        assert float(info.chi2) < chi0 * 0.05
+        # landmarks near truth
+        lm_err = np.abs(np.asarray(g2.blocks["landmarks"].values) - data.pts_gt)
+        assert np.median(lm_err) < 0.05
