@@ -1,0 +1,28 @@
+"""Multi-chip / multi-host distribution layer (SURVEY.md §2.3).
+
+The reference is single-process (SURVEY.md: 'DP/TP/PP/SP/EP: absent'); this
+layer provides the factor-graph analogues as first-class components:
+
+  * ``mesh``            — device meshes + multi-host bootstrap
+  * ``factor_parallel`` — factors sharded across chips, psum-reduced normal
+                          equations (DP analogue)
+  * ``partitioner``     — variable-block graph partitioning (TP analogue)
+  * ``schur_reduce``    — landmark-sharded Schur reduction (SP/ring analogue)
+"""
+
+from .factor_parallel import (
+    make_sharded_lm_step,
+    pad_batch,
+    shard_graph,
+    solve_factor_parallel,
+)
+from .mesh import make_mesh, init_distributed
+
+__all__ = [
+    "make_mesh",
+    "init_distributed",
+    "make_sharded_lm_step",
+    "pad_batch",
+    "shard_graph",
+    "solve_factor_parallel",
+]

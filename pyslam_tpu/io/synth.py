@@ -166,7 +166,8 @@ def se3_sphere(n_poses=2500, n_loops=None, odo_trans_std=0.02, odo_rot_std=0.01,
 
     rng = np.random.default_rng(seed)
     if n_loops is None:
-        n_loops = n_poses - 51  # sphere2500: 4949 edges = (n-1) odo + 2450 loops
+        # sphere2500: 4949 edges = (n-1) odo + 2450 loops
+        n_loops = max(0, n_poses - 51)
     radius = 10.0
     # spiral from pole to pole
     k = np.arange(n_poses)

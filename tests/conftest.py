@@ -5,20 +5,15 @@ Tests run on the CPU backend with x64 enabled and 8 virtual devices, so that:
   * multi-chip sharding (shard_map collectives, partitioner, Schur reduction)
     is exercised on an 8-device mesh without TPU pod hardware.
 
-This must run before jax initializes, hence the env vars at import time.
+NOTE: in this environment the axon TPU plugin swallows the JAX_PLATFORMS /
+XLA_FLAGS env vars, so the CPU backend must be selected via in-process config
+updates (before any backend use).
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
