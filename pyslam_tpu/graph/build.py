@@ -77,3 +77,36 @@ def ba_graph(data, loss=None, dtype=jnp.float32, init: str = "noisy") -> FactorG
         loss=loss,
     )
     return FactorGraph(blocks, [batch])
+
+
+def bal_graph(data, loss=None, pixel_std=1.0, anchor_first=True, dtype=jnp.float32) -> FactorGraph:
+    """Build a monocular BA FactorGraph from io.bal.BALData (Snavely camera
+    model, fixed per-camera intrinsics — BASELINE.json configs #4/#5)."""
+    loss = loss if loss is not None else L2Loss()
+    n_cams = data.T.shape[0]
+    const = np.zeros(n_cams, bool)
+    if anchor_first:
+        const[0] = True
+    m = len(data.cam_idx)
+    sqrt_info = jnp.broadcast_to(
+        jnp.eye(2, dtype=dtype) / pixel_std, (m, 2, 2)
+    )
+    intr = jnp.asarray(data.intrinsics, dtype)[data.cam_idx]
+    blocks = {
+        "poses": VariableBlock.create("se3", jnp.asarray(data.T, dtype), const),
+        "landmarks": VariableBlock.create("euclidean", jnp.asarray(data.pts, dtype)),
+    }
+    batch = FactorBatch.create(
+        kind="reprojection_bal",
+        slots=("poses", "landmarks"),
+        indices=(data.cam_idx, data.pt_idx),
+        data={
+            "obs": jnp.asarray(data.obs, dtype),
+            "sqrt_info": sqrt_info,
+            "f": intr[:, 0],
+            "k1": intr[:, 1],
+            "k2": intr[:, 2],
+        },
+        loss=loss,
+    )
+    return FactorGraph(blocks, [batch])

@@ -187,8 +187,18 @@ class FactorGraph:
     layout.  The TPU-native analogue of the reference's ``Problem`` state
     (param_dict + block list, pyslam/problem.py per SURVEY.md §2.1)."""
 
-    blocks: dict  # name -> VariableBlock (insertion order = tangent order)
+    blocks: dict  # name -> VariableBlock (SORTED name order = tangent order)
     batches: list  # FactorBatch
+
+    def __post_init__(self):
+        # Canonical sorted-by-name block order.  jit normalizes raw dict
+        # pytrees to sorted key order, so any other convention silently
+        # permutes the tangent layout the moment blocks ride through a
+        # lax.while_loop state (as they do in solver/lm.py) — sorting at
+        # construction makes the layout identical inside and outside jit.
+        names = list(self.blocks)
+        if names != sorted(names):
+            self.blocks = {k: self.blocks[k] for k in sorted(names)}
 
     # ---- layout ----
     def offsets(self) -> dict:

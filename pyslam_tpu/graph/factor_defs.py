@@ -130,6 +130,51 @@ def reprojection_motion_only(data, T, compute_jacobians=True):
 
 
 # --------------------------------------------------------------------------
+# BAL monocular reprojection (Snavely camera model):
+#   p_cam = T * X;  pn = -p_cam[:2] / p_cam[2]           (BAL looks down -z)
+#   pred  = f * (1 + k1 |pn|^2 + k2 |pn|^4) * pn
+#   r     = sqrt_info * (pred - obs)
+# Intrinsics (f, k1, k2) ride in data as fixed per-observation scalars —
+# the benchmark configs (BASELINE.json:10-11) optimize poses + landmarks.
+# --------------------------------------------------------------------------
+
+
+@register_factor("reprojection_bal")
+def reprojection_bal(data, T, pt, compute_jacobians=True):
+    """Monocular BAL reprojection factor with radial distortion."""
+    p = se3.act(T, pt)
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    inv_z = 1.0 / z
+    pn = -p[..., :2] * inv_z[..., None]
+    r2 = jnp.sum(pn * pn, axis=-1)
+    f, k1, k2 = data["f"], data["k1"], data["k2"]
+    d = 1.0 + r2 * (k1 + k2 * r2)
+    pred = (f * d)[..., None] * pn
+    r = _bmv(data["sqrt_info"], pred - data["obs"])
+    if not compute_jacobians:
+        return r, None
+    # d pn / d p_cam  (F, 2, 3)
+    zeros = jnp.zeros_like(x)
+    J_pn = jnp.stack(
+        [
+            jnp.stack([-inv_z, zeros, x * inv_z * inv_z], axis=-1),
+            jnp.stack([zeros, -inv_z, y * inv_z * inv_z], axis=-1),
+        ],
+        axis=-2,
+    )
+    # d pred / d pn = f * (d * I + pn (dd/dpn)^T),  dd/dpn = 2(k1 + 2 k2 r2) pn
+    dd = (2.0 * (k1 + 2.0 * k2 * r2))[..., None] * pn
+    eye2 = jnp.eye(2, dtype=pred.dtype)
+    J_pred = f[..., None, None] * (
+        d[..., None, None] * eye2 + pn[..., :, None] * dd[..., None, :]
+    )
+    S = _bmm(_bmm(data["sqrt_info"], J_pred), J_pn)  # (F, 2, 3)
+    J_T = _bmm(S, se3.odot(p))
+    J_pt = _bmm(S, T[..., :3, :3])
+    return r, (J_T, J_pt)
+
+
+# --------------------------------------------------------------------------
 # Quadratic curve-fit demo: r = stiffness * (p0 x^2 + p1 x + p2 - y)
 # --------------------------------------------------------------------------
 

@@ -27,3 +27,7 @@ __all__ = [
 from .bcsr import BlockPattern, assemble_bcsr, bcsr_matvec, build_pattern, solve_bcsr  # noqa: E402
 
 __all__ += ["BlockPattern", "assemble_bcsr", "bcsr_matvec", "build_pattern", "solve_bcsr"]
+
+from .schur import ba_assemble, solve_schur  # noqa: E402
+
+__all__ += ["ba_assemble", "solve_schur"]
