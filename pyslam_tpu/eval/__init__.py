@@ -1,0 +1,6 @@
+"""Trajectory evaluation & visualization (reference L6 parity, SURVEY.md §3.5)."""
+
+from .metrics import TrajectoryMetrics
+from .viz import TrajectoryVisualizer
+
+__all__ = ["TrajectoryMetrics", "TrajectoryVisualizer"]

@@ -1,0 +1,126 @@
+"""TrajectoryMetrics / TrajectoryVisualizer (reference L6 parity,
+SURVEY.md §3.5): error definitions, segment errors, serialization, plots."""
+
+import numpy as np
+import pytest
+
+from pyslam_tpu.eval import TrajectoryMetrics, TrajectoryVisualizer
+from pyslam_tpu.lie import se3
+
+
+def straight_traj(n=50, step=1.0):
+    """Ground truth going straight down +x."""
+    T = np.tile(np.eye(4), (n, 1, 1))
+    T[:, 0, 3] = step * np.arange(n)
+    return T
+
+
+class TestTrajectoryMetrics:
+    def test_zero_error_on_identical(self):
+        T = straight_traj()
+        tm = TrajectoryMetrics(T, T.copy())
+        trans, rot = tm.traj_errors()
+        assert float(np.max(np.asarray(trans))) < 1e-12
+        assert float(np.max(np.asarray(rot))) < 1e-12
+        assert float(tm.endpoint_error()) < 1e-12
+        assert float(tm.armse("trans")) < 1e-12
+
+    def test_known_offset(self):
+        T = straight_traj()
+        T_est = T.copy()
+        T_est[:, 1, 3] += 0.5  # constant 0.5 m lateral offset
+        tm = TrajectoryMetrics(T, T_est)
+        trans = tm.traj_errors("trans")
+        np.testing.assert_allclose(np.asarray(trans), 0.5, atol=1e-12)
+        np.testing.assert_allclose(float(tm.mean_err("trans")), 0.5, atol=1e-12)
+        np.testing.assert_allclose(float(tm.rms_err("trans")), 0.5, atol=1e-12)
+        np.testing.assert_allclose(float(tm.cum_err("trans")), 25.0, atol=1e-10)
+        np.testing.assert_allclose(float(tm.armse("trans")), 0.5, atol=1e-12)
+
+    def test_error_is_se3_log(self):
+        rng = np.random.default_rng(0)
+        T_gt = np.asarray(se3.exp(rng.normal(0, 0.3, (10, 6))))
+        xi_true = rng.normal(0, 0.1, (10, 6))
+        T_est = np.asarray(se3.exp(xi_true)) @ T_gt  # wait: log(Tgt^-1 Test)
+        tm = TrajectoryMetrics(T_gt, T_est)
+        xi = np.asarray(tm.error())
+        expect = np.asarray(se3.log(se3.inv(T_gt) @ T_est))
+        np.testing.assert_allclose(xi, expect, atol=1e-12)
+
+    def test_convention_inversion(self):
+        T = straight_traj(10)
+        T_est = T.copy()
+        T_est[:, 1, 3] += 0.3
+        a = TrajectoryMetrics(T, T_est, convention="Twv")
+        b = TrajectoryMetrics(
+            np.linalg.inv(T), np.linalg.inv(T_est), convention="Tvw"
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.error()), np.asarray(b.error()), atol=1e-10
+        )
+
+    def test_rel_errors_perfect_odometry(self):
+        # A trajectory with constant offset has ZERO relative error.
+        T = straight_traj()
+        T_est = T.copy()
+        T_est[:, 1, 3] += 5.0
+        tm = TrajectoryMetrics(T, T_est)
+        trans, rot = tm.rel_errors()
+        assert float(np.max(np.asarray(trans))) < 1e-12
+
+    def test_segment_errors(self):
+        T = straight_traj(101, step=1.0)  # 100 m path
+        T_est = T.copy()
+        # drift: 1% along-track error
+        T_est[:, 0, 3] *= 1.01
+        tm = TrajectoryMetrics(T, T_est)
+        mse = tm.mean_segment_errors([10.0, 50.0])
+        assert mse.shape[0] == 2
+        # 1% drift -> ~0.01 per unit length (leading-order)
+        np.testing.assert_allclose(mse[:, 1], 0.01, rtol=0.05)
+
+    def test_cum_dists(self):
+        T = straight_traj(11, step=2.0)
+        tm = TrajectoryMetrics(T, T)
+        np.testing.assert_allclose(
+            np.asarray(tm.cum_dists()), 2.0 * np.arange(11), atol=1e-12
+        )
+
+    def test_se2_support(self):
+        from pyslam_tpu.lie import se2
+
+        rng = np.random.default_rng(1)
+        T_gt = np.asarray(se2.exp(rng.normal(0, 0.3, (8, 3))))
+        T_est = np.asarray(se2.exp(rng.normal(0, 0.3, (8, 3))))
+        tm = TrajectoryMetrics(T_gt, T_est)
+        assert tm.dim == 2
+        xi = np.asarray(tm.error())
+        expect = np.asarray(se2.log(se2.inv(T_gt) @ T_est))
+        np.testing.assert_allclose(xi, expect, atol=1e-12)
+
+    @pytest.mark.parametrize("ext", ["pkl", "mat"])
+    def test_save_load(self, tmp_path, ext):
+        T = straight_traj(10)
+        T_est = T.copy()
+        T_est[:, 1, 3] += 0.1
+        tm = TrajectoryMetrics(T, T_est)
+        path = str(tmp_path / f"tm.{ext}")
+        tm.saveas(path)
+        back = TrajectoryMetrics.loadfrom(path)
+        np.testing.assert_allclose(np.asarray(back.Twv_gt), T, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(back.Twv_est), T_est, atol=1e-12)
+
+
+class TestVisualizer:
+    def test_all_plots_render(self, tmp_path):
+        T = straight_traj(60)
+        rng = np.random.default_rng(2)
+        T_est = np.asarray(se3.exp(rng.normal(0, 0.02, (60, 6)))) @ T
+        tm = TrajectoryMetrics(T, T_est)
+        viz = TrajectoryVisualizer({"run": tm})
+        viz.plot_topdown(outfile=str(tmp_path / "topdown.png"))
+        viz.plot_segment_errors([10.0, 20.0], outfile=str(tmp_path / "seg.png"))
+        viz.plot_norm_err(outfile=str(tmp_path / "norm.png"))
+        viz.plot_cum_norm_err(outfile=str(tmp_path / "cum.png"))
+        for name in ["topdown.png", "seg.png", "norm.png", "cum.png"]:
+            assert (tmp_path / name).stat().st_size > 1000
