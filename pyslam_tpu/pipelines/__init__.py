@@ -1,0 +1,20 @@
+"""Dense direct VO frontends (reference L5 parity, SURVEY.md §3.3)."""
+
+from .dense import DenseRGBDPipeline, DenseStereoPipeline
+from .keyframes import (
+    DenseKeyframe,
+    DenseRGBDKeyframe,
+    DenseStereoKeyframe,
+    compute_disparity,
+)
+from .photometric import PhotometricResidualSE3
+
+__all__ = [
+    "DenseStereoPipeline",
+    "DenseRGBDPipeline",
+    "DenseKeyframe",
+    "DenseStereoKeyframe",
+    "DenseRGBDKeyframe",
+    "PhotometricResidualSE3",
+    "compute_disparity",
+]

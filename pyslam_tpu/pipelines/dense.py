@@ -1,0 +1,195 @@
+"""Dense direct visual-odometry pipelines — parity with the reference's
+``DenseStereoPipeline`` / ``DenseRGBDPipeline`` (pyslam/pipelines/dense.py per
+SURVEY.md §3.3): keyframe-based coarse-to-fine photometric tracking with a
+Student-t robust loss and motion-model initialization.
+
+TPU-first: each pyramid level's motion-only solve is the generic jitted LM
+loop (solver/lm.py) over a single-pose factor graph with the batched
+photometric kernel — shapes are static per level, so the whole tracking run
+compiles once per level and every subsequent frame is pure device compute.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.core import FactorBatch, FactorGraph, VariableBlock
+from ..lie import se3
+from ..lie.groups import SE3
+from ..losses import TDistributionLoss
+from ..solver import lm
+from .keyframes import DenseKeyframe, DenseRGBDKeyframe, DenseStereoKeyframe, pyrdown
+
+
+def _as_mat(T) -> np.ndarray:
+    if isinstance(T, SE3):
+        return np.asarray(T.mat)
+    return np.asarray(T)
+
+
+class _DensePipelineBase:
+    """Shared tracking machinery (reference _compute_frame_to_keyframe_pose)."""
+
+    def __init__(
+        self,
+        camera,
+        first_pose=np.eye(4),
+        pyrlevels: int = 4,
+        keyframe_trans_thresh: float = 3.0,
+        keyframe_rot_thresh: float = 0.3,
+        loss=None,
+        stiffness: float = 1.0 / 0.25,
+        min_grad: float = 0.0,
+        max_iters_per_level: int = 15,
+        depth_stiffness: float | None = None,
+    ):
+        self.camera = camera
+        self.pyrlevels = pyrlevels
+        self.keyframe_trans_thresh = keyframe_trans_thresh
+        self.keyframe_rot_thresh = keyframe_rot_thresh
+        self.loss = loss if loss is not None else TDistributionLoss(nu=5.0)
+        self.stiffness = stiffness
+        self.min_grad = min_grad
+        # tight per-level stopping: photometric alignment needs the tail
+        # iterations (cost decrease per step shrinks fast near the optimum)
+        self.options = lm.Options(
+            method="lm",
+            max_iters=max_iters_per_level,
+            min_cost_decrease=0.9999,
+            min_update_norm=1e-8,
+        )
+        self.keyframes: list[DenseKeyframe] = []
+        self.T_c_w: list[np.ndarray] = []  # camera-from-world per tracked frame
+        self._first_pose = _as_mat(first_pose)
+        self._T_last_rel = np.eye(4)  # motion model: last frame-to-frame motion
+
+    # ---- core per-level solve ----
+
+    def _track_pyramid(self, im_track: np.ndarray) -> list[jnp.ndarray]:
+        ims = [np.asarray(im_track, np.float64)]
+        for _ in range(1, self.pyrlevels):
+            ims.append(pyrdown(ims[-1]))
+        return [jnp.asarray(im) for im in ims]
+
+    def _level_loss(self, data, T_init):
+        """Freeze the Student-t scale per level (Kerl-style IRLS): a loss
+        whose scale re-estimates *inside* every cost call is scale-invariant,
+        so LM would see no decrease from a uniformly shrinking residual.
+        Estimate sigma once at the level's initial pose, then solve with the
+        scale held fixed."""
+        loss = self.loss
+        if not (isinstance(loss, TDistributionLoss) and loss.scale is None):
+            return loss
+        from ..graph.core import FACTOR_KERNELS
+
+        r, _ = FACTOR_KERNELS["photometric_se3"](
+            data, jnp.asarray(T_init)[None], compute_jacobians=False
+        )
+        m = data["mask"]
+        nu = loss.nu
+        sigma2 = jnp.sum(m * r * r) / jnp.maximum(jnp.sum(m), 1.0) + 1e-12
+        for _ in range(10):
+            w = (nu + 1.0) / (nu + r * r / sigma2)
+            sigma2 = jnp.sum(m * w * r * r) / jnp.maximum(jnp.sum(m), 1.0) + 1e-12
+        return TDistributionLoss(nu=nu, scale=float(jnp.sqrt(sigma2)))
+
+    def _solve_level(self, level_data, im_track_l, T_init: np.ndarray) -> np.ndarray:
+        blocks = {
+            "pose": VariableBlock.create("se3", jnp.asarray(T_init)[None])
+        }
+        data = {
+            "camera": level_data.camera,
+            "pt_ref": level_data.pt_ref[None],
+            "I_ref": level_data.I_ref[None],
+            "mask": level_data.mask[None],
+            "im_track": im_track_l[None],
+            "stiffness": jnp.asarray([self.stiffness], level_data.I_ref.dtype),
+        }
+        batch = FactorBatch.create(
+            kind="photometric_se3",
+            slots=("pose",),
+            indices=(np.zeros(1, np.int32),),
+            data=data,
+            loss=self._level_loss(data, T_init),
+        )
+        solved, _ = lm.solve(FactorGraph(blocks, [batch]), self.options)
+        return np.asarray(solved.blocks["pose"].values[0])
+
+    def _compute_frame_to_keyframe_pose(
+        self, keyframe: DenseKeyframe, im_track: np.ndarray, guess: np.ndarray
+    ) -> np.ndarray:
+        """Coarse-to-fine photometric alignment: T_track_key."""
+        pyr = self._track_pyramid(im_track)
+        T = guess.copy()
+        for lvl in range(self.pyrlevels - 1, -1, -1):
+            T = self._solve_level(keyframe.levels[lvl], pyr[lvl], T)
+        return T
+
+    # ---- bookkeeping shared by both frontends ----
+
+    def _track_common(self, make_keyframe, im_track, guess):
+        if not self.keyframes:
+            kf = make_keyframe()
+            kf.T_w = self._first_pose
+            self.keyframes.append(kf)
+            self.T_c_w.append(self._first_pose.copy())
+            return SE3(self.T_c_w[-1])
+
+        kf = self.keyframes[-1]
+        T_key_w = kf.T_w
+        if guess is None:
+            # motion model: propagate last frame-to-frame motion
+            T_track_w_guess = self._T_last_rel @ self.T_c_w[-1]
+            guess_rel = T_track_w_guess @ np.linalg.inv(T_key_w)
+        else:
+            guess_rel = _as_mat(guess)
+        T_track_key = self._compute_frame_to_keyframe_pose(kf, im_track, guess_rel)
+        T_track_w = T_track_key @ T_key_w
+
+        prev = self.T_c_w[-1]
+        self._T_last_rel = T_track_w @ np.linalg.inv(prev)
+        self.T_c_w.append(T_track_w)
+
+        # keyframe decision (reference thresholds, SURVEY.md §3.3)
+        trans = np.linalg.norm(T_track_key[:3, 3])
+        xi = np.asarray(se3.log(jnp.asarray(T_track_key)))
+        rot = np.linalg.norm(xi[3:])
+        if trans > self.keyframe_trans_thresh or rot > self.keyframe_rot_thresh:
+            new_kf = make_keyframe()
+            new_kf.T_w = T_track_w
+            self.keyframes.append(new_kf)
+        return SE3(T_track_w)
+
+
+class DenseStereoPipeline(_DensePipelineBase):
+    """Dense stereo direct VO (reference DenseStereoPipeline).
+
+    ``track(im_left, im_right, guess=None)`` returns the SE3 camera-from-
+    world estimate for the frame and updates the internal trajectory
+    ``self.T_c_w``.  ``disp`` may inject a precomputed disparity map
+    (otherwise OpenCV's SGBM runs host-side, the reference's behavior).
+    """
+
+    def track(self, im_left, im_right, guess=None, disp=None):
+        def make_keyframe():
+            return DenseStereoKeyframe(
+                im_left, im_right, self.camera, self.pyrlevels, self.min_grad, disp=disp
+            )
+
+        return self._track_common(make_keyframe, np.asarray(im_left, np.float64), guess)
+
+
+class DenseRGBDPipeline(_DensePipelineBase):
+    """Dense RGB-D direct VO (reference DenseRGBDPipeline).
+
+    ``track(im, depth, guess=None)``."""
+
+    def track(self, im, depth, guess=None):
+        def make_keyframe():
+            return DenseRGBDKeyframe(im, depth, self.camera, self.pyrlevels, self.min_grad)
+
+        return self._track_common(make_keyframe, np.asarray(im, np.float64), guess)
+
+
+__all__ = ["DenseStereoPipeline", "DenseRGBDPipeline"]
