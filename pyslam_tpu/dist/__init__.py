@@ -17,6 +17,8 @@ from .factor_parallel import (
     solve_factor_parallel,
 )
 from .mesh import make_mesh, init_distributed
+from .partitioner import Partition, cut_stats, partition_landmarks, partition_poses_bfs
+from .schur_reduce import shard_ba, solve_schur_sharded
 
 __all__ = [
     "make_mesh",
@@ -25,4 +27,10 @@ __all__ = [
     "pad_batch",
     "shard_graph",
     "solve_factor_parallel",
+    "Partition",
+    "cut_stats",
+    "partition_landmarks",
+    "partition_poses_bfs",
+    "shard_ba",
+    "solve_schur_sharded",
 ]

@@ -1,0 +1,360 @@
+"""Distributed Schur-complement bundle adjustment: landmark-sharded reduction
+(SURVEY.md §2.3 row 'SP/CP': the sequence-parallel / ring-attention analogue,
+and the BASELINE.json config #5 path).
+
+Sharding layout (BASELINE.json:5 "partitioning the factor graph into
+pose/landmark blocks per chip, with Schur-complement reduction and
+gradient/Hessian-block accumulation via psum/all-gather collectives"):
+
+  * camera poses         — replicated (C is small vs L; Venice: ~1.7k vs ~1M)
+  * landmarks            — sharded over the mesh ('l' axis), each chip owns a
+                           contiguous slab (optionally a partitioner layout)
+  * observations         — co-located with their landmark's owner, so the
+                           whole landmark elimination (Hll build, 3x3
+                           Cholesky, back-substitution) is chip-local
+  * reduced camera system— implicit-S PCG: every S-matvec does chip-local
+                           gathers/segment-sums + ONE psum over the mesh —
+                           the blockwise-streaming Schur analogue of ring
+                           attention's all-to-all-free accumulation
+
+The LM accept/reject loop runs host-side over the jitted sharded step
+(mirroring dist/factor_parallel.solve_factor_parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph.core import FACTOR_KERNELS, FactorGraph, VariableBlock, retract
+from ..solver import lm as _lm
+from ..solver.linear import pcg_solve
+from ..solver.schur import _binv, _binv_apply, _damp_blocks
+from .partitioner import Partition, partition_landmarks
+
+
+@dataclasses.dataclass
+class ShardedBA:
+    """Host-side sharding plan + padded device arrays for one BA graph."""
+
+    mesh: Mesh
+    axis: str
+    kind: str  # binary factor kernel name
+    n_dev: int
+    C: int
+    L: int  # true landmark count
+    Lb: int  # landmarks per device (padded)
+    Mb: int  # observations per device (padded)
+    dp: int
+    dl: int
+    poses: jnp.ndarray  # (C, 4, 4) replicated
+    free_p: jnp.ndarray  # (C,)
+    lm_slab: jnp.ndarray  # (n*Lb, dl) sharded
+    free_l: jnp.ndarray  # (n*Lb,)
+    obs_data: dict  # per-obs arrays, leading axis n*Mb, sharded
+    cam_idx: jnp.ndarray  # (n*Mb,)
+    pt_local: jnp.ndarray  # (n*Mb,) index into the owner's slab
+    weight: jnp.ndarray  # (n*Mb,)
+    static_data: dict  # non-array kernel data (camera pytree), captured
+    loss: object
+    unary: list  # [(kind, indices, data, loss, weight)] pose-unary batches
+    lm_perm: np.ndarray  # (L,) original landmark id of permuted slot
+
+
+def shard_ba(
+    graph: FactorGraph,
+    mesh: Mesh,
+    axis: str = "l",
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    partition: Partition | None = None,
+) -> ShardedBA:
+    """Build the landmark-sharded layout from a BA FactorGraph."""
+    n = mesh.shape[axis]
+    pb, lb = graph.blocks[pose_name], graph.blocks[lm_name]
+    C, dp = pb.n, pb.dof
+    L, dl = lb.n, lb.dof
+
+    binary = [fb for fb in graph.batches if fb.slots == (pose_name, lm_name)]
+    unary_p = [fb for fb in graph.batches if fb.slots == (pose_name,)]
+    assert len(binary) == 1, "shard_ba expects exactly one pose-landmark batch"
+    fb = binary[0]
+
+    if partition is None:
+        partition = partition_landmarks(None, None, L, n_parts=n)
+    part = partition.part
+
+    # permute landmarks so each device's slab is contiguous
+    order = np.argsort(part, kind="stable")
+    inv_order = np.empty(L, np.int64)
+    inv_order[order] = np.arange(L)
+    counts = np.bincount(part, minlength=n)
+    Lb = int(counts.max())
+    slot_of = np.empty(L, np.int64)  # landmark -> padded slab slot
+    starts = np.zeros(n, np.int64)
+    for new_pos, lm_id in enumerate(order):
+        p = part[lm_id]
+        slot_of[lm_id] = p * Lb + starts[p]
+        starts[p] += 1
+
+    lm_vals = np.zeros((n * Lb, dl), np.asarray(lb.values).dtype)
+    lm_vals[slot_of] = np.asarray(lb.values)
+    free_l = np.zeros(n * Lb)
+    free_l[slot_of] = (~np.asarray(lb.const_mask)).astype(np.float64)
+    lm_perm = slot_of  # maps original landmark id -> slab position
+
+    # observations: owner = landmark's part; bucket + pad per device
+    cam_idx = np.asarray(fb.indices[0])
+    pt_idx = np.asarray(fb.indices[1])
+    owner = part[pt_idx]
+    obs_order = np.argsort(owner, kind="stable")
+    ocounts = np.bincount(owner, minlength=n)
+    Mb = int(max(1, ocounts.max()))
+
+    def pad_obs(arr, fill=0.0):
+        arr = np.asarray(arr)
+        out = np.full((n * Mb,) + arr.shape[1:], fill, arr.dtype)
+        starts = np.zeros(n, np.int64)
+        for k in obs_order:
+            p = owner[k]
+            out[p * Mb + starts[p]] = arr[k]
+            starts[p] += 1
+        return out
+
+    cam_pad = pad_obs(cam_idx).astype(np.int32)
+    pt_pad = pad_obs(slot_of[pt_idx] % Lb).astype(np.int32)  # local slot
+    w_pad = pad_obs(np.asarray(fb.weight), fill=0.0)
+    obs_data, static_data = {}, {}
+    M = len(cam_idx)
+    for k, v in fb.data.items():
+        if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1 and v.shape[0] == M:
+            obs_data[k] = jnp.asarray(pad_obs(v))
+        else:
+            static_data[k] = v
+
+    unary = [
+        (u.kind, jnp.asarray(u.indices[0]), dict(u.data), u.loss, u.weight)
+        for u in unary_p
+    ]
+    return ShardedBA(
+        mesh=mesh, axis=axis, kind=fb.kind, n_dev=n, C=C, L=L, Lb=Lb, Mb=Mb,
+        dp=dp, dl=dl,
+        poses=jnp.asarray(pb.values),
+        free_p=jnp.asarray((~np.asarray(pb.const_mask)).astype(np.float64)),
+        lm_slab=jnp.asarray(lm_vals),
+        free_l=jnp.asarray(free_l),
+        obs_data=obs_data,
+        cam_idx=jnp.asarray(cam_pad),
+        pt_local=jnp.asarray(pt_pad),
+        weight=jnp.asarray(w_pad),
+        static_data=static_data,
+        loss=fb.loss,
+        unary=unary,
+        lm_perm=lm_perm,
+    )
+
+
+def make_sharded_schur_step(
+    sb: ShardedBA,
+    options: _lm.Options,
+    pcg_rtol: float = 1e-8,
+    pcg_max_iters: int = 200,
+):
+    """One landmark-sharded Schur LM iteration under shard_map.
+
+    step(poses, lm_slab, obs_data, cam_idx, pt_local, weight, lam)
+      -> (new_poses, new_lm_slab, chi2, cost_new, dx_norm)
+    """
+    axis = sb.axis
+    C, dp, dl = sb.C, sb.dp, sb.dl
+    kind, loss = sb.kind, sb.loss
+    static_data = sb.static_data
+    free_p = sb.free_p
+    unary = sb.unary
+    mesh = sb.mesh
+
+    def _seg(vals, idx, nseg):
+        return jax.ops.segment_sum(vals, idx, num_segments=nseg)
+
+    def _eval_binary(poses, lm_local, od, ci, pl, w_pad, want_jac):
+        T = poses[ci]
+        pts = lm_local[pl]
+        data = {**od, **static_data}
+        return FACTOR_KERNELS[kind](data, T, pts, compute_jacobians=want_jac)
+
+    def _chi2_local(poses, lm_local, od, ci, pl, w_pad):
+        r, _ = _eval_binary(poses, lm_local, od, ci, pl, w_pad, False)
+        return jnp.sum(loss.loss(r) * w_pad[:, None])
+
+    def _chi2_unary(poses):
+        total = jnp.zeros((), poses.dtype)
+        for ukind, uidx, udata, uloss, uw in unary:
+            r, _ = FACTOR_KERNELS[ukind](udata, poses[uidx], compute_jacobians=False)
+            total = total + jnp.sum(uloss.loss(r) * uw[:, None])
+        return total
+
+    def _unary_contrib(poses, dtype):
+        Hpp = jnp.zeros((C, dp, dp), dtype)
+        g_p = jnp.zeros((C, dp), dtype)
+        for ukind, uidx, udata, uloss, uw in unary:
+            r, (J,) = FACTOR_KERNELS[ukind](udata, poses[uidx], compute_jacobians=True)
+            w = uloss.weight(r) * uw[:, None]
+            Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", J, w, J), uidx, C)
+            g_p = g_p - _seg(jnp.einsum("fmi,fm->fi", J, w * r), uidx, C)
+        return Hpp, g_p
+
+    in_specs = (
+        P(),  # poses
+        P(axis),  # lm_slab
+        jax.tree_util.tree_map(lambda _: P(axis), sb.obs_data),
+        P(axis),  # cam_idx
+        P(axis),  # pt_local
+        P(axis),  # weight
+        P(axis),  # free_l
+        P(),  # lam
+    )
+    out_specs = (P(), P(axis), P(), P(), P())
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    def step(poses, lm_slab, od, ci, pl, w_pad, free_l, lam):
+        Lb = lm_slab.shape[0]
+        dtype = poses.dtype
+        fl = free_l.astype(dtype)
+        fp = free_p.astype(dtype)
+
+        # ---- local linearization ----
+        r, (Jc, Jl) = _eval_binary(poses, lm_slab, od, ci, pl, w_pad, True)
+        w = loss.weight(r) * w_pad[:, None]
+        chi2 = jax.lax.psum(jnp.sum(loss.loss(r) * w_pad[:, None]), axis) + _chi2_unary(poses)
+
+        Hpp = jax.lax.psum(_seg(jnp.einsum("fmi,fm,fmj->fij", Jc, w, Jc), ci, C), axis)
+        g_p = jax.lax.psum(-_seg(jnp.einsum("fmi,fm->fi", Jc, w * r), ci, C), axis)
+        Hll = _seg(jnp.einsum("fmi,fm,fmj->fij", Jl, w, Jl), pl, Lb)
+        g_l = -_seg(jnp.einsum("fmi,fm->fi", Jl, w * r), pl, Lb)
+        W = jnp.einsum("fmi,fm,fmj->fij", Jc, w, Jl)
+
+        H_u, g_u = _unary_contrib(poses, dtype)
+        Hpp = Hpp + H_u
+        g_p = g_p + g_u
+
+        # ---- constant / padding handling (schur.ba_assemble semantics) ----
+        eye_p = jnp.eye(dp, dtype=dtype)
+        eye_l = jnp.eye(dl, dtype=dtype)
+        Hpp = Hpp * fp[:, None, None] + (1.0 - fp)[:, None, None] * eye_p
+        g_p = g_p * fp[:, None]
+        dead = (jnp.einsum("nii->n", Hll) == 0.0).astype(dtype)
+        live = fl * (1.0 - dead)
+        Hll = Hll * live[:, None, None] + (1.0 - live)[:, None, None] * eye_l
+        g_l = g_l * live[:, None]
+        W = W * fp[ci][:, None, None] * live[pl][:, None, None]
+
+        # ---- damp + local landmark elimination ----
+        if options.method == "lm":
+            Hpp = _damp_blocks(Hpp, lam)
+            Hll = _damp_blocks(Hll, lam)
+        L_ll = jnp.linalg.cholesky(Hll)
+        Hll_inv = _binv(L_ll)
+
+        t = _binv_apply(L_ll, g_l)
+        g_red = g_p - jax.lax.psum(_seg(jnp.einsum("mij,mj->mi", W, t[pl]), ci, C), axis)
+
+        # SCHUR_JACOBI preconditioner: exact S diagonal blocks
+        Y = jnp.einsum("mij,mjk->mik", W, Hll_inv[pl])
+        D = Hpp - jax.lax.psum(_seg(jnp.einsum("mik,mjk->mij", Y, W), ci, C), axis)
+        L_d = jnp.linalg.cholesky(D)
+
+        def matvec(x):
+            xb = x.reshape(C, dp)
+            y = jnp.einsum("cij,cj->ci", Hpp, xb)
+            tt = _seg(jnp.einsum("mij,mi->mj", W, xb[ci]), pl, Lb)
+            tt = jnp.einsum("lij,lj->li", Hll_inv, tt)
+            y = y - jax.lax.psum(_seg(jnp.einsum("mij,mj->mi", W, tt[pl]), ci, C), axis)
+            return y.reshape(-1)
+
+        def precond(rr):
+            return _binv_apply(L_d, rr.reshape(C, dp)).reshape(-1)
+
+        dx_p, _ = pcg_solve(
+            matvec, g_red.reshape(-1), precond=precond, rtol=pcg_rtol,
+            max_iters=pcg_max_iters,
+        )
+        dx_p = dx_p.reshape(C, dp) * fp[:, None]
+        tt = g_l - _seg(jnp.einsum("mij,mi->mj", W, dx_p[ci]), pl, Lb)
+        dx_l = _binv_apply(L_ll, tt) * live[:, None]
+
+        dx_norm = jnp.sqrt(
+            jnp.sum(dx_p**2) + jax.lax.psum(jnp.sum(dx_l**2), axis)
+        )
+
+        # ---- retract ----
+        new_poses = retract("se3", poses, dx_p)
+        new_lm = lm_slab + dx_l
+
+        cost_new = (
+            jax.lax.psum(_chi2_local(new_poses, new_lm, od, ci, pl, w_pad), axis)
+            + _chi2_unary(new_poses)
+        )
+        return new_poses, new_lm, chi2, cost_new, dx_norm
+
+    return step
+
+
+def solve_schur_sharded(
+    graph: FactorGraph,
+    mesh: Mesh,
+    options: _lm.Options = _lm.Options(),
+    axis: str = "l",
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    partition: Partition | None = None,
+    pcg_rtol: float = 1e-8,
+    pcg_max_iters: int = 200,
+):
+    """Full landmark-sharded Schur LM solve.  Returns
+    (solved_graph, final_chi2, cost_history)."""
+    sb = shard_ba(graph, mesh, axis, pose_name, lm_name, partition)
+    step = jax.jit(make_sharded_schur_step(sb, options, pcg_rtol, pcg_max_iters))
+
+    poses, lm_slab = sb.poses, sb.lm_slab
+    dtype = np.asarray(poses).dtype
+    lam = options.lambda_init
+    history = []
+    for _ in range(options.max_iters):
+        new_poses, new_lm, chi2, cost_new, dx_norm = step(
+            poses, lm_slab, sb.obs_data, sb.cam_idx, sb.pt_local, sb.weight,
+            sb.free_l, jnp.asarray(lam, dtype),
+        )
+        chi2 = float(chi2)
+        cost_new = float(cost_new)
+        if not history:
+            history.append(chi2)
+        accept = cost_new < chi2
+        if options.method == "gn" or accept:
+            poses, lm_slab = new_poses, new_lm
+            history.append(cost_new)
+            lam = max(lam * options.lambda_down, options.lambda_min)
+            if cost_new > chi2 * options.min_cost_decrease:
+                break
+            if float(dx_norm) < options.min_update_norm:
+                break
+        else:
+            lam = min(lam * options.lambda_up, options.lambda_max)
+
+    # ---- write back into a FactorGraph (unpermute landmarks) ----
+    lm_full = np.asarray(lm_slab)[sb.lm_perm]
+    pb = graph.blocks[pose_name]
+    lb = graph.blocks[lm_name]
+    new_blocks = dict(graph.blocks)
+    new_blocks[pose_name] = VariableBlock(pb.kind, jnp.asarray(np.asarray(poses)), pb.const_mask)
+    new_blocks[lm_name] = VariableBlock(lb.kind, jnp.asarray(lm_full), lb.const_mask)
+    solved = FactorGraph(new_blocks, graph.batches)
+    return solved, float(solved.chi2()), history
+
+
+__all__ = ["ShardedBA", "shard_ba", "make_sharded_schur_step", "solve_schur_sharded"]

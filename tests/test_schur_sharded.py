@@ -1,0 +1,138 @@
+"""Distributed (landmark-sharded) Schur BA on the 8-device CPU mesh
+(SURVEY.md §4.4 'multi-host without a cluster'; §2.3 SP analogue): the
+sharded solve must match the single-device Schur solve, partitioner
+invariance, padding inertness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.dist import (
+    Partition,
+    cut_stats,
+    make_mesh,
+    partition_landmarks,
+    partition_poses_bfs,
+    solve_schur_sharded,
+)
+from pyslam_tpu.graph import build
+from pyslam_tpu.graph.core import FactorBatch, FactorGraph
+from pyslam_tpu.io import synth
+from pyslam_tpu.losses import HuberLoss
+from pyslam_tpu.solver import Options, solve_schur
+
+
+def make_mesh_l(n=8):
+    return make_mesh(n, axis_name="l")
+
+
+def tiny_ba(n_cams=8, n_pts=64, seed=3, loss=None):
+    data = synth.ba_synthetic(n_cams=n_cams, n_pts=n_pts, seed=seed)
+    return build.ba_graph(data, loss=loss, dtype=jnp.float64)
+
+
+class TestPartitioner:
+    def test_bfs_chain(self):
+        # a pure chain: BFS partition must cut exactly n_parts-1 edges
+        n = 64
+        ei = np.arange(n - 1)
+        ej = np.arange(1, n)
+        part = partition_poses_bfs(ei, ej, n, 4)
+        stats = cut_stats(ei, ej, part)
+        assert stats["edge_cut"] == 3
+        assert stats["imbalance"] <= 1.01
+        assert sorted(stats["counts"]) == [16, 16, 16, 16]
+
+    def test_bfs_covers_all(self):
+        data = synth.se2_loop(n_poses=50, seed=0)
+        part = partition_poses_bfs(data.edges_i, data.edges_j, 50, 4)
+        assert (part.part >= 0).all() and (part.part < 4).all()
+
+    def test_landmark_plurality(self):
+        cam_part = Partition(np.array([0, 0, 1, 1]), 2)
+        cam_idx = np.array([0, 1, 2, 0, 2, 3])
+        pt_idx = np.array([0, 0, 0, 1, 1, 1])
+        part = partition_landmarks(cam_idx, pt_idx, 3, cam_part=cam_part)
+        assert part.part[0] == 0  # seen by cams 0,1 (part 0) and 2 (part 1)
+        # landmark 2 unobserved -> assigned somewhere valid
+        assert 0 <= part.part[2] < 2
+
+    def test_contiguous_default_balanced(self):
+        part = partition_landmarks(None, None, 103, n_parts=8)
+        c = part.counts()
+        assert c.sum() == 103 and c.max() - c.min() <= 1
+
+
+class TestShardedSchur:
+    def test_matches_single_device(self):
+        g = tiny_ba()
+        opts = Options(method="lm", max_iters=25)
+        mesh = make_mesh_l(8)
+        solved_s, chi2_s, hist = solve_schur_sharded(
+            g, mesh, opts, pcg_rtol=1e-10, pcg_max_iters=400
+        )
+        _, info = solve_schur(g, opts, mode="pcg", pcg_rtol=1e-10, pcg_max_iters=400)
+        assert len(hist) >= 2 and hist[-1] < hist[0]
+        np.testing.assert_allclose(chi2_s, float(info.chi2), rtol=1e-5)
+
+    def test_partition_invariance(self):
+        # solution must not depend on the landmark partition
+        g = tiny_ba(seed=5)
+        opts = Options(method="lm", max_iters=15)
+        mesh = make_mesh_l(8)
+        _, chi2_a, _ = solve_schur_sharded(g, mesh, opts)
+        rng = np.random.default_rng(0)
+        random_part = Partition(rng.integers(0, 8, g.blocks["landmarks"].n), 8)
+        _, chi2_b, _ = solve_schur_sharded(g, mesh, opts, partition=random_part)
+        np.testing.assert_allclose(chi2_a, chi2_b, rtol=1e-5)
+
+    def test_mesh_size_invariance(self):
+        g = tiny_ba(seed=7)
+        opts = Options(method="lm", max_iters=10)
+        _, chi2_1, _ = solve_schur_sharded(g, make_mesh_l(1), opts)
+        _, chi2_8, _ = solve_schur_sharded(g, make_mesh_l(8), opts)
+        np.testing.assert_allclose(chi2_1, chi2_8, rtol=1e-6)
+
+    def test_robust_loss(self):
+        g = tiny_ba(loss=HuberLoss(2.0))
+        mesh = make_mesh_l(8)
+        solved, chi2, hist = solve_schur_sharded(
+            g, mesh, Options(method="lm", max_iters=15)
+        )
+        assert chi2 < hist[0]
+
+    def test_gauge_anchor_fixed(self):
+        g = tiny_ba()
+        mesh = make_mesh_l(8)
+        solved, _, _ = solve_schur_sharded(g, mesh, Options(method="lm", max_iters=8))
+        np.testing.assert_allclose(
+            np.asarray(solved.blocks["poses"].values[0]),
+            np.asarray(g.blocks["poses"].values[0]),
+            atol=1e-12,
+        )
+
+    def test_with_pose_prior_unary(self):
+        # add a pose prior on camera 1 and make camera 0 free: the sharded
+        # path must handle unary batches replicated (added once, not psum'd)
+        data = synth.ba_synthetic(n_cams=6, n_pts=40, seed=11)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        from pyslam_tpu.graph.core import VariableBlock
+
+        pb = g.blocks["poses"]
+        prior = FactorBatch.create(
+            kind="prior_se3",
+            slots=("poses",),
+            indices=(np.array([0], np.int32),),
+            data={
+                "T_obs": jnp.asarray(np.asarray(pb.values[:1]), jnp.float64),
+                "sqrt_info": 1e3 * jnp.eye(6, dtype=jnp.float64)[None],
+            },
+            loss=g.batches[0].loss,
+        )
+        g2 = FactorGraph(dict(g.blocks), [g.batches[0], prior])
+        opts = Options(method="lm", max_iters=15)
+        mesh = make_mesh_l(8)
+        _, chi2_s, _ = solve_schur_sharded(g2, mesh, opts, pcg_rtol=1e-10)
+        _, info = solve_schur(g2, opts, mode="pcg", pcg_rtol=1e-10)
+        np.testing.assert_allclose(chi2_s, float(info.chi2), rtol=1e-5)
