@@ -53,18 +53,21 @@ def main():
 
     from pyslam_tpu.graph import build
     from pyslam_tpu.io import synth
-    from pyslam_tpu.solver import Options, solve_bcsr
-    from pyslam_tpu.solver.bcsr import build_pattern
+    from pyslam_tpu.solver import Options
+    from pyslam_tpu.solver.bcsr import build_ell_direct, solve_ell
 
     data = synth.se3_sphere(n_poses=2500, seed=0)
     baseline = measure_baseline(data)
 
     g = build.pose_graph(data)  # f32, the TPU-native production path
-    pattern = build_pattern(g)
+    plan = build_ell_direct(g)
     opts = Options(method="lm", max_iters=30)
 
     def run():
-        s, info = solve_bcsr(g, opts, pattern=pattern, pcg_rtol=1e-5, pcg_max_iters=150)
+        # measured-best config on this chip: direct-to-ELL assembly,
+        # slice-damping, closed-form block-Jacobi, inexact-Newton PCG;
+        # chi2 parity still enforced below
+        s, info = solve_ell(g, opts, plan=plan, pcg_rtol=1e-4, pcg_max_iters=75)
         jax.block_until_ready(s.blocks["poses"].values)
         return s, info
 

@@ -12,7 +12,13 @@ from pyslam_tpu.solver.bcsr import (
     assemble_bcsr,
     bcsr_matvec,
     block_jacobi_inv,
+    build_ell,
+    build_group_jacobi,
     build_pattern,
+    ell_blocks,
+    ell_matvec,
+    group_jacobi_apply,
+    group_jacobi_factor,
     solve_bcsr,
 )
 
@@ -62,6 +68,96 @@ class TestBCSRAssembly:
         D = Hb[pattern.diag_pos]
         eye = jnp.broadcast_to(jnp.eye(pattern.d), D.shape)
         np.testing.assert_allclose(np.asarray(D @ Minv), np.asarray(eye), atol=1e-8)
+
+
+class TestEllMatvec:
+    def test_matches_dense(self, rng):
+        g = make_graph()
+        pattern = build_pattern(g)
+        ell = build_ell(pattern)
+        Hb, _, _ = assemble_bcsr(g, pattern)
+        Hd, _, _ = assemble_dense(g)
+        He = ell_blocks(Hb, ell)
+        x = jnp.asarray(rng.normal(size=Hd.shape[0]))
+        np.testing.assert_allclose(
+            np.asarray(ell_matvec(He, ell, x)), np.asarray(Hd @ x), atol=1e-9
+        )
+
+
+class TestGroupJacobi:
+    def test_exact_when_group_covers_graph(self, rng):
+        # one group spanning every pose == a direct dense solve
+        g = make_graph()
+        pattern = build_pattern(g)
+        gj = build_group_jacobi(pattern, group_size=pattern.nb)
+        Hb, _, _ = assemble_bcsr(g, pattern)
+        Hd, _, _ = assemble_dense(g)
+        L = group_jacobi_factor(Hb, gj)
+        r = jnp.asarray(rng.normal(size=Hd.shape[0]))
+        z = group_jacobi_apply(L, gj, r)
+        np.testing.assert_allclose(
+            np.asarray(z), np.linalg.solve(np.asarray(Hd), np.asarray(r)), atol=1e-8
+        )
+
+    def test_spd_apply_with_padding(self, rng):
+        # nb=30 with G=8 -> ng=4, 2 padded poses; apply must stay finite and
+        # symmetric positive (z . r > 0 for the SPD preconditioner)
+        g = make_graph()
+        pattern = build_pattern(g)
+        gj = build_group_jacobi(pattern, group_size=8)
+        Hb, _, _ = assemble_bcsr(g, pattern)
+        L = group_jacobi_factor(Hb, gj)
+        r = jnp.asarray(rng.normal(size=pattern.nb * pattern.d))
+        z = group_jacobi_apply(L, gj, r)
+        assert np.isfinite(np.asarray(z)).all()
+        assert float(z @ r) > 0
+
+
+class TestEllDirect:
+    def test_assembly_matches_dense(self):
+        from pyslam_tpu.solver.bcsr import assemble_ell, build_ell_direct
+
+        g = make_graph()
+        plan = build_ell_direct(g)
+        He, ge, c2e = assemble_ell(g, plan)
+        Hd, gd, c2d = assemble_dense(g)
+        nb, d, K = plan.nb, plan.d, plan.K
+        Hfull = np.zeros((nb * d, nb * d))
+        for r in range(nb):
+            for k in range(K):
+                if plan.valid[r, k]:
+                    c = plan.cols[r, k]
+                    Hfull[r * d : (r + 1) * d, c * d : (c + 1) * d] += np.asarray(He[r, k])
+        np.testing.assert_allclose(Hfull, np.asarray(Hd), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gd), atol=1e-10)
+        np.testing.assert_allclose(float(c2e), float(c2d), rtol=1e-12)
+
+    def test_sym_block_inv(self, rng):
+        from pyslam_tpu.solver.bcsr import sym_block_inv
+
+        for d in [1, 2, 3, 6, 9]:
+            A = rng.normal(size=(40, d, d))
+            A = A @ np.swapaxes(A, -1, -2) + 3 * np.eye(d)
+            Ai = np.asarray(sym_block_inv(jnp.asarray(A)))
+            np.testing.assert_allclose(Ai @ A, np.broadcast_to(np.eye(d), A.shape), atol=1e-9)
+
+    def test_solve_matches_dense(self):
+        from pyslam_tpu.solver.bcsr import solve_ell
+
+        g = make_graph(seed=9)
+        opts = Options(method="lm", max_iters=30)
+        _, i_dense = solve(g, opts)
+        _, i_ell = solve_ell(g, opts, pcg_rtol=1e-12, pcg_max_iters=500)
+        assert abs(float(i_dense.chi2) - float(i_ell.chi2)) / float(i_dense.chi2) < 1e-6
+
+    def test_se3(self):
+        from pyslam_tpu.solver.bcsr import solve_ell
+
+        data = synth.se3_sphere(n_poses=60, seed=11)
+        g = build.pose_graph(data, dtype=F64)
+        chi0 = float(g.chi2())
+        _, info = solve_ell(g, Options(method="lm", max_iters=30))
+        assert float(info.chi2) < chi0 * 0.2
 
 
 class TestBCSRSolve:
