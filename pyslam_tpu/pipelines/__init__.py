@@ -8,8 +8,10 @@ from .keyframes import (
     compute_disparity,
 )
 from .photometric import PhotometricResidualSE3
+from .ransac import FrameToFrameRANSAC
 
 __all__ = [
+    "FrameToFrameRANSAC",
     "DenseStereoPipeline",
     "DenseRGBDPipeline",
     "DenseKeyframe",
