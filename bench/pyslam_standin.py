@@ -211,3 +211,102 @@ def solve_pose_graph_standin(data, max_iters=50, tol=1e-6, verbose=False):
     )
     wall = time.perf_counter() - t_start
     return T, 0.5 * float(r_all @ r_all), it, wall, float(np.mean(iter_times))
+
+
+# ------------------------------------------------------------ bundle adjustment
+
+
+def _stereo_project(cam, p):
+    x, y, z = p
+    return np.array(
+        [cam["fu"] * x / z + cam["cu"], cam["fv"] * y / z + cam["cv"], cam["fu"] * cam["b"] / z]
+    )
+
+
+def _stereo_project_jac(cam, p):
+    x, y, z = p
+    oz = 1.0 / z
+    oz2 = oz * oz
+    return np.array(
+        [
+            [cam["fu"] * oz, 0.0, -cam["fu"] * x * oz2],
+            [0.0, cam["fv"] * oz, -cam["fv"] * y * oz2],
+            [0.0, 0.0, -cam["fu"] * cam["b"] * oz2],
+        ]
+    )
+
+
+def _odot3(p):
+    out = np.zeros((3, 6))
+    out[:, :3] = np.eye(3)
+    out[:, 3:] = -_hat3(p)
+    return out
+
+
+def solve_ba_standin(data, max_iters=25, tol=1e-6, verbose=False):
+    """Stereo BA with the reference architecture: per-observation Python
+    residual loop, scipy sparse assembly, one monolithic spsolve over
+    [camera | landmark] unknowns (the reference has no Schur complement).
+    Camera 0 anchored.  Returns (chi2, iters, wall_seconds, per_iter_s)."""
+    cam = data.camera
+    T = data.T_init.astype(np.float64).copy()
+    pts = data.pts_init.astype(np.float64).copy()
+    nc, npt = len(T), len(pts)
+    M = len(data.cam_idx)
+    D = 6 * (nc - 1) + 3 * npt
+    t_start = time.perf_counter()
+    iter_times = []
+    chi2_prev = np.inf
+    it = 0
+    for it in range(1, max_iters + 1):
+        t0 = time.perf_counter()
+        rows, cols, vals = [], [], []
+        r_all = np.empty(3 * M)
+        # hot loop 1: per-observation evaluation (pure Python, like the
+        # reference's residual-block loop)
+        for k in range(M):
+            c = int(data.cam_idx[k])
+            p = int(data.pt_idx[k])
+            pc = T[c, :3, :3] @ pts[p] + T[c, :3, 3]
+            r_all[3 * k : 3 * k + 3] = _stereo_project(cam, pc) - data.obs[k]
+            Jproj = _stereo_project_jac(cam, pc)
+            Jp = Jproj @ T[c, :3, :3]
+            base = 3 * k
+            for a in range(3):
+                for b in range(3):
+                    rows.append(base + a)
+                    cols.append(6 * (nc - 1) + 3 * p + b)
+                    vals.append(Jp[a, b])
+            if c != 0:
+                Jc = Jproj @ _odot3(pc)
+                for a in range(3):
+                    for b in range(6):
+                        rows.append(base + a)
+                        cols.append(6 * (c - 1) + b)
+                        vals.append(Jc[a, b])
+        # hot loop 2: sparse assembly
+        J = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(3 * M, D)).tocsr()
+        H = (J.T @ J).tocsc()
+        H = H + 1e-8 * scipy.sparse.eye(D, format="csc")
+        g = -J.T @ r_all
+        # hot loop 3: SuperLU on the FULL (cameras + landmarks) system
+        dx = scipy.sparse.linalg.spsolve(H, g)
+        for c in range(1, nc):
+            T[c] = _se3_exp(dx[6 * (c - 1) : 6 * c]) @ T[c]
+        pts += dx[6 * (nc - 1) :].reshape(npt, 3)
+        chi2 = 0.5 * float(r_all @ r_all)
+        iter_times.append(time.perf_counter() - t0)
+        if verbose:
+            print(f"  ba standin iter {it}: chi2={chi2:.2f} ({iter_times[-1]:.2f}s)")
+        if abs(chi2_prev - chi2) < tol * max(chi2, 1.0):
+            break
+        chi2_prev = chi2
+    r2 = 0.0
+    for k in range(M):
+        c = int(data.cam_idx[k])
+        p = int(data.pt_idx[k])
+        pc = T[c, :3, :3] @ pts[p] + T[c, :3, 3]
+        rr = _stereo_project(cam, pc) - data.obs[k]
+        r2 += float(rr @ rr)
+    wall = time.perf_counter() - t_start
+    return 0.5 * r2, it, wall, float(np.mean(iter_times))

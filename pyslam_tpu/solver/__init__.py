@@ -31,3 +31,16 @@ __all__ += ["BlockPattern", "assemble_bcsr", "bcsr_matvec", "build_pattern", "so
 from .schur import ba_assemble, solve_schur  # noqa: E402
 
 __all__ += ["ba_assemble", "solve_schur"]
+
+from .bcsr import EllDirect, assemble_ell, build_ell_direct, solve_ell, sym_block_inv  # noqa: E402
+from .covariance import full_covariance, marginal_covariances  # noqa: E402
+
+__all__ += [
+    "EllDirect",
+    "assemble_ell",
+    "build_ell_direct",
+    "solve_ell",
+    "sym_block_inv",
+    "full_covariance",
+    "marginal_covariances",
+]

@@ -1,0 +1,61 @@
+"""Covariance paths (SURVEY.md §3.4): selective PCG marginals must match the
+dense inverse; Problem covariance API sanity."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyslam_tpu.graph import build
+from pyslam_tpu.io import synth
+from pyslam_tpu.solver import Options, full_covariance, marginal_covariances, solve
+
+
+def solved_graph():
+    data = synth.se2_loop(n_poses=25, n_loops=4, seed=2)
+    g = build.pose_graph(data, dtype=jnp.float64)
+    solved, _ = solve(g, Options(method="lm", max_iters=30))
+    return solved
+
+
+class TestCovariance:
+    def test_marginals_match_dense_inverse(self):
+        g = solved_graph()
+        cov = np.asarray(full_covariance(g))
+        d = g.blocks["poses"].dof
+        idx = [1, 7, 20]
+        marg = np.asarray(marginal_covariances(g, "poses", idx, pcg_rtol=1e-12))
+        for k, i in enumerate(idx):
+            np.testing.assert_allclose(
+                marg[k], cov[i * d : (i + 1) * d, i * d : (i + 1) * d],
+                rtol=1e-5, atol=1e-10,
+            )
+
+    def test_spd_and_anchor(self):
+        g = solved_graph()
+        marg = np.asarray(marginal_covariances(g, "poses", [0, 5]))
+        # anchored pose 0: unit block from the constant-parameter masking
+        np.testing.assert_allclose(marg[0], np.eye(3), atol=1e-8)
+        w = np.linalg.eigvalsh(marg[1])
+        assert (w > 0).all()
+
+    def test_problem_covariance_block(self):
+        from pyslam_tpu import Problem, Options as POptions, PoseToPoseResidual, SE2
+
+        data = synth.se2_loop(n_poses=8, n_loops=2, seed=1)
+        problem = Problem(POptions(max_iters=30))
+        names = [f"T_{i}" for i in range(8)]
+        import numpy as _np
+
+        for k in range(len(data.edges_i)):
+            i, j = int(data.edges_i[k]), int(data.edges_j[k])
+            problem.add_residual_block(
+                PoseToPoseResidual(data.T_meas[k], _np.linalg.cholesky(
+                    data.sqrt_info[k] @ data.sqrt_info[k].T)),
+                [names[i], names[j]],
+            )
+        problem.initialize_params({n: SE2(jnp.asarray(T)) for n, T in zip(names, data.T_init)})
+        problem.set_parameters_constant(names[0])
+        problem.solve()
+        cov = problem.compute_covariance()
+        blk = np.asarray(problem.get_covariance_block("T_3", "T_3"))
+        assert blk.shape == (3, 3)
+        assert (np.linalg.eigvalsh(blk) > 0).all()
