@@ -1,0 +1,49 @@
+"""g2o I/O (BASELINE.json config #2 path): round-trip fidelity for SE(2) and
+SE(3) pose graphs, measurement-convention consistency with the between
+factors."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyslam_tpu.graph import build
+from pyslam_tpu.io import g2o, synth
+from pyslam_tpu.solver import Options, solve
+
+
+class TestG2ORoundTrip:
+    def test_se2(self, tmp_path):
+        data = synth.se2_loop(n_poses=20, n_loops=3, seed=0)
+        p = str(tmp_path / "a.g2o")
+        g2o.write_g2o(p, data)
+        back = g2o.read_g2o(p)
+        assert back.dim == 2
+        np.testing.assert_allclose(back.T_init, data.T_init, atol=1e-7)
+        np.testing.assert_array_equal(back.edges_i, data.edges_i)
+        np.testing.assert_array_equal(back.edges_j, data.edges_j)
+        np.testing.assert_allclose(back.T_meas, data.T_meas, atol=1e-7)
+        # info = sqrt_info^T sqrt_info survives the (upper-triangular) encoding
+        info_a = np.einsum("eki,ekj->eij", data.sqrt_info, data.sqrt_info)
+        info_b = np.einsum("eki,ekj->eij", back.sqrt_info, back.sqrt_info)
+        np.testing.assert_allclose(info_b, info_a, rtol=1e-8, atol=1e-9)
+
+    def test_se3(self, tmp_path):
+        data = synth.se3_sphere(n_poses=15, n_loops=3, seed=1)
+        p = str(tmp_path / "b.g2o")
+        g2o.write_g2o(p, data)
+        back = g2o.read_g2o(p)
+        assert back.dim == 3
+        np.testing.assert_allclose(back.T_init, data.T_init, atol=1e-8)
+        np.testing.assert_allclose(back.T_meas, data.T_meas, atol=1e-8)
+        info_a = np.einsum("eki,ekj->eij", data.sqrt_info, data.sqrt_info)
+        info_b = np.einsum("eki,ekj->eij", back.sqrt_info, back.sqrt_info)
+        np.testing.assert_allclose(info_b, info_a, rtol=1e-6, atol=1e-8)
+
+    def test_solve_after_roundtrip_matches(self, tmp_path):
+        data = synth.se2_loop(n_poses=25, n_loops=4, seed=3)
+        p = str(tmp_path / "c.g2o")
+        g2o.write_g2o(p, data)
+        back = g2o.read_g2o(p)
+        opts = Options(method="lm", max_iters=30)
+        _, info_a = solve(build.pose_graph(data, dtype=jnp.float64), opts)
+        _, info_b = solve(build.pose_graph(back, dtype=jnp.float64), opts)
+        np.testing.assert_allclose(float(info_a.chi2), float(info_b.chi2), rtol=1e-8)
