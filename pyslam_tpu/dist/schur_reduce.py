@@ -315,17 +315,44 @@ def solve_schur_sharded(
     partition: Partition | None = None,
     pcg_rtol: float = 1e-8,
     pcg_max_iters: int = 200,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ):
     """Full landmark-sharded Schur LM solve.  Returns
-    (solved_graph, final_chi2, cost_history)."""
+    (solved_graph, final_chi2, cost_history).
+
+    Elastic recovery (SURVEY.md §5): with ``checkpoint_path`` set, the
+    (poses, landmark slab, lambda) state snapshots every
+    ``checkpoint_every`` accepted iterations; ``resume=True`` restarts from
+    the snapshot — the solve is a pure function of that state, so recovery
+    is exact."""
     sb = shard_ba(graph, mesh, axis, pose_name, lm_name, partition)
     step = jax.jit(make_sharded_schur_step(sb, options, pcg_rtol, pcg_max_iters))
 
     poses, lm_slab = sb.poses, sb.lm_slab
     dtype = np.asarray(poses).dtype
     lam = options.lambda_init
+    if resume and checkpoint_path is not None:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            poses = jnp.asarray(ck["poses"])
+            lm_slab = jnp.asarray(ck["lm_slab"])
+            lam = float(ck["lam"])
+
+    def _snapshot():
+        # checkpoint_path should end in .npz (np.savez appends it otherwise)
+        np.savez(
+            checkpoint_path.removesuffix(".npz"),
+            poses=np.asarray(poses),
+            lm_slab=np.asarray(lm_slab),
+            lam=lam,
+        )
+
     history = []
-    for _ in range(options.max_iters):
+    for _it in range(options.max_iters):
         new_poses, new_lm, chi2, cost_new, dx_norm = step(
             poses, lm_slab, sb.obs_data, sb.cam_idx, sb.pt_local, sb.weight,
             sb.free_l, jnp.asarray(lam, dtype),
@@ -339,6 +366,8 @@ def solve_schur_sharded(
             poses, lm_slab = new_poses, new_lm
             history.append(cost_new)
             lam = max(lam * options.lambda_down, options.lambda_min)
+            if checkpoint_path is not None and len(history) % checkpoint_every == 0:
+                _snapshot()
             if cost_new > chi2 * options.min_cost_decrease:
                 break
             if float(dx_norm) < options.min_update_norm:

@@ -112,6 +112,24 @@ class TestShardedSchur:
             atol=1e-12,
         )
 
+    def test_checkpoint_resume_exact(self, tmp_path):
+        # interrupt after 4 iterations, resume from snapshot -> same state
+        # trajectory as the uninterrupted solve (SURVEY.md §5 recovery)
+        g = tiny_ba(seed=13)
+        mesh = make_mesh_l(8)
+        ck = str(tmp_path / "state.npz")
+        common = dict(pcg_rtol=1e-12, pcg_max_iters=400)
+        opts8 = Options(method="lm", max_iters=8, min_cost_decrease=1.0 - 1e-15)
+        opts4 = Options(method="lm", max_iters=4, min_cost_decrease=1.0 - 1e-15)
+        _, chi2_full, _ = solve_schur_sharded(g, mesh, opts8, **common)
+        solve_schur_sharded(
+            g, mesh, opts4, checkpoint_path=ck, checkpoint_every=4, **common
+        )
+        _, chi2_resumed, _ = solve_schur_sharded(
+            g, mesh, opts4, checkpoint_path=ck, resume=True, **common
+        )
+        np.testing.assert_allclose(chi2_resumed, chi2_full, rtol=1e-6)
+
     def test_with_pose_prior_unary(self):
         # add a pose prior on camera 1 and make camera 0 free: the sharded
         # path must handle unary batches replicated (added once, not psum'd)
