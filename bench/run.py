@@ -98,8 +98,7 @@ def config_2():
     from pyslam_standin import solve_pose_graph_standin
     from pyslam_tpu.graph import build
     from pyslam_tpu.io import g2o, synth
-    from pyslam_tpu.solver import Options
-    from pyslam_tpu.solver.bcsr import build_ell_direct, solve_ell
+    from pyslam_tpu.solver import Options, solve
 
     data0 = synth.se2_manhattan(n_poses=3500, seed=1)
     with tempfile.TemporaryDirectory() as td:
@@ -113,11 +112,12 @@ def config_2():
         base = {"chi2": chi2_b, "wall_s": wall_b}
         _cache_put(key, base)
     g = build.pose_graph(data)
-    plan = build_ell_direct(g)
-    opts = Options(method="lm", max_iters=30)
+    # exact GN solves matter on this stiff graph (inexact PCG converges to a
+    # worse basin, measured 668 vs 622); D = 10497 dense Cholesky is pure MXU
+    opts = Options(method="gn", max_iters=30, min_cost_decrease=0.999)
 
     def run():
-        s, info = solve_ell(g, opts, plan=plan, pcg_rtol=1e-4, pcg_max_iters=100)
+        s, info = solve(g, opts)
         jax.block_until_ready(s.blocks["poses"].values)
         return info
 

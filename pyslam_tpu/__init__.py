@@ -48,3 +48,5 @@ from .losses import (  # noqa: F401
     TukeyLoss,
 )
 from .sensors import RGBDCamera, StereoCamera  # noqa: F401
+from .eval import TrajectoryMetrics, TrajectoryVisualizer  # noqa: F401
+from . import observability  # noqa: F401

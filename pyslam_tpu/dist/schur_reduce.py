@@ -90,18 +90,15 @@ def shard_ba(
         partition = partition_landmarks(None, None, L, n_parts=n)
     part = partition.part
 
-    # permute landmarks so each device's slab is contiguous
+    # permute landmarks so each device's slab is contiguous (vectorized —
+    # Venice-scale graphs have ~1M landmarks)
     order = np.argsort(part, kind="stable")
-    inv_order = np.empty(L, np.int64)
-    inv_order[order] = np.arange(L)
     counts = np.bincount(part, minlength=n)
     Lb = int(counts.max())
+    part_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_sorted = np.arange(L) - part_starts[part[order]]  # rank within part
     slot_of = np.empty(L, np.int64)  # landmark -> padded slab slot
-    starts = np.zeros(n, np.int64)
-    for new_pos, lm_id in enumerate(order):
-        p = part[lm_id]
-        slot_of[lm_id] = p * Lb + starts[p]
-        starts[p] += 1
+    slot_of[order] = part[order] * Lb + rank_sorted
 
     lm_vals = np.zeros((n * Lb, dl), np.asarray(lb.values).dtype)
     lm_vals[slot_of] = np.asarray(lb.values)
@@ -110,21 +107,21 @@ def shard_ba(
     lm_perm = slot_of  # maps original landmark id -> slab position
 
     # observations: owner = landmark's part; bucket + pad per device
+    # (vectorized — Venice-scale problems have millions of observations)
     cam_idx = np.asarray(fb.indices[0])
     pt_idx = np.asarray(fb.indices[1])
     owner = part[pt_idx]
     obs_order = np.argsort(owner, kind="stable")
     ocounts = np.bincount(owner, minlength=n)
     Mb = int(max(1, ocounts.max()))
+    ostarts = np.concatenate([[0], np.cumsum(ocounts)[:-1]])
+    orank = np.arange(len(obs_order)) - ostarts[owner[obs_order]]
+    dest = owner[obs_order] * Mb + orank  # padded position of obs_order[k]
 
     def pad_obs(arr, fill=0.0):
         arr = np.asarray(arr)
         out = np.full((n * Mb,) + arr.shape[1:], fill, arr.dtype)
-        starts = np.zeros(n, np.int64)
-        for k in obs_order:
-            p = owner[k]
-            out[p * Mb + starts[p]] = arr[k]
-            starts[p] += 1
+        out[dest] = arr[obs_order]
         return out
 
     cam_pad = pad_obs(cam_idx).astype(np.int32)

@@ -343,59 +343,62 @@ class EllDirect:
 
 
 def build_ell_direct(graph: FactorGraph, block_name: str | None = None) -> EllDirect:
+    """Vectorized (no per-edge Python) — Venice-scale graphs have millions
+    of edges, so the plan build is pure numpy sort/searchsorted."""
     if block_name is None:
         (block_name,) = graph.blocks.keys()
     blk = graph.blocks[block_name]
     nb, d = blk.n, blk.dof
 
-    # collect unique neighbor pairs
-    neigh: list[set] = [set() for _ in range(nb)]
+    # collect all directed off-diagonal edges across batches
+    us, vs = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
     batch_pairs = []
     for fb in graph.batches:
         assert all(s == block_name for s in fb.slots)
-        idx = [np.asarray(i) for i in fb.indices]
+        idx = [np.asarray(i, np.int64) for i in fb.indices]
         slot_pairs = []
         for a in range(len(idx)):
             for b in range(a, len(idx)):
                 ia, ib = idx[a], idx[b]
                 if a != b:
-                    for u, v in zip(ia.tolist(), ib.tolist()):
-                        if u != v:
-                            neigh[u].add(v)
-                            neigh[v].add(u)
+                    off = ia != ib
+                    us.append(ia[off])
+                    vs.append(ib[off])
+                    us.append(ib[off])
+                    vs.append(ia[off])
                 slot_pairs.append((a, b, ia, ib))
         batch_pairs.append(slot_pairs)
 
-    K = 1 + max((len(s) for s in neigh), default=0)
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    keys = np.unique(u * nb + v)  # sorted unique directed edges
+    eu, ev = keys // nb, keys % nb
+    row_counts = np.bincount(eu, minlength=nb)
+    K = 1 + int(row_counts.max()) if len(keys) else 1
+    row_starts = np.concatenate([[0], np.cumsum(row_counts)[:-1]])
+    rank = np.arange(len(keys)) - row_starts[eu]  # rank of edge within row
+    edge_slot = eu * K + 1 + rank  # flat ELL position of each unique edge
+
     cols = np.tile(np.arange(nb, dtype=np.int32)[:, None], (1, K))
     valid = np.zeros((nb, K), np.float64)
     valid[:, 0] = 1.0
-    slot_of = {}
-    for r in range(nb):
-        for k, c in enumerate(sorted(neigh[r]), start=1):
-            cols[r, k] = c
-            valid[r, k] = 1.0
-            slot_of[(r, c)] = r * K + k
-    for r in range(nb):
-        slot_of[(r, r)] = r * K
+    cols[eu, 1 + rank] = ev.astype(np.int32)
+    valid[eu, 1 + rank] = 1.0
+
+    def lookup(uu, vv):
+        """Flat ELL position of (uu, vv); diagonal maps to slot 0."""
+        pos = np.searchsorted(keys, uu * nb + vv)
+        out = edge_slot[np.minimum(pos, max(len(keys) - 1, 0))]
+        return np.where(uu == vv, uu * K, out)
 
     maps = []
     for slot_pairs in batch_pairs:
         entries = []
         for a, b, ia, ib in slot_pairs:
             if a == b:
-                pos_ab = ia.astype(np.int64) * K
-                entries.append((a, b, pos_ab, None))
+                entries.append((a, b, ia * K, None))
             else:
-                pos_ab = np.array(
-                    [slot_of[(int(u), int(v))] if u != v else int(u) * K
-                     for u, v in zip(ia, ib)], np.int64
-                )
-                pos_ba = np.array(
-                    [slot_of[(int(v), int(u))] if u != v else int(u) * K
-                     for u, v in zip(ia, ib)], np.int64
-                )
-                entries.append((a, b, pos_ab, pos_ba))
+                entries.append((a, b, lookup(ia, ib), lookup(ib, ia)))
         maps.append(tuple(entries))
     return EllDirect(nb, d, K, cols, valid, tuple(maps))
 
