@@ -167,9 +167,13 @@ class Problem:
     # ------------------------------------------------------------ solving
     def solve(self) -> dict:
         """Optimize all free parameters; returns the updated param_dict
-        (reference Problem.solve)."""
+        (reference Problem.solve).  Dispatches to the structure-appropriate
+        linear-algebra path (dense / block-sparse PCG / Schur) — the
+        reference always pays scipy's generic spsolve."""
+        from .solver import solve_auto
+
         graph = self._build()
-        solved, info = lm.solve(graph, self.options)
+        solved, info = solve_auto(graph, self.options)
         self.summary = info
         self._writeback(solved)
         return self.param_dict

@@ -44,3 +44,36 @@ __all__ += [
     "full_covariance",
     "marginal_covariances",
 ]
+
+
+def solve_auto(graph, options=None, dense_dof_limit: int = 12000):
+    """Structure-dispatching solve: picks the right linear-algebra path.
+
+    * camera + landmark blocks (one lie + one euclidean block coupled by
+      binary factors)  -> Schur complement (dense S for small camera counts,
+      implicit PCG otherwise)
+    * single variable block, total dof <= dense_dof_limit -> dense Cholesky
+      (exact solves; pure MXU — measured fastest AND most robust up to
+      ~10k dof, e.g. M3500)
+    * single variable block, larger -> block-sparse ELL + PCG
+
+    Returns (solved_graph, SolveInfo-or-history) matching the path's solver.
+    """
+    opts = options if options is not None else Options()
+    blocks = graph.blocks
+    kinds = {name: b.kind for name, b in blocks.items()}
+    lie_blocks = [n for n, k in kinds.items() if k != "euclidean"]
+    euc_blocks = [n for n, k in kinds.items() if k == "euclidean"]
+    if len(blocks) == 2 and len(lie_blocks) == 1 and len(euc_blocks) == 1:
+        pose_name, lm_name = lie_blocks[0], euc_blocks[0]
+        n_cams = blocks[pose_name].n
+        mode = "dense" if n_cams * blocks[pose_name].dof <= 4096 else "pcg"
+        return solve_schur(graph, opts, mode=mode, pose_name=pose_name, lm_name=lm_name)
+    if len(blocks) == 1 and graph.total_dof > dense_dof_limit:
+        from .bcsr import solve_ell as _solve_ell
+
+        return _solve_ell(graph, opts)
+    return solve(graph, opts)
+
+
+__all__ += ["solve_auto"]

@@ -201,3 +201,55 @@ class TestBundleAdjustment:
         # landmarks near truth
         lm_err = np.abs(np.asarray(g2.blocks["landmarks"].values) - data.pts_gt)
         assert np.median(lm_err) < 0.05
+
+
+class TestSolveAuto:
+    """Structure dispatch (solver.solve_auto): each graph shape must route to
+    a working path and converge."""
+
+    def test_pose_graph_small_dense(self):
+        from pyslam_tpu.io import synth
+        from pyslam_tpu.graph import build
+        from pyslam_tpu.solver import Options, solve_auto
+
+        data = synth.se2_loop(n_poses=40, seed=0)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, info = solve_auto(g, Options(method="lm", max_iters=25))
+        assert float(info.chi2) < float(g.chi2()) * 0.5
+
+    def test_ba_routes_to_schur(self):
+        from pyslam_tpu.io import synth
+        from pyslam_tpu.graph import build
+        from pyslam_tpu.solver import Options, solve_auto
+
+        data = synth.ba_synthetic(n_cams=6, n_pts=40, seed=0)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        solved, info = solve_auto(g, Options(method="lm", max_iters=20))
+        assert float(info.chi2) < float(g.chi2())
+        # gauge camera untouched (Schur path property)
+        np.testing.assert_allclose(
+            np.asarray(solved.blocks["poses"].values[0]),
+            np.asarray(g.blocks["poses"].values[0]),
+            atol=1e-12,
+        )
+
+    def test_problem_api_uses_dispatch(self):
+        from pyslam_tpu import Problem, Options, PoseToPoseResidual, SE2
+        from pyslam_tpu.io import synth
+
+        data = synth.se2_loop(n_poses=10, n_loops=2, seed=1)
+        problem = Problem(Options(max_iters=25))
+        names = [f"T_{i}" for i in range(10)]
+        for k in range(len(data.edges_i)):
+            i, j = int(data.edges_i[k]), int(data.edges_j[k])
+            problem.add_residual_block(
+                PoseToPoseResidual(data.T_meas[k], data.sqrt_info[k]),
+                [names[i], names[j]],
+            )
+        problem.initialize_params(
+            {n: SE2(jnp.asarray(T)) for n, T in zip(names, data.T_init)}
+        )
+        problem.set_parameters_constant(names[0])
+        before = problem.eval_cost()
+        problem.solve()
+        assert problem.eval_cost() < before
