@@ -59,8 +59,9 @@ def ba_graph(data, loss=None, dtype=jnp.float32, init: str = "noisy") -> FactorG
     const = np.zeros(n_cams, bool)
     const[0] = True  # gauge anchor
     cam = StereoCamera(**{k: v for k, v in data.camera.items()})
-    m = len(data.cam_idx)
-    sqrt_info = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m, 3, 3))
+    # unbatched (3,3): broadcasts in the kernels; a (M,3,3) copy would tile
+    # to 4 KB/observation in HBM (see solver/schur_large.py)
+    sqrt_info = jnp.eye(3, dtype=dtype)
     blocks = {
         "poses": VariableBlock.create("se3", jnp.asarray(T0, dtype), const),
         "landmarks": VariableBlock.create("euclidean", jnp.asarray(p0, dtype)),
@@ -88,9 +89,7 @@ def bal_graph(data, loss=None, pixel_std=1.0, anchor_first=True, dtype=jnp.float
     if anchor_first:
         const[0] = True
     m = len(data.cam_idx)
-    sqrt_info = jnp.broadcast_to(
-        jnp.eye(2, dtype=dtype) / pixel_std, (m, 2, 2)
-    )
+    sqrt_info = jnp.eye(2, dtype=dtype) / pixel_std
     intr = jnp.asarray(data.intrinsics, dtype)[data.cam_idx]
     blocks = {
         "poses": VariableBlock.create("se3", jnp.asarray(data.T, dtype), const),

@@ -271,23 +271,33 @@ def ba_synthetic(
         T[:3, 3] = -R_wc.T @ center
         T_gt[c] = T
 
-    # observations: each point seen by obs_per_pt nearest cameras
+    # observations: each point seen by its obs_per_pt nearest cameras
+    # (vectorized in point chunks — Venice-scale problems have ~1M points)
     cam_centers = np.stack([-T_gt[c, :3, :3].T @ T_gt[c, :3, 3] for c in range(n_cams)])
-    cam_idx, pt_idx, obs = [], [], []
     fu, fv, cu, cv, b = cam["fu"], cam["fv"], cam["cu"], cam["cv"], cam["b"]
-    for p in range(n_pts):
-        d2 = np.sum((cam_centers - pts[p]) ** 2, axis=-1)
-        for c in np.argsort(d2)[:obs_per_pt]:
-            pc = T_gt[c, :3, :3] @ pts[p] + T_gt[c, :3, 3]
-            if pc[2] < 0.5:
-                continue
-            u = fu * pc[0] / pc[2] + cu + rng.normal(0, pixel_std)
-            v = fv * pc[1] / pc[2] + cv + rng.normal(0, pixel_std)
-            d = fu * b / pc[2] + rng.normal(0, pixel_std)
-            if 0 <= u < cam["w"] and 0 <= v < cam["h"] and d > 0:
-                cam_idx.append(c)
-                pt_idx.append(p)
-                obs.append((u, v, d))
+    R = T_gt[:, :3, :3]
+    t = T_gt[:, :3, 3]
+    cam_parts, pt_parts, obs_parts = [], [], []
+    chunk = 65536
+    kk = min(obs_per_pt, n_cams)
+    for s in range(0, n_pts, chunk):
+        P = pts[s : s + chunk]
+        d2 = np.sum((P[:, None, :] - cam_centers[None]) ** 2, axis=-1)
+        sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]  # (n, k)
+        n = len(P)
+        pc = np.einsum("nkij,nj->nki", R[sel], P) + t[sel]
+        z = pc[..., 2]
+        u = fu * pc[..., 0] / z + cu + rng.normal(0, pixel_std, z.shape)
+        v = fv * pc[..., 1] / z + cv + rng.normal(0, pixel_std, z.shape)
+        d = fu * b / z + rng.normal(0, pixel_std, z.shape)
+        ok = (z >= 0.5) & (u >= 0) & (u < cam["w"]) & (v >= 0) & (v < cam["h"]) & (d > 0)
+        ni, ki = np.nonzero(ok)
+        cam_parts.append(sel[ni, ki])
+        pt_parts.append(s + ni)
+        obs_parts.append(np.stack([u[ni, ki], v[ni, ki], d[ni, ki]], axis=-1))
+    cam_idx = np.concatenate(cam_parts)
+    pt_idx = np.concatenate(pt_parts)
+    obs = np.concatenate(obs_parts)
 
     T_init = np.stack([_se3_noise(rng, *pose_noise) @ T_gt[c] for c in range(n_cams)])
     T_init[0] = T_gt[0]  # gauge anchor

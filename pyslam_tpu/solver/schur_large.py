@@ -1,0 +1,402 @@
+"""Venice-scale single-chip bundle adjustment: component-major Schur path.
+
+Why this exists: TPU HBM stores arrays in (8, 128)-tiled layouts, so a
+per-observation block array like W (M, 6, 3) is padded to (M, 8, 128) —
+**21x the logical bytes**.  At BAL-Venice scale (~1.7k cams, ~1M landmarks,
+~5M observations) the standard path (solver/schur.py) OOMs on a 16 GB chip
+for this reason alone (measured: f32[4650901,6,6] -> 19 GB allocation).
+
+This module stores every large per-element quantity COMPONENT-MAJOR —
+W as (18, M), Hll as (9, L), gradients as (3, L) — flat vectors on the
+lane axis with zero padding waste, and evaluates all block algebra
+(3x3 closed-form inverses, W-products, SCHUR_JACOBI diagonal) as unrolled
+component arithmetic: pure full-width VPU passes, no batched-small-matrix
+layouts anywhere.  Linearization streams over observation chunks under
+``lax.scan`` so no (M, m, dof) Jacobian tensor is ever materialized.
+
+Same LM semantics as solve_schur; host-side accept/reject loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.core import FACTOR_KERNELS, FactorGraph, VariableBlock, retract
+from ..solver import lm as _lm
+from .linear import pcg_solve
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def _inv33_flat(h):
+    """h: (9, L) component-major SPD blocks [h00 h01 h02 h10 .. h22] ->
+    inverse in the same layout (adjugate / det, pure VPU)."""
+    a, b, c, d, e, f, g, hh, i = (h[k] for k in range(9))
+    co00 = e * i - f * hh
+    co01 = c * hh - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * hh - e * g
+    co21 = b * g - a * hh
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / det
+    return jnp.stack(
+        [co00, co01, co02, co10, co11, co12, co20, co21, co22]
+    ) * inv_det[None]
+
+
+def _apply33_flat(h, x):
+    """y_i = sum_j h[i,j] x_j with h (9, L), x (3, L)."""
+    return jnp.stack(
+        [
+            h[0] * x[0] + h[1] * x[1] + h[2] * x[2],
+            h[3] * x[0] + h[4] * x[1] + h[5] * x[2],
+            h[6] * x[0] + h[7] * x[1] + h[8] * x[2],
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=("kind", "loss", "n_chunks", "C", "L", "want_grad", "trails"))
+def _linearize_stream(
+    kind, loss, n_chunks, C, L, want_grad, trails, poses, lms, obs_data, ci, li, w_pad
+):
+    """Streamed linearization over observation chunks.
+
+    Returns (chi2, Hpp (C,6,6), g_p (C,6), Hll (9,L), g_l (3,L), W (18,Mp))
+    — or just chi2 when want_grad=False.  Mp = padded observation count;
+    padding rows carry w_pad = 0.
+    """
+    Mp = ci.shape[0]
+    chunk = Mp // n_chunks
+    dtype = poses.dtype
+
+    def chunk_args(k):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, k * chunk, chunk, axis=0)
+        od = {}
+        trail_of = dict(trails)
+        for kk, v in obs_data.items():
+            trail = trail_of[kk]
+            # stored component-major (prod(trail), Mp) — slice lanes, then
+            # rebuild the (chunk, *trail) view the kernel expects
+            c = jax.lax.dynamic_slice_in_dim(v, k * chunk, chunk, axis=-1)
+            if trail == ():
+                od[kk] = c[0]
+            else:
+                od[kk] = jnp.moveaxis(c, -1, 0).reshape((chunk,) + trail)
+        return od, sl(ci), sl(li), sl(w_pad)
+
+    if not want_grad:
+
+        def body(carry, k):
+            od, cck, llk, wk = chunk_args(k)
+            r, _ = FACTOR_KERNELS[kind](od, poses[cck], lms[llk], compute_jacobians=False)
+            return carry + jnp.sum(loss.loss(r) * wk[:, None]), 0.0
+
+        chi2, _ = jax.lax.scan(body, jnp.zeros((), dtype), jnp.arange(n_chunks))
+        return chi2
+
+    def body(carry, k):
+        chi2, Hpp, g_p, Hll, g_l = carry
+        od, cck, llk, wk = chunk_args(k)
+        r, (Jc, Jl) = FACTOR_KERNELS[kind](od, poses[cck], lms[llk], compute_jacobians=True)
+        w = loss.weight(r) * wk[:, None]
+        chi2 = chi2 + jnp.sum(loss.loss(r) * wk[:, None])
+        wr = w * r
+        m = r.shape[1]
+
+        # component-major products (m is small and static: 2 or 3)
+        def col(J, i):  # (chunk,) component i summed over residual dim later
+            return J[:, :, i]
+
+        # camera-block contributions
+        for i in range(6):
+            gi = jnp.sum(col(Jc, i) * wr, axis=1)
+            g_p = g_p.at[:, i].add(-jax.ops.segment_sum(gi, cck, num_segments=C))
+            for j in range(i, 6):
+                hij = jnp.sum(col(Jc, i) * w * col(Jc, j), axis=1)
+                acc = jax.ops.segment_sum(hij, cck, num_segments=C)
+                Hpp = Hpp.at[:, i, j].add(acc)
+                if j > i:
+                    Hpp = Hpp.at[:, j, i].add(acc)
+        # landmark-block contributions
+        for i in range(3):
+            gi = jnp.sum(col(Jl, i) * wr, axis=1)
+            g_l = g_l.at[i].add(-jax.ops.segment_sum(gi, llk, num_segments=L))
+            for j in range(3):
+                hij = jnp.sum(col(Jl, i) * w * col(Jl, j), axis=1)
+                Hll = Hll.at[3 * i + j].add(
+                    jax.ops.segment_sum(hij, llk, num_segments=L)
+                )
+        # coupling W components, emitted per chunk (18, chunk)
+        Wc = jnp.stack(
+            [
+                jnp.sum(col(Jc, i) * w * col(Jl, j), axis=1)
+                for i in range(6)
+                for j in range(3)
+            ]
+        )
+        return (chi2, Hpp, g_p, Hll, g_l), Wc
+
+    carry0 = (
+        jnp.zeros((), dtype),
+        jnp.zeros((C, 6, 6), dtype),
+        jnp.zeros((C, 6), dtype),
+        jnp.zeros((9, L), dtype),
+        jnp.zeros((3, L), dtype),
+    )
+    (chi2, Hpp, g_p, Hll, g_l), Ws = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
+    W = jnp.moveaxis(Ws, 1, 0).reshape(18, Mp)  # (n_chunks, 18, chunk) -> (18, Mp)
+    return chi2, Hpp, g_p, Hll, g_l, W
+
+
+@dataclasses.dataclass
+class LargeBA:
+    """Padded device arrays + static config for the component-major path."""
+
+    kind: str
+    loss: object
+    C: int
+    L: int
+    Mp: int
+    n_chunks: int
+    poses: jnp.ndarray
+    lms: jnp.ndarray  # (L, 3)
+    free_p: jnp.ndarray  # (C,)
+    free_l: jnp.ndarray  # (L,)
+    obs_data: dict
+    trails: tuple  # static ((key, trailing_shape), ...)
+    ci: jnp.ndarray
+    li: jnp.ndarray
+    w_pad: jnp.ndarray
+
+
+def prepare_large_ba(
+    graph: FactorGraph,
+    n_chunks: int = 16,
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+) -> LargeBA:
+    pb, lb = graph.blocks[pose_name], graph.blocks[lm_name]
+    (fb,) = [b for b in graph.batches if b.slots == (pose_name, lm_name)]
+    assert len(graph.batches) == 1, "schur_large v1 supports the single-batch BA graph"
+    M = fb.n
+    Mp = _ceil_to(M, n_chunks)
+    pad = Mp - M
+
+    def pad0(x):
+        x = np.asarray(x)
+        return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+
+    obs_data, static_data, obs_trails = {}, {}, {}
+    for k, v in fb.data.items():
+        if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1 and v.shape[0] == M:
+            # store component-major: (prod(trailing), Mp) — a (M, 3) array
+            # tiles to 42x its logical bytes in HBM, (3, M) is waste-free
+            arr = np.asarray(pad0(v))
+            obs_data[k] = jnp.asarray(arr.reshape(Mp, -1).T.copy())
+            obs_trails[k] = arr.shape[1:]
+        else:
+            static_data[k] = v
+    if static_data:
+        # small non-factor-axis values (camera pytree, unbatched sqrt_info)
+        # become jaxpr constants via closure — fine, they are tiny
+        # fold static pytrees (e.g. camera) back into the kernel via closure
+        kind = fb.kind
+        base = dict(static_data)
+
+        def kernel(data, T, p, compute_jacobians=True):
+            return FACTOR_KERNELS[kind]({**data, **base}, T, p, compute_jacobians=compute_jacobians)
+
+        kname = f"__large_{id(fb)}"
+        FACTOR_KERNELS[kname] = kernel
+    else:
+        kname = fb.kind
+
+    return LargeBA(
+        kind=kname,
+        loss=fb.loss,
+        C=pb.n,
+        L=lb.n,
+        Mp=Mp,
+        n_chunks=n_chunks,
+        poses=jnp.asarray(pb.values),
+        lms=jnp.asarray(lb.values),
+        free_p=jnp.asarray((~np.asarray(pb.const_mask)).astype(np.asarray(pb.values).dtype)),
+        free_l=jnp.asarray((~np.asarray(lb.const_mask)).astype(np.asarray(pb.values).dtype)),
+        obs_data=obs_data,
+        trails=tuple(sorted(obs_trails.items())),
+        ci=jnp.asarray(pad0(np.asarray(fb.indices[0], np.int32))),
+        li=jnp.asarray(pad0(np.asarray(fb.indices[1], np.int32))),
+        w_pad=jnp.asarray(pad0(np.asarray(fb.weight))),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kind", "loss", "n_chunks", "C", "L", "method", "pcg_rtol", "pcg_max_iters", "trails"),
+)
+def _large_step(
+    kind, loss, n_chunks, C, L, method, pcg_rtol, pcg_max_iters, trails,
+    poses, lms, free_p, free_l, obs_data, ci, li, w_pad, lam,
+):
+    """One LM iteration: streamed linearize -> component-major Schur ->
+    implicit PCG -> back-substitute -> retract -> trial cost."""
+    dtype = poses.dtype
+    chi2, Hpp, g_p, Hll, g_l, W = _linearize_stream(
+        kind, loss, n_chunks, C, L, True, trails, poses, lms, obs_data, ci, li, w_pad
+    )
+
+    # constant / dead handling
+    eye6 = jnp.eye(6, dtype=dtype)
+    Hpp = Hpp * free_p[:, None, None] + (1.0 - free_p)[:, None, None] * eye6
+    g_p = g_p * free_p[:, None]
+    dead = ((Hll[0] + Hll[4] + Hll[8]) == 0.0).astype(dtype)
+    live = free_l * (1.0 - dead)
+    Hll = Hll * live[None] + (1.0 - live)[None] * jnp.asarray(
+        [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0], dtype
+    )[:, None]
+    g_l = g_l * live[None]
+    fobs = free_p[ci] * live[li]  # (Mp,)
+    W = W * fobs[None]
+
+    # damping
+    if method == "lm":
+        d6 = jnp.maximum(jnp.einsum("nii->ni", Hpp), 1e-12)
+        Hpp = Hpp + lam * d6[:, :, None] * eye6
+        for k in (0, 4, 8):
+            Hll = Hll.at[k].set(Hll[k] * (1.0 + lam))
+    Hinv = _inv33_flat(Hll)
+
+    Wc = [W[3 * i : 3 * i + 3] for i in range(6)]  # per camera-component (3, Mp)
+
+    def W_T_dot_cam(xc6):
+        """t (3, L) = sum_obs W^T x_cam: xc6 is (6, Mp) gathered cam comps."""
+        t = []
+        for j in range(3):
+            acc = jnp.zeros(ci.shape[0], dtype)
+            for i in range(6):
+                acc = acc + W[3 * i + j] * xc6[i]
+            t.append(jax.ops.segment_sum(acc, li, num_segments=L))
+        return jnp.stack(t)
+
+    def W_dot_lm(t3):
+        """y (C, 6) = sum_obs W t: t3 (3, L) gathered to obs."""
+        tg = t3[:, li]  # (3, Mp)
+        cols = []
+        for i in range(6):
+            acc = W[3 * i] * tg[0] + W[3 * i + 1] * tg[1] + W[3 * i + 2] * tg[2]
+            cols.append(jax.ops.segment_sum(acc, ci, num_segments=C))
+        return jnp.stack(cols, axis=1)
+
+    def gather_cam(xb):
+        """(C, 6) -> (6, Mp) per-observation camera components."""
+        return xb.T[:, ci]
+
+    # reduced gradient
+    t = _apply33_flat(Hinv, g_l)
+    g_red = g_p - W_dot_lm(t)
+
+    # SCHUR_JACOBI preconditioner: D_c = Hpp_c - sum_obs W Hinv W^T
+    Hg = Hinv[:, li]  # (9, Mp)
+    D = Hpp
+    for i in range(6):
+        # u_j = sum_k Hinv[j,k] W[i,k]  (3, Mp)
+        u = [
+            Hg[3 * j] * Wc[i][0] + Hg[3 * j + 1] * Wc[i][1] + Hg[3 * j + 2] * Wc[i][2]
+            for j in range(3)
+        ]
+        for i2 in range(i, 6):
+            v = Wc[i2][0] * u[0] + Wc[i2][1] * u[1] + Wc[i2][2] * u[2]
+            acc = jax.ops.segment_sum(v, ci, num_segments=C)
+            D = D.at[:, i, i2].add(-acc)
+            if i2 > i:
+                D = D.at[:, i2, i].add(-acc)
+    from .bcsr import sym_block_inv
+
+    Dinv = sym_block_inv(D)
+
+    def matvec(x):
+        xb = x.reshape(C, 6)
+        y = jnp.einsum("cij,cj->ci", Hpp, xb)
+        t1 = W_T_dot_cam(gather_cam(xb))
+        t2 = _apply33_flat(Hinv, t1)
+        y = y - W_dot_lm(t2)
+        return y.reshape(-1)
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
+
+    dx_p, _ = pcg_solve(
+        matvec, g_red.reshape(-1), precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters
+    )
+    dx_p = dx_p.reshape(C, 6) * free_p[:, None]
+    dx_l = _apply33_flat(Hinv, g_l - W_T_dot_cam(gather_cam(dx_p))) * live[None]
+
+    new_poses = retract("se3", poses, dx_p)
+    new_lms = lms + dx_l.T
+    cost_new = _linearize_stream(
+        kind, loss, n_chunks, C, L, False, trails, new_poses, new_lms, obs_data, ci, li, w_pad
+    )
+    dx_norm = jnp.sqrt(jnp.sum(dx_p**2) + jnp.sum(dx_l**2))
+    return new_poses, new_lms, chi2, cost_new, dx_norm
+
+
+def solve_schur_large(
+    graph: FactorGraph,
+    options: _lm.Options = _lm.Options(),
+    n_chunks: int = 16,
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    pcg_rtol: float = 1e-6,
+    pcg_max_iters: int = 100,
+):
+    """Venice-scale single-chip Schur LM.  Returns
+    (solved_graph, final_chi2, cost_history)."""
+    lb = prepare_large_ba(graph, n_chunks, pose_name, lm_name)
+    poses, lms = lb.poses, lb.lms
+    lam = options.lambda_init
+    dtype = np.asarray(poses).dtype
+    history = []
+    for _ in range(options.max_iters):
+        new_poses, new_lms, chi2, cost_new, dx_norm = _large_step(
+            lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, options.method,
+            pcg_rtol, pcg_max_iters, lb.trails,
+            poses, lms, lb.free_p, lb.free_l, lb.obs_data, lb.ci, lb.li,
+            lb.w_pad, jnp.asarray(lam, dtype),
+        )
+        chi2 = float(chi2)
+        cost_new = float(cost_new)
+        if not history:
+            history.append(chi2)
+        accept = cost_new < chi2
+        if options.method == "gn" or accept:
+            poses, lms = new_poses, new_lms
+            history.append(cost_new)
+            lam = max(lam * options.lambda_down, options.lambda_min)
+            if cost_new > chi2 * options.min_cost_decrease:
+                break
+            if float(dx_norm) < options.min_update_norm:
+                break
+        else:
+            lam = min(lam * options.lambda_up, options.lambda_max)
+
+    pb = graph.blocks[pose_name]
+    lb_blk = graph.blocks[lm_name]
+    new_blocks = dict(graph.blocks)
+    new_blocks[pose_name] = VariableBlock(pb.kind, poses, pb.const_mask)
+    new_blocks[lm_name] = VariableBlock(lb_blk.kind, lms, lb_blk.const_mask)
+    solved = FactorGraph(new_blocks, graph.batches)
+    return solved, history[-1], history
+
+
+__all__ = ["solve_schur_large", "prepare_large_ba"]
