@@ -1,0 +1,57 @@
+"""Component-major (Venice-scale) Schur path: must agree exactly with the
+standard Schur solver on problems small enough for both (SURVEY.md §7 M3/M4;
+solver/schur_large.py docstring for the layout rationale)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.graph import build
+from pyslam_tpu.io import bal, synth
+from pyslam_tpu.losses import HuberLoss
+from pyslam_tpu.solver import Options, solve_schur
+from pyslam_tpu.solver.schur_large import solve_schur_large
+
+
+def stereo_graph(loss=None, seed=3):
+    data = synth.ba_synthetic(n_cams=8, n_pts=64, seed=seed)
+    return build.ba_graph(data, loss=loss, dtype=jnp.float64)
+
+
+def bal_graph(seed=0):
+    data = bal.perturbed(bal.synthetic_bal(n_cams=6, n_pts=50, seed=seed))
+    return build.bal_graph(data, dtype=jnp.float64)
+
+
+class TestSchurLarge:
+    @pytest.mark.parametrize("graph_fn", [stereo_graph, bal_graph])
+    def test_matches_standard_schur(self, graph_fn):
+        g = graph_fn()
+        opts = Options(method="lm", max_iters=20)
+        _, info = solve_schur(g, opts, mode="pcg", pcg_rtol=1e-10, pcg_max_iters=300)
+        _, chi2_l, _ = solve_schur_large(
+            g, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=300
+        )
+        np.testing.assert_allclose(chi2_l, float(info.chi2), rtol=1e-8)
+
+    def test_chunk_count_invariance(self):
+        g = stereo_graph(seed=5)
+        opts = Options(method="lm", max_iters=8)
+        _, a, _ = solve_schur_large(g, opts, n_chunks=1)
+        _, b, _ = solve_schur_large(g, opts, n_chunks=7)  # forces padding
+        np.testing.assert_allclose(a, b, rtol=1e-9)
+
+    def test_robust_loss(self):
+        g = stereo_graph(loss=HuberLoss(2.0))
+        opts = Options(method="lm", max_iters=12)
+        _, chi2, hist = solve_schur_large(g, opts, n_chunks=4)
+        assert chi2 < hist[0]
+
+    def test_gauge_anchor(self):
+        g = stereo_graph()
+        solved, _, _ = solve_schur_large(g, Options(method="lm", max_iters=5), n_chunks=4)
+        np.testing.assert_allclose(
+            np.asarray(solved.blocks["poses"].values[0]),
+            np.asarray(g.blocks["poses"].values[0]),
+            atol=1e-12,
+        )
