@@ -125,12 +125,17 @@ def solve(
         return (s["it"] < K) & (s["status"] == RUNNING)
 
     def body(s):
+        # named scopes mark the solver phases in jax.profiler traces
+        # (SURVEY.md §5 tracing row)
         g_cur = FactorGraph(s["blocks"], batches)
-        H, g, cost_lin = assemble_fn(g_cur)
-        dx = solve_fn(H, g, s["lam"], opt)
+        with jax.named_scope("linearize_assemble"):
+            H, g, cost_lin = assemble_fn(g_cur)
+        with jax.named_scope("linear_solve"):
+            dx = solve_fn(H, g, s["lam"], opt)
         update_norm = jnp.linalg.norm(dx)
-        trial_blocks = g_cur.retract_all(dx).blocks
-        cost_new = FactorGraph(trial_blocks, batches).chi2()
+        with jax.named_scope("retract_and_cost"):
+            trial_blocks = g_cur.retract_all(dx).blocks
+            cost_new = FactorGraph(trial_blocks, batches).chi2()
 
         if opt.method == "lm":
             accept = cost_new < cost_lin  # False on NaN -> reject
