@@ -280,9 +280,11 @@ def ba_synthetic(
     cam_parts, pt_parts, obs_parts = [], [], []
     chunk = 65536
     kk = min(obs_per_pt, n_cams)
+    cc2 = np.sum(cam_centers**2, axis=-1)
     for s in range(0, n_pts, chunk):
         P = pts[s : s + chunk]
-        d2 = np.sum((P[:, None, :] - cam_centers[None]) ** 2, axis=-1)
+        # |p-c|^2 = |p|^2 + |c|^2 - 2 p.c via BLAS (no (n, C, 3) temporary)
+        d2 = np.sum(P**2, axis=-1)[:, None] + cc2[None] - 2.0 * (P @ cam_centers.T)
         sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]  # (n, k)
         n = len(P)
         pc = np.einsum("nkij,nj->nki", R[sel], P) + t[sel]

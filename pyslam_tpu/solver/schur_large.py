@@ -291,7 +291,9 @@ def _large_step(
 
     def W_dot_lm(t3):
         """y (C, 6) = sum_obs W t: t3 (3, L) gathered to obs."""
-        tg = t3[:, li]  # (3, Mp)
+        # three 1-D row gathers (lane-axis gathers fault the TPU runtime at
+        # multi-million-observation scale)
+        tg = [t3[j][li] for j in range(3)]
         cols = []
         for i in range(6):
             acc = W[3 * i] * tg[0] + W[3 * i + 1] * tg[1] + W[3 * i + 2] * tg[2]
@@ -299,15 +301,16 @@ def _large_step(
         return jnp.stack(cols, axis=1)
 
     def gather_cam(xb):
-        """(C, 6) -> (6, Mp) per-observation camera components."""
-        return xb.T[:, ci]
+        """(C, 6) -> per-observation camera component list (6 x (Mp,)),
+        via 1-D row gathers."""
+        return [xb[:, i][ci] for i in range(6)]
 
     # reduced gradient
     t = _apply33_flat(Hinv, g_l)
     g_red = g_p - W_dot_lm(t)
 
     # SCHUR_JACOBI preconditioner: D_c = Hpp_c - sum_obs W Hinv W^T
-    Hg = Hinv[:, li]  # (9, Mp)
+    Hg = [Hinv[k][li] for k in range(9)]  # 9 x (Mp,) row gathers
     D = Hpp
     for i in range(6):
         # u_j = sum_k Hinv[j,k] W[i,k]  (3, Mp)
