@@ -131,11 +131,13 @@ def _linearize_stream(
         # landmark-block contributions
         for i in range(3):
             gi = jnp.sum(col(Jl, i) * wr, axis=1)
-            g_l = g_l.at[i].add(-jax.ops.segment_sum(gi, llk, num_segments=L))
+            g_l = g_l.at[i].add(
+                -jax.ops.segment_sum(gi, llk, num_segments=L, indices_are_sorted=True)
+            )
             for j in range(3):
                 hij = jnp.sum(col(Jl, i) * w * col(Jl, j), axis=1)
                 Hll = Hll.at[3 * i + j].add(
-                    jax.ops.segment_sum(hij, llk, num_segments=L)
+                    jax.ops.segment_sum(hij, llk, num_segments=L, indices_are_sorted=True)
                 )
         # coupling W components, emitted per chunk (18, chunk)
         Wc = jnp.stack(
@@ -192,9 +194,12 @@ def prepare_large_ba(
     M = fb.n
     Mp = _ceil_to(M, n_chunks)
     pad = Mp - M
+    # stable-sort observations by landmark: li segment-sums become sorted
+    # scatters (indices_are_sorted=True), measurably faster at Venice scale
+    order = np.argsort(np.asarray(fb.indices[1]), kind="stable")
 
     def pad0(x):
-        x = np.asarray(x)
+        x = np.asarray(x)[order]
         return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
 
     obs_data, static_data, obs_trails = {}, {}, {}
@@ -286,7 +291,7 @@ def _large_step(
             acc = jnp.zeros(ci.shape[0], dtype)
             for i in range(6):
                 acc = acc + W[3 * i + j] * xc6[i]
-            t.append(jax.ops.segment_sum(acc, li, num_segments=L))
+            t.append(jax.ops.segment_sum(acc, li, num_segments=L, indices_are_sorted=True))
         return jnp.stack(t)
 
     def W_dot_lm(t3):
