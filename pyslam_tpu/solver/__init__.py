@@ -66,6 +66,19 @@ def solve_auto(graph, options=None, dense_dof_limit: int = 12000):
     euc_blocks = [n for n, k in kinds.items() if k == "euclidean"]
     if len(blocks) == 2 and len(lie_blocks) == 1 and len(euc_blocks) == 1:
         pose_name, lm_name = lie_blocks[0], euc_blocks[0]
+        n_obs = sum(
+            fb.n for fb in graph.batches if fb.slots == (pose_name, lm_name)
+        )
+        if n_obs > 2_000_000 and len(graph.batches) == 1:
+            # block layouts tile to 21x their logical bytes in HBM; beyond
+            # ~2M observations only the component-major streamed path fits
+            # on a 16 GB chip (solver/schur_large.py)
+            from .schur_large import solve_schur_large
+
+            solved, chi2, hist = solve_schur_large(
+                graph, opts, pose_name=pose_name, lm_name=lm_name
+            )
+            return solved, hist
         n_cams = blocks[pose_name].n
         mode = "dense" if n_cams * blocks[pose_name].dof <= 4096 else "pcg"
         return solve_schur(graph, opts, mode=mode, pose_name=pose_name, lm_name=lm_name)

@@ -246,22 +246,16 @@ def prepare_large_ba(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("kind", "loss", "n_chunks", "C", "L", "method", "pcg_rtol", "pcg_max_iters", "trails"),
-)
-def _large_step(
-    kind, loss, n_chunks, C, L, method, pcg_rtol, pcg_max_iters, trails,
-    poses, lms, free_p, free_l, obs_data, ci, li, w_pad, lam,
+@partial(jax.jit, static_argnames=("method", "pcg_rtol", "pcg_max_iters", "C", "L"))
+def _schur_solve_large(
+    method, pcg_rtol, pcg_max_iters, C, L,
+    Hpp, g_p, Hll, g_l, W, poses, lms, free_p, free_l, ci, li, lam,
 ):
-    """One LM iteration: streamed linearize -> component-major Schur ->
-    implicit PCG -> back-substitute -> retract -> trial cost."""
+    """Damp -> eliminate landmarks -> implicit PCG -> back-substitute ->
+    retract.  Separate jit from the linearize scans: the fully fused
+    single-program step faults the TPU runtime at ~4.6M observations, while
+    the same phases as individual programs run fine (measured)."""
     dtype = poses.dtype
-    chi2, Hpp, g_p, Hll, g_l, W = _linearize_stream(
-        kind, loss, n_chunks, C, L, True, trails, poses, lms, obs_data, ci, li, w_pad
-    )
-
-    # constant / dead handling
     eye6 = jnp.eye(6, dtype=dtype)
     Hpp = Hpp * free_p[:, None, None] + (1.0 - free_p)[:, None, None] * eye6
     g_p = g_p * free_p[:, None]
@@ -271,10 +265,9 @@ def _large_step(
         [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0], dtype
     )[:, None]
     g_l = g_l * live[None]
-    fobs = free_p[ci] * live[li]  # (Mp,)
+    fobs = free_p[ci] * live[li]
     W = W * fobs[None]
 
-    # damping
     if method == "lm":
         d6 = jnp.maximum(jnp.einsum("nii->ni", Hpp), 1e-12)
         Hpp = Hpp + lam * d6[:, :, None] * eye6
@@ -282,10 +275,9 @@ def _large_step(
             Hll = Hll.at[k].set(Hll[k] * (1.0 + lam))
     Hinv = _inv33_flat(Hll)
 
-    Wc = [W[3 * i : 3 * i + 3] for i in range(6)]  # per camera-component (3, Mp)
+    Wc = [W[3 * i : 3 * i + 3] for i in range(6)]
 
     def W_T_dot_cam(xc6):
-        """t (3, L) = sum_obs W^T x_cam: xc6 is (6, Mp) gathered cam comps."""
         t = []
         for j in range(3):
             acc = jnp.zeros(ci.shape[0], dtype)
@@ -295,9 +287,6 @@ def _large_step(
         return jnp.stack(t)
 
     def W_dot_lm(t3):
-        """y (C, 6) = sum_obs W t: t3 (3, L) gathered to obs."""
-        # three 1-D row gathers (lane-axis gathers fault the TPU runtime at
-        # multi-million-observation scale)
         tg = [t3[j][li] for j in range(3)]
         cols = []
         for i in range(6):
@@ -306,19 +295,14 @@ def _large_step(
         return jnp.stack(cols, axis=1)
 
     def gather_cam(xb):
-        """(C, 6) -> per-observation camera component list (6 x (Mp,)),
-        via 1-D row gathers."""
         return [xb[:, i][ci] for i in range(6)]
 
-    # reduced gradient
     t = _apply33_flat(Hinv, g_l)
     g_red = g_p - W_dot_lm(t)
 
-    # SCHUR_JACOBI preconditioner: D_c = Hpp_c - sum_obs W Hinv W^T
-    Hg = [Hinv[k][li] for k in range(9)]  # 9 x (Mp,) row gathers
+    Hg = [Hinv[k][li] for k in range(9)]
     D = Hpp
     for i in range(6):
-        # u_j = sum_k Hinv[j,k] W[i,k]  (3, Mp)
         u = [
             Hg[3 * j] * Wc[i][0] + Hg[3 * j + 1] * Wc[i][1] + Hg[3 * j + 2] * Wc[i][2]
             for j in range(3)
@@ -352,11 +336,8 @@ def _large_step(
 
     new_poses = retract("se3", poses, dx_p)
     new_lms = lms + dx_l.T
-    cost_new = _linearize_stream(
-        kind, loss, n_chunks, C, L, False, trails, new_poses, new_lms, obs_data, ci, li, w_pad
-    )
     dx_norm = jnp.sqrt(jnp.sum(dx_p**2) + jnp.sum(dx_l**2))
-    return new_poses, new_lms, chi2, cost_new, dx_norm
+    return new_poses, new_lms, dx_norm
 
 
 def solve_schur_large(
@@ -376,11 +357,19 @@ def solve_schur_large(
     dtype = np.asarray(poses).dtype
     history = []
     for _ in range(options.max_iters):
-        new_poses, new_lms, chi2, cost_new, dx_norm = _large_step(
-            lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, options.method,
-            pcg_rtol, pcg_max_iters, lb.trails,
-            poses, lms, lb.free_p, lb.free_l, lb.obs_data, lb.ci, lb.li,
-            lb.w_pad, jnp.asarray(lam, dtype),
+        chi2, Hpp, g_p, Hll, g_l, W = _linearize_stream(
+            lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, True, lb.trails,
+            poses, lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
+        )
+        new_poses, new_lms, dx_norm = _schur_solve_large(
+            options.method, pcg_rtol, pcg_max_iters, lb.C, lb.L,
+            Hpp, g_p, Hll, g_l, W, poses, lms, lb.free_p, lb.free_l,
+            lb.ci, lb.li, jnp.asarray(lam, dtype),
+        )
+        del Hpp, g_p, Hll, g_l, W
+        cost_new = _linearize_stream(
+            lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, False, lb.trails,
+            new_poses, new_lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
         )
         chi2 = float(chi2)
         cost_new = float(cost_new)
