@@ -246,16 +246,44 @@ def prepare_large_ba(
     )
 
 
-@partial(jax.jit, static_argnames=("method", "pcg_rtol", "pcg_max_iters", "C", "L"))
-def _schur_solve_large(
-    method, pcg_rtol, pcg_max_iters, C, L,
-    Hpp, g_p, Hll, g_l, W, poses, lms, free_p, free_l, ci, li, lam,
-):
-    """Damp -> eliminate landmarks -> implicit PCG -> back-substitute ->
-    retract.  Separate jit from the linearize scans: the fully fused
-    single-program step faults the TPU runtime at ~4.6M observations, while
-    the same phases as individual programs run fine (measured)."""
-    dtype = poses.dtype
+def _mv_ops(C, L, Hpp, Hinv, W, ci, li):
+    """Shared component-major operator closures."""
+
+    def W_T_dot_cam(xc6):
+        t = []
+        for j in range(3):
+            acc = jnp.zeros(ci.shape[0], W.dtype)
+            for i in range(6):
+                acc = acc + W[3 * i + j] * xc6[i]
+            t.append(jax.ops.segment_sum(acc, li, num_segments=L, indices_are_sorted=True))
+        return jnp.stack(t)
+
+    def W_dot_lm(t3):
+        tg = [t3[j][li] for j in range(3)]
+        cols = []
+        for i in range(6):
+            acc = W[3 * i] * tg[0] + W[3 * i + 1] * tg[1] + W[3 * i + 2] * tg[2]
+            cols.append(jax.ops.segment_sum(acc, ci, num_segments=C))
+        return jnp.stack(cols, axis=1)
+
+    def gather_cam(xb):
+        return [xb[:, i][ci] for i in range(6)]
+
+    def matvec(x):
+        xb = x.reshape(C, 6)
+        y = jnp.einsum("cij,cj->ci", Hpp, xb)
+        t1 = W_T_dot_cam(gather_cam(xb))
+        t2 = _apply33_flat(Hinv, t1)
+        y = y - W_dot_lm(t2)
+        return y.reshape(-1)
+
+    return W_T_dot_cam, W_dot_lm, gather_cam, matvec
+
+
+@partial(jax.jit, static_argnames=("method", "C", "L"))
+def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, lam):
+    """Mask constants, damp, invert Hll, reduced gradient, SCHUR_JACOBI."""
+    dtype = Hpp.dtype
     eye6 = jnp.eye(6, dtype=dtype)
     Hpp = Hpp * free_p[:, None, None] + (1.0 - free_p)[:, None, None] * eye6
     g_p = g_p * free_p[:, None]
@@ -275,31 +303,10 @@ def _schur_solve_large(
             Hll = Hll.at[k].set(Hll[k] * (1.0 + lam))
     Hinv = _inv33_flat(Hll)
 
+    _, W_dot_lm, _, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li)
+    g_red = g_p - W_dot_lm(_apply33_flat(Hinv, g_l))
+
     Wc = [W[3 * i : 3 * i + 3] for i in range(6)]
-
-    def W_T_dot_cam(xc6):
-        t = []
-        for j in range(3):
-            acc = jnp.zeros(ci.shape[0], dtype)
-            for i in range(6):
-                acc = acc + W[3 * i + j] * xc6[i]
-            t.append(jax.ops.segment_sum(acc, li, num_segments=L, indices_are_sorted=True))
-        return jnp.stack(t)
-
-    def W_dot_lm(t3):
-        tg = [t3[j][li] for j in range(3)]
-        cols = []
-        for i in range(6):
-            acc = W[3 * i] * tg[0] + W[3 * i + 1] * tg[1] + W[3 * i + 2] * tg[2]
-            cols.append(jax.ops.segment_sum(acc, ci, num_segments=C))
-        return jnp.stack(cols, axis=1)
-
-    def gather_cam(xb):
-        return [xb[:, i][ci] for i in range(6)]
-
-    t = _apply33_flat(Hinv, g_l)
-    g_red = g_p - W_dot_lm(t)
-
     Hg = [Hinv[k][li] for k in range(9)]
     D = Hpp
     for i in range(6):
@@ -316,28 +323,80 @@ def _schur_solve_large(
     from .bcsr import sym_block_inv
 
     Dinv = sym_block_inv(D)
+    return Hpp, Hinv, W, g_l, g_red, Dinv, live
 
-    def matvec(x):
-        xb = x.reshape(C, 6)
-        y = jnp.einsum("cij,cj->ci", Hpp, xb)
-        t1 = W_T_dot_cam(gather_cam(xb))
-        t2 = _apply33_flat(Hinv, t1)
-        y = y - W_dot_lm(t2)
-        return y.reshape(-1)
+
+@partial(jax.jit, static_argnames=("C", "L", "S"))
+def _pcg_segment(C, L, S, Hpp, Hinv, W, ci, li, Dinv, state):
+    """Advance PCG by up to S iterations (bounded program runtime: the TPU
+    runtime in this environment kills single programs running for minutes,
+    so the CG loop is driven from the host in segments)."""
+    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li)
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
 
-    dx_p, _ = pcg_solve(
-        matvec, g_red.reshape(-1), precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters
-    )
-    dx_p = dx_p.reshape(C, 6) * free_p[:, None]
-    dx_l = _apply33_flat(Hinv, g_l - W_T_dot_cam(gather_cam(dx_p))) * live[None]
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, z, p, rz_new, it + 1
 
+    def cond(state):
+        return state[5] < S
+
+    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, state)
+    return (x, r, z, p, rz, jnp.zeros_like(it)), jnp.linalg.norm(r)
+
+
+@partial(jax.jit, static_argnames=("C", "L"))
+def _pcg_init(C, L, Hpp, Hinv, W, ci, li, Dinv, b):
+    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li)
+    r0 = b  # x0 = 0
+    z0 = jnp.einsum("cij,cj->ci", Dinv, r0.reshape(C, 6)).reshape(-1)
+    x0 = jnp.zeros_like(b)
+    return (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.zeros((), jnp.int32)), jnp.linalg.norm(r0)
+
+
+@partial(jax.jit, static_argnames=("C", "L"))
+def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, g_l, live, free_p, poses, lms, dx_p_flat):
+    W_T_dot_cam, _, gather_cam, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li)
+    dx_p = dx_p_flat.reshape(C, 6) * free_p[:, None]
+    dx_l = _apply33_flat(Hinv, g_l - W_T_dot_cam(gather_cam(dx_p))) * live[None]
     new_poses = retract("se3", poses, dx_p)
     new_lms = lms + dx_l.T
     dx_norm = jnp.sqrt(jnp.sum(dx_p**2) + jnp.sum(dx_l**2))
     return new_poses, new_lms, dx_norm
+
+
+def _schur_solve_large(
+    method, pcg_rtol, pcg_max_iters, C, L,
+    Hpp, g_p, Hll, g_l, W, poses, lms, free_p, free_l, ci, li, lam,
+    pcg_segment: int = 25,
+):
+    """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub."""
+    Hpp_d, Hinv, W_m, g_l_m, g_red, Dinv, live = _schur_prepare(
+        method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, lam
+    )
+    state, r0 = _pcg_init(C, L, Hpp_d, Hinv, W_m, ci, li, Dinv, g_red.reshape(-1))
+    tol = pcg_rtol * float(r0)
+    done = 0
+    while done < pcg_max_iters:
+        S = min(pcg_segment, pcg_max_iters - done)
+        state, rnorm = _pcg_segment(C, L, S, Hpp_d, Hinv, W_m, ci, li, Dinv, state)
+        done += S
+        if float(rnorm) <= tol:
+            break
+    dx_p_flat = state[0]
+    return _backsub_retract(
+        C, L, Hpp_d, Hinv, W_m, ci, li, g_l_m, live, free_p, poses, lms, dx_p_flat
+    )
 
 
 def solve_schur_large(
