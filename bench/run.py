@@ -251,7 +251,50 @@ def config_5():
     )
 
 
-CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}
+def config_6():
+    """BAL-Venice-FULL-scale BA (1700 cams / 1M landmarks / ~4.6M
+    observations) on a single chip via the component-major streamed Schur
+    path (solver/schur_large.py).  ~10 min wall including generation +
+    compile; run explicitly with --configs 6.
+
+    Reference measurement (TPU v5 lite, this environment): 3 LM iterations,
+    249 s steady-state, chi2 250.5M -> 1.39M (ground-truth chi2 1.74M)."""
+    import jax
+
+    from pyslam_tpu.graph import build
+    from pyslam_tpu.io import synth
+    from pyslam_tpu.solver import Options
+    from pyslam_tpu.solver.schur_large import (
+        _linearize_stream,
+        prepare_large_ba,
+        solve_schur_large,
+    )
+
+    data = synth.ba_synthetic(n_cams=1700, n_pts=1000000, obs_per_pt=5, seed=0)
+    g = build.ba_graph(data)
+    opts = Options(method="lm", max_iters=10)
+    t0 = time.perf_counter()
+    _, chi2, hist = solve_schur_large(g, opts, n_chunks=128, pcg_rtol=1e-6, pcg_max_iters=100)
+    wall = time.perf_counter() - t0
+    lb = prepare_large_ba(build.ba_graph(data, init="gt"), 128)
+    chi2_gt = float(
+        _linearize_stream(
+            lb.kind, lb.loss, 128, lb.C, lb.L, False, lb.trails,
+            lb.poses, lb.lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
+        )
+    )
+    return dict(
+        config="6_venice_full_1chip",
+        wall_s=wall,
+        iters=len(hist) - 1,
+        chi2=chi2,
+        chi2_gt=chi2_gt,
+        parity=chi2 <= chi2_gt,
+        speedup=None,
+    )
+
+
+CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5, 6: config_6}
 
 
 def main():
