@@ -500,6 +500,118 @@ def sym_block_inv(D):
     return solve_triangular(jnp.swapaxes(L, -1, -2), Y, lower=False)
 
 
+# --------------------------------------------------------------------------
+# Component-major ELL: the (nb, K, d, d) block layout tiles to (8, 128) per
+# block in HBM (21x the logical bytes), so this variant stores the system as
+# d*d component vectors over a flat (nb*K,) slot axis: zero tile padding,
+# strided-slice damping, gather-only matvec of d*d flat multiplies.
+#
+# MEASURED CROSSOVER (TPU v5 lite): at sphere2500 scale this is ~5x SLOWER
+# than the block layout (10 vs 56 LM it/s) — with only 22.5k slots each of
+# the ~48 small ops per matvec is latency-bound, while the block einsum's
+# padded 90 MB read costs only ~0.1 ms.  Component-major pays off when the
+# vectors are millions of elements long (see solver/schur_large.py, where it
+# is the difference between OOM and solving Venice on one chip).  Kept here
+# for mid-size graphs (~100k+ poses) and as the documented counterpart of
+# that experiment; solve_ell (block layout) remains the default.
+# --------------------------------------------------------------------------
+
+
+def assemble_ell_cm(graph: FactorGraph, plan: EllDirect):
+    """(He (d*d, nb*K), g (nb*d,), chi2) component-major assembly."""
+    nb, d, K = plan.nb, plan.d, plan.K
+    dtype = next(iter(graph.blocks.values())).values.dtype
+    He = jnp.zeros((d * d, nb * K), dtype)
+    g = jnp.zeros(nb * d, dtype)
+    chi2 = jnp.zeros((), dtype)
+
+    for fb, entries in zip(graph.batches, plan.maps):
+        r, jacs, w, c2 = linearize_batch(fb, graph.blocks)
+        chi2 = chi2 + c2
+        wr = w * r
+        for slot, idx, J in zip(fb.slots, fb.indices, jacs):
+            ga = jnp.einsum("fmi,fm->fi", J, wr)
+            rows = idx[:, None] * d + jnp.arange(d, dtype=jnp.int32)[None, :]
+            g = g.at[rows.reshape(-1)].add(-ga.reshape(-1))
+        for a, b, pos_ab, pos_ba in entries:
+            Ja, Jb = jacs[a], jacs[b]
+            for i in range(d):
+                for j in range(d):
+                    cij = jnp.sum(Ja[:, :, i] * w * Jb[:, :, j], axis=1)
+                    He = He.at[i * d + j, pos_ab].add(cij)
+                    if pos_ba is not None:
+                        He = He.at[j * d + i, pos_ba].add(cij)
+
+    # constant parameters: zero rows/cols + unit diagonal at slot 0
+    free = free_mask(graph).astype(dtype).reshape(nb, d)  # (nb, d)
+    free_col = free[plan.cols].reshape(nb * K, d)  # (nb*K, d) column-side
+    for i in range(d):
+        fr = jnp.repeat(free[:, i], K)  # row-side, broadcast over slots
+        for j in range(d):
+            He = He.at[i * d + j].multiply(fr * free_col[:, j])
+    diag_pos = jnp.arange(nb) * K
+    for i in range(d):
+        He = He.at[i * d + i, diag_pos].add(1.0 - free[:, i])
+    g = g * free.reshape(-1)
+    return He, g, chi2
+
+
+def solve_ell_cm(
+    graph: FactorGraph,
+    options: _lm.Options = _lm.Options(),
+    plan: EllDirect | None = None,
+    pcg_rtol: float = 1e-4,
+    pcg_max_iters: int = 75,
+):
+    """GN/LM with component-major ELL storage: tile-padding-free HBM traffic
+    in the CG loop (measured ~20x less bytes per matvec than the block
+    layout at sphere2500 scale).  Shares the jitted LM loop."""
+    if plan is None:
+        plan = build_ell_direct(graph)
+    key = ("ell_cm", id(plan), pcg_rtol, pcg_max_iters)
+    if key not in _CLOSURES:
+        nb, d, K = plan.nb, plan.d, plan.K
+        cols_flat = jnp.asarray(plan.cols.reshape(-1))
+
+        def assemble_fn(g):
+            return assemble_ell_cm(g, plan)
+
+        def solve_fn(He, g, lam, opt):
+            if opt.method == "lm":
+                # Marquardt damping in place: diagonal blocks live at the
+                # strided slot positions r*K
+                for i in range(d):
+                    comp0 = He[i * d + i, ::K]
+                    He = He.at[i * d + i, ::K].set(
+                        comp0 + lam * jnp.maximum(comp0, 1e-12)
+                    )
+            # block-Jacobi from the slot-0 components
+            D = He[:, ::K].reshape(d, d, nb)
+            Minv = sym_block_inv(jnp.transpose(D, (2, 0, 1)))
+
+            def matvec(x):
+                xb = x.reshape(nb, d)
+                y = []
+                for i in range(d):
+                    acc = jnp.zeros(nb * K, He.dtype)
+                    for j in range(d):
+                        acc = acc + He[i * d + j] * xb[:, j][cols_flat]
+                    y.append(jnp.sum(acc.reshape(nb, K), axis=1))
+                return jnp.stack(y, axis=1).reshape(-1)
+
+            def precond(r):
+                return jnp.einsum("nij,nj->ni", Minv, r.reshape(nb, d)).reshape(-1)
+
+            dx, _ = pcg_solve(
+                matvec, g, precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters
+            )
+            return dx
+
+        _CLOSURES[key] = (assemble_fn, solve_fn)
+    assemble_fn, solve_fn = _CLOSURES[key]
+    return _lm.solve(graph, options, assemble_fn=assemble_fn, solve_fn=solve_fn)
+
+
 def solve_ell(
     graph: FactorGraph,
     options: _lm.Options = _lm.Options(),

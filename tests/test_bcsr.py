@@ -174,3 +174,27 @@ class TestBCSRSolve:
         chi0 = float(g.chi2())
         s, info = solve_bcsr(g, Options(method="lm", max_iters=30))
         assert float(info.chi2) < chi0 * 0.2
+
+
+class TestEllComponentMajor:
+    def test_assembly_matches_block_layout(self):
+        from pyslam_tpu.solver.bcsr import assemble_ell, assemble_ell_cm, build_ell_direct
+
+        g = make_graph()
+        plan = build_ell_direct(g)
+        He_cm, g_cm, c_cm = assemble_ell_cm(g, plan)
+        He_bl, g_bl, c_bl = assemble_ell(g, plan)
+        nb, d, K = plan.nb, plan.d, plan.K
+        blocks = np.asarray(He_cm).reshape(d, d, nb, K).transpose(2, 3, 0, 1)
+        np.testing.assert_allclose(blocks, np.asarray(He_bl), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(g_cm), np.asarray(g_bl), atol=1e-12)
+        np.testing.assert_allclose(float(c_cm), float(c_bl), rtol=1e-12)
+
+    def test_solve_matches_dense(self):
+        from pyslam_tpu.solver.bcsr import solve_ell_cm
+
+        g = make_graph(seed=9)
+        opts = Options(method="lm", max_iters=30)
+        _, i_dense = solve(g, opts)
+        _, i_cm = solve_ell_cm(g, opts, pcg_rtol=1e-12, pcg_max_iters=500)
+        assert abs(float(i_dense.chi2) - float(i_cm.chi2)) / float(i_dense.chi2) < 1e-6
