@@ -405,10 +405,12 @@ def solve_schur_large(
     n_chunks: int = 16,
     pose_name: str = "poses",
     lm_name: str = "landmarks",
-    pcg_rtol: float = 1e-6,
-    pcg_max_iters: int = 100,
+    pcg_rtol: float = 1e-4,
+    pcg_max_iters: int = 30,
 ):
-    """Venice-scale single-chip Schur LM.  Returns
+    """Venice-scale single-chip Schur LM.  Default CG budget is the
+    measured knee at Venice scale: 30 its @ 1e-4 gives chi2 within 0.001%
+    of 100 its @ 1e-6 at 3x the speed.  Returns
     (solved_graph, final_chi2, cost_history)."""
     lb = prepare_large_ba(graph, n_chunks, pose_name, lm_name)
     poses, lms = lb.poses, lb.lms
