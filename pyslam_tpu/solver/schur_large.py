@@ -180,6 +180,7 @@ class LargeBA:
     ci: jnp.ndarray
     li: jnp.ndarray
     w_pad: jnp.ndarray
+    unary: tuple = ()
 
 
 def prepare_large_ba(
@@ -190,7 +191,10 @@ def prepare_large_ba(
 ) -> LargeBA:
     pb, lb = graph.blocks[pose_name], graph.blocks[lm_name]
     (fb,) = [b for b in graph.batches if b.slots == (pose_name, lm_name)]
-    assert len(graph.batches) == 1, "schur_large v1 supports the single-batch BA graph"
+    unary = [b for b in graph.batches if b.slots == (pose_name,)]
+    assert len(unary) + 1 == len(graph.batches), (
+        "schur_large supports one pose-landmark batch plus pose-unary priors"
+    )
     M = fb.n
     Mp = _ceil_to(M, n_chunks)
     pad = Mp - M
@@ -243,6 +247,10 @@ def prepare_large_ba(
         ci=jnp.asarray(pad0(np.asarray(fb.indices[0], np.int32))),
         li=jnp.asarray(pad0(np.asarray(fb.indices[1], np.int32))),
         w_pad=jnp.asarray(pad0(np.asarray(fb.weight))),
+        unary=tuple(
+            (u.kind, jnp.asarray(u.indices[0]), dict(u.data), u.loss, u.weight)
+            for u in unary
+        ),
     )
 
 
@@ -399,6 +407,28 @@ def _schur_solve_large(
     )
 
 
+def _unary_contrib(unary, poses, C, want_grad):
+    """Pose-prior contributions (chi2, Hpp (C,6,6), g_p (C,6)) — evaluated
+    unchunked (priors are C-sized, tiny next to the observation set)."""
+    dtype = poses.dtype
+    chi2 = jnp.zeros((), dtype)
+    Hpp = jnp.zeros((C, 6, 6), dtype)
+    g_p = jnp.zeros((C, 6), dtype)
+    for ukind, uidx, udata, uloss, uw in unary:
+        r, jac = FACTOR_KERNELS[ukind](udata, poses[uidx], compute_jacobians=want_grad)
+        chi2 = chi2 + jnp.sum(uloss.loss(r) * uw[:, None])
+        if want_grad:
+            (J,) = jac
+            w = uloss.weight(r) * uw[:, None]
+            Hpp = Hpp + jax.ops.segment_sum(
+                jnp.einsum("fmi,fm,fmj->fij", J, w, J), uidx, num_segments=C
+            )
+            g_p = g_p - jax.ops.segment_sum(
+                jnp.einsum("fmi,fm->fi", J, w * r), uidx, num_segments=C
+            )
+    return chi2, Hpp, g_p
+
+
 def solve_schur_large(
     graph: FactorGraph,
     options: _lm.Options = _lm.Options(),
@@ -422,6 +452,11 @@ def solve_schur_large(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, True, lb.trails,
             poses, lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
         )
+        if lb.unary:
+            c_u, H_u, g_u = _unary_contrib(lb.unary, poses, lb.C, True)
+            chi2 = chi2 + c_u
+            Hpp = Hpp + H_u
+            g_p = g_p + g_u
         new_poses, new_lms, dx_norm = _schur_solve_large(
             options.method, pcg_rtol, pcg_max_iters, lb.C, lb.L,
             Hpp, g_p, Hll, g_l, W, poses, lms, lb.free_p, lb.free_l,
@@ -432,6 +467,8 @@ def solve_schur_large(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, False, lb.trails,
             new_poses, new_lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
         )
+        if lb.unary:
+            cost_new = cost_new + _unary_contrib(lb.unary, new_poses, lb.C, False)[0]
         chi2 = float(chi2)
         cost_new = float(cost_new)
         if not history:

@@ -55,3 +55,30 @@ class TestSchurLarge:
             np.asarray(g.blocks["poses"].values[0]),
             atol=1e-12,
         )
+
+
+class TestSchurLargeUnary:
+    def test_pose_prior_matches_standard(self):
+        import numpy as _np
+        from pyslam_tpu.graph.core import FactorBatch, FactorGraph
+
+        data = synth.ba_synthetic(n_cams=6, n_pts=40, seed=11)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        pb = g.blocks["poses"]
+        prior = FactorBatch.create(
+            kind="prior_se3",
+            slots=("poses",),
+            indices=(_np.array([0], _np.int32),),
+            data={
+                "T_obs": jnp.asarray(_np.asarray(pb.values[:1]), jnp.float64),
+                "sqrt_info": 1e3 * jnp.eye(6, dtype=jnp.float64)[None],
+            },
+            loss=g.batches[0].loss,
+        )
+        g2 = FactorGraph(dict(g.blocks), [g.batches[0], prior])
+        opts = Options(method="lm", max_iters=15)
+        _, info = solve_schur(g2, opts, mode="pcg", pcg_rtol=1e-10, pcg_max_iters=300)
+        _, chi2_l, _ = solve_schur_large(
+            g2, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=300
+        )
+        np.testing.assert_allclose(chi2_l, float(info.chi2), rtol=1e-8)
