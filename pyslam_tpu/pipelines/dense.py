@@ -43,6 +43,7 @@ class _DensePipelineBase:
         min_grad: float = 0.0,
         max_iters_per_level: int = 15,
         depth_stiffness: float | None = None,
+        pixel_budget: int | None = 24576,
     ):
         self.camera = camera
         self.pyrlevels = pyrlevels
@@ -51,6 +52,7 @@ class _DensePipelineBase:
         self.loss = loss if loss is not None else TDistributionLoss(nu=5.0)
         self.stiffness = stiffness
         self.min_grad = min_grad
+        self.pixel_budget = pixel_budget
         # tight per-level stopping: photometric alignment needs the tail
         # iterations (cost decrease per step shrinks fast near the optimum)
         self.options = lm.Options(
@@ -174,7 +176,8 @@ class DenseStereoPipeline(_DensePipelineBase):
     def track(self, im_left, im_right, guess=None, disp=None):
         def make_keyframe():
             return DenseStereoKeyframe(
-                im_left, im_right, self.camera, self.pyrlevels, self.min_grad, disp=disp
+                im_left, im_right, self.camera, self.pyrlevels, self.min_grad,
+                disp=disp, pixel_budget=self.pixel_budget,
             )
 
         return self._track_common(make_keyframe, np.asarray(im_left, np.float64), guess)
@@ -187,7 +190,10 @@ class DenseRGBDPipeline(_DensePipelineBase):
 
     def track(self, im, depth, guess=None):
         def make_keyframe():
-            return DenseRGBDKeyframe(im, depth, self.camera, self.pyrlevels, self.min_grad)
+            return DenseRGBDKeyframe(
+                im, depth, self.camera, self.pyrlevels, self.min_grad,
+                pixel_budget=self.pixel_budget,
+            )
 
         return self._track_common(make_keyframe, np.asarray(im, np.float64), guess)
 
