@@ -28,6 +28,30 @@ def _as_mat(T) -> np.ndarray:
     return np.asarray(T)
 
 
+from functools import partial  # noqa: E402
+
+import jax  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("nu",))
+def _estimate_tdist_scale(data, T_init, nu):
+    """Fixed-point Student-t scale from the residuals at the initial pose."""
+    from ..graph.core import FACTOR_KERNELS
+
+    r, _ = FACTOR_KERNELS["photometric_se3"](
+        data, T_init[None], compute_jacobians=False
+    )
+    m = data["mask"]
+    sigma2 = jnp.sum(m * r * r) / jnp.maximum(jnp.sum(m), 1.0) + 1e-12
+
+    def body(_, s2):
+        w = (nu + 1.0) / (nu + r * r / s2)
+        return jnp.sum(m * w * r * r) / jnp.maximum(jnp.sum(m), 1.0) + 1e-12
+
+    sigma2 = jax.lax.fori_loop(0, 10, body, sigma2)
+    return jnp.sqrt(sigma2)
+
+
 class _DensePipelineBase:
     """Shared tracking machinery (reference _compute_frame_to_keyframe_pose)."""
 
@@ -78,23 +102,14 @@ class _DensePipelineBase:
         """Freeze the Student-t scale per level (Kerl-style IRLS): a loss
         whose scale re-estimates *inside* every cost call is scale-invariant,
         so LM would see no decrease from a uniformly shrinking residual.
-        Estimate sigma once at the level's initial pose, then solve with the
-        scale held fixed."""
+        Estimate sigma once at the level's initial pose (one jitted dispatch;
+        the scale stays a device scalar — the loss pytree treats it as a
+        traced leaf, so no retrace and no host sync)."""
         loss = self.loss
         if not (isinstance(loss, TDistributionLoss) and loss.scale is None):
             return loss
-        from ..graph.core import FACTOR_KERNELS
-
-        r, _ = FACTOR_KERNELS["photometric_se3"](
-            data, jnp.asarray(T_init)[None], compute_jacobians=False
-        )
-        m = data["mask"]
-        nu = loss.nu
-        sigma2 = jnp.sum(m * r * r) / jnp.maximum(jnp.sum(m), 1.0) + 1e-12
-        for _ in range(10):
-            w = (nu + 1.0) / (nu + r * r / sigma2)
-            sigma2 = jnp.sum(m * w * r * r) / jnp.maximum(jnp.sum(m), 1.0) + 1e-12
-        return TDistributionLoss(nu=nu, scale=float(jnp.sqrt(sigma2)))
+        sigma = _estimate_tdist_scale(data, jnp.asarray(T_init), loss.nu)
+        return TDistributionLoss(nu=loss.nu, scale=sigma)
 
     def _solve_level(self, level_data, im_track_l, T_init: np.ndarray) -> np.ndarray:
         blocks = {
