@@ -52,6 +52,45 @@ def _estimate_tdist_scale(data, T_init, nu):
     return jnp.sqrt(sigma2)
 
 
+@partial(jax.jit, static_argnames=("options", "nu"))
+def _track_levels_fused(options, nu, fixed_loss, levels, pyr, stiffness, T_init):
+    """Coarse-to-fine pyramid tracking in one XLA program.
+
+    ``levels``: per-level (camera, pt_ref, I_ref, mask); ``pyr``: per-level
+    track images; ``nu`` not None selects adaptive Student-t (scale frozen
+    per level inside the trace), else ``fixed_loss`` is used as-is."""
+    from ..graph.core import FactorBatch, FactorGraph, VariableBlock
+
+    T = T_init
+    n_levels = len(levels)
+    for lvl in range(n_levels - 1, -1, -1):
+        camera, pt_ref, I_ref, mask = levels[lvl]
+        data = {
+            "camera": camera,
+            "pt_ref": pt_ref[None],
+            "I_ref": I_ref[None],
+            "mask": mask[None],
+            "im_track": pyr[lvl][None],
+            "stiffness": stiffness[None].astype(I_ref.dtype),
+        }
+        if nu is not None:
+            sigma = _estimate_tdist_scale(data, T, nu)
+            loss = TDistributionLoss(nu=nu, scale=sigma)
+        else:
+            loss = fixed_loss
+        batch = FactorBatch.create(
+            kind="photometric_se3",
+            slots=("pose",),
+            indices=(np.zeros(1, np.int32),),
+            data=data,
+            loss=loss,
+        )
+        blocks = {"pose": VariableBlock.create("se3", T[None])}
+        solved, _ = lm.solve(FactorGraph(blocks, [batch]), options)
+        T = solved.blocks["pose"].values[0]
+    return T
+
+
 class _DensePipelineBase:
     """Shared tracking machinery (reference _compute_frame_to_keyframe_pose)."""
 
@@ -136,7 +175,34 @@ class _DensePipelineBase:
     def _compute_frame_to_keyframe_pose(
         self, keyframe: DenseKeyframe, im_track: np.ndarray, guess: np.ndarray
     ) -> np.ndarray:
-        """Coarse-to-fine photometric alignment: T_track_key."""
+        """Coarse-to-fine photometric alignment: T_track_key.  The whole
+        pyramid (scale estimation + per-level LM solves) runs as ONE jitted
+        dispatch — per-dispatch latency through the TPU tunnel dominates
+        per-frame cost otherwise (measured 495 -> ~150 ms/frame)."""
+        pyr = self._track_pyramid(im_track)
+        levels = tuple(
+            (lv.camera, lv.pt_ref, lv.I_ref, lv.mask) for lv in keyframe.levels
+        )
+        nu = (
+            self.loss.nu
+            if isinstance(self.loss, TDistributionLoss) and self.loss.scale is None
+            else None
+        )
+        T = _track_levels_fused(
+            self.options,
+            nu,
+            self.loss if nu is None else None,
+            levels,
+            tuple(pyr),
+            jnp.asarray(self.stiffness),
+            jnp.asarray(guess),
+        )
+        return np.asarray(T)
+
+    def _compute_frame_to_keyframe_pose_stepwise(
+        self, keyframe: DenseKeyframe, im_track: np.ndarray, guess: np.ndarray
+    ) -> np.ndarray:
+        """Per-level host loop (kept for debugging / level inspection)."""
         pyr = self._track_pyramid(im_track)
         T = guess.copy()
         for lvl in range(self.pyrlevels - 1, -1, -1):
