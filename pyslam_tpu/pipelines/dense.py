@@ -135,7 +135,7 @@ class _DensePipelineBase:
         ims = [np.asarray(im_track, np.float64)]
         for _ in range(1, self.pyrlevels):
             ims.append(pyrdown(ims[-1]))
-        return [jnp.asarray(im) for im in ims]
+        return [jnp.asarray(im, jnp.float32) for im in ims]
 
     def _level_loss(self, data, T_init):
         """Freeze the Student-t scale per level (Kerl-style IRLS): a loss
@@ -194,8 +194,8 @@ class _DensePipelineBase:
             self.loss if nu is None else None,
             levels,
             tuple(pyr),
-            jnp.asarray(self.stiffness),
-            jnp.asarray(guess),
+            jnp.asarray(self.stiffness, jnp.float32),
+            jnp.asarray(guess, jnp.float32),
         )
         return np.asarray(T)
 
