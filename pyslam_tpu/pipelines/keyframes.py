@@ -103,10 +103,11 @@ class DenseKeyframe:
     ``pixel_budget`` caps the residual count per level to the highest-
     gradient pixels (DSO-style selection).  The budget is a STATIC shape —
     identical across keyframes — so the per-level tracking solve compiles
-    once for a whole run regardless of image content; measured ~5x tracking
-    throughput at VGA resolution vs all-pixels with no accuracy loss on
-    textured scenes.  ``pixel_budget=None`` keeps every pixel (reference
-    behavior)."""
+    once for a whole run regardless of image content.  Together with the
+    fused one-dispatch-per-frame pyramid solve (pipelines/dense.py) this
+    took VGA RGB-D tracking from 2.56 s/frame to 276 ms/frame (3.6 fps) on
+    TPU v5 lite with 0.01 mm error on the synthetic benchmark.
+    ``pixel_budget=None`` keeps every pixel (reference behavior)."""
 
     def __init__(
         self, im, depth_or_disp, camera, pyrlevels=4, min_grad=0.0, T_w=None,
