@@ -90,3 +90,36 @@ def solve_auto(graph, options=None, dense_dof_limit: int = 12000):
 
 
 __all__ += ["solve_auto"]
+
+
+def solve_batched(graphs, options=None):
+    """Solve a FLEET of same-structure factor graphs in one vmapped jitted
+    LM program — a capability the reference cannot express (its solver is a
+    Python loop per problem).  Use cases: Monte-Carlo uncertainty (resampled
+    measurements), multi-robot fleets, measurement-hyperparameter sweeps.
+
+    ``graphs``: list of FactorGraphs with identical structure (same blocks,
+    batch kinds, factor counts — values/measurements may differ), or a
+    single pre-stacked graph pytree with a leading batch axis on every leaf.
+    Returns (stacked_solved_values: dict name -> (B, ...), chi2 (B,)).
+
+    The whole batch shares one compilation and runs as one XLA program;
+    lax.while_loop under vmap steps until every problem converges.
+    """
+    import jax
+    import jax.tree_util as jtu
+
+    opts = options if options is not None else Options()
+    if isinstance(graphs, (list, tuple)):
+        stacked = jtu.tree_map(lambda *xs: jax.numpy.stack(xs), *graphs)
+    else:
+        stacked = graphs
+
+    def _solve_one(g):
+        solved, info = solve(g, opts)
+        return {n: b.values for n, b in solved.blocks.items()}, info.chi2
+
+    return jax.vmap(_solve_one)(stacked)
+
+
+__all__ += ["solve_batched"]

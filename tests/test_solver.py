@@ -253,3 +253,33 @@ class TestSolveAuto:
         before = problem.eval_cost()
         problem.solve()
         assert problem.eval_cost() < before
+
+
+class TestSolveBatched:
+    def test_fleet_matches_individual(self):
+        from pyslam_tpu.io import synth
+        from pyslam_tpu.graph import build
+        from pyslam_tpu.solver import Options, solve, solve_batched
+
+        datas = [synth.se2_loop(n_poses=20, n_loops=3, seed=s) for s in range(5)]
+        graphs = [build.pose_graph(d, dtype=jnp.float64) for d in datas]
+        opts = Options(method="lm", max_iters=25)
+        values, chi2s = solve_batched(graphs, opts)
+        assert values["poses"].shape == (5, 20, 3, 3)
+        for i, g in enumerate(graphs):
+            _, info = solve(g, opts)
+            np.testing.assert_allclose(float(chi2s[i]), float(info.chi2), rtol=1e-10)
+
+    def test_monte_carlo_covariance_consistency(self):
+        # resampled-noise fleet: empirical spread of the solutions should be
+        # finite and nonzero (smoke-level sanity of the MC use case)
+        from pyslam_tpu.io import synth
+        from pyslam_tpu.graph import build
+        from pyslam_tpu.solver import Options, solve_batched
+
+        datas = [synth.se2_loop(n_poses=15, n_loops=2, seed=s) for s in range(8)]
+        graphs = [build.pose_graph(d, dtype=jnp.float64) for d in datas]
+        values, chi2s = solve_batched(graphs, Options(method="lm", max_iters=25))
+        last_xy = np.asarray(values["poses"])[:, -1, :2, 2]
+        spread = last_xy.std(axis=0)
+        assert np.isfinite(spread).all() and (spread > 0).all()
