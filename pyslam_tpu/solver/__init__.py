@@ -123,3 +123,7 @@ def solve_batched(graphs, options=None):
 
 
 __all__ += ["solve_batched"]
+
+from .diff import solve_implicit  # noqa: E402
+
+__all__ += ["solve_implicit"]
