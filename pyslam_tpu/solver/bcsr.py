@@ -506,14 +506,15 @@ def sym_block_inv(D):
 # d*d component vectors over a flat (nb*K,) slot axis: zero tile padding,
 # strided-slice damping, gather-only matvec of d*d flat multiplies.
 #
-# MEASURED CROSSOVER (TPU v5 lite): at sphere2500 scale this is ~5x SLOWER
-# than the block layout (10 vs 56 LM it/s) — with only 22.5k slots each of
-# the ~48 small ops per matvec is latency-bound, while the block einsum's
-# padded 90 MB read costs only ~0.1 ms.  Component-major pays off when the
-# vectors are millions of elements long (see solver/schur_large.py, where it
-# is the difference between OOM and solving Venice on one chip).  Kept here
-# for mid-size graphs (~100k+ poses) and as the documented counterpart of
-# that experiment; solve_ell (block layout) remains the default.
+# MEASURED (TPU v5 lite): the block layout wins at every feasible pose-graph
+# size — 56 vs 10 LM it/s at 2.5k poses, 14 vs 1.3 at 10k, 1.9 vs 0.2 at
+# 50k.  The d 1-D gathers + d*d multiplies + d reshape-sums per matvec and
+# the d*d scatter passes per assembly cost more than the tiled block
+# einsum's padded HBM reads at these scales.  Component-major only pays when
+# the alternative DOES NOT FIT AT ALL: at Venice-BA scale the (M,6,6)
+# layout is a 19 GB allocation (OOM) while (18,M) solves it — see
+# solver/schur_large.py.  This variant is kept as the measured record of
+# that experiment; solve_ell (block layout) is the pose-graph default.
 # --------------------------------------------------------------------------
 
 
