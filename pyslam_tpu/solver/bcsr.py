@@ -629,7 +629,6 @@ def solve_ell(
     if key not in _CLOSURES:
         nb, d, K = plan.nb, plan.d, plan.K
         cols = jnp.asarray(plan.cols)
-        valid = None  # already structurally zero: unassigned slots never written
 
         def assemble_fn(g):
             return assemble_ell(g, plan)
