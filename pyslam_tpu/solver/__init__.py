@@ -127,3 +127,7 @@ __all__ += ["solve_batched"]
 from .diff import solve_implicit  # noqa: E402
 
 __all__ += ["solve_implicit"]
+
+from .schur_large import solve_schur_large  # noqa: E402
+
+__all__ += ["solve_schur_large"]
