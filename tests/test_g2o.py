@@ -47,3 +47,43 @@ class TestG2ORoundTrip:
         _, info_a = solve(build.pose_graph(data, dtype=jnp.float64), opts)
         _, info_b = solve(build.pose_graph(back, dtype=jnp.float64), opts)
         np.testing.assert_allclose(float(info_a.chi2), float(info_b.chi2), rtol=1e-8)
+
+
+class TestTrajectoryIO:
+    def test_tum_roundtrip(self, tmp_path):
+        from pyslam_tpu.io import trajectory
+        from pyslam_tpu.lie import se3
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        T = np.asarray(se3.exp(jnp.asarray(rng.normal(0, 0.5, (12, 6)))))
+        ts = np.linspace(100.0, 101.1, 12)
+        p = str(tmp_path / "traj.tum")
+        trajectory.write_tum(p, T, ts)
+        ts2, T2 = trajectory.read_tum(p)
+        np.testing.assert_allclose(ts2, ts, atol=1e-6)
+        np.testing.assert_allclose(T2, T, atol=1e-7)
+
+    def test_kitti_roundtrip(self, tmp_path):
+        from pyslam_tpu.io import trajectory
+        from pyslam_tpu.lie import se3
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(1)
+        T = np.asarray(se3.exp(jnp.asarray(rng.normal(0, 0.5, (9, 6)))))
+        p = str(tmp_path / "traj.kitti")
+        trajectory.write_kitti(p, T)
+        T2 = trajectory.read_kitti(p)
+        np.testing.assert_allclose(T2, T, atol=1e-7)
+
+    def test_metrics_on_read_trajectory(self, tmp_path):
+        from pyslam_tpu.io import trajectory
+        from pyslam_tpu.eval import TrajectoryMetrics
+
+        T = np.tile(np.eye(4), (10, 1, 1))
+        T[:, 0, 3] = np.arange(10.0)
+        p = str(tmp_path / "a.tum")
+        trajectory.write_tum(p, T)
+        _, back = trajectory.read_tum(p)
+        tm = TrajectoryMetrics(T, back)
+        assert float(tm.armse("trans")) < 1e-9
