@@ -283,3 +283,52 @@ class TestSolveBatched:
         last_xy = np.asarray(values["poses"])[:, -1, :2, 2]
         spread = last_xy.std(axis=0)
         assert np.isfinite(spread).all() and (spread > 0).all()
+
+
+class TestSpanningTreeInit:
+    def test_reproduces_odometry_integration(self):
+        from pyslam_tpu.graph.initialize import spanning_tree_init
+        from pyslam_tpu.io import synth
+
+        # chain-only graph: the BFS tree IS the odometry chain
+        data = synth.se2_loop(n_poses=25, n_loops=0, seed=0)
+        T0 = spanning_tree_init(
+            data.edges_i, data.edges_j, data.T_meas, 25, T_root=data.T_gt[0]
+        )
+        np.testing.assert_allclose(T0, data.T_init, atol=1e-9)
+
+    def test_solves_from_tree_init(self):
+        from pyslam_tpu.graph.initialize import spanning_tree_init
+        from pyslam_tpu.graph import build
+        from pyslam_tpu.io import synth
+        from pyslam_tpu.solver import Options, solve
+
+        data = synth.se3_sphere(n_poses=40, n_loops=10, seed=5)
+        T0 = spanning_tree_init(
+            data.edges_i, data.edges_j, data.T_meas, 40, T_root=data.T_gt[0]
+        )
+        data.T_init = T0
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, info = solve(g, Options(method="lm", max_iters=30))
+        assert float(info.chi2) < float(g.chi2()) * 0.5
+
+    def test_disconnected_gets_root_pose(self):
+        from pyslam_tpu.graph.initialize import spanning_tree_init
+
+        # 4 poses, only 0-1 connected; 2,3 unreachable
+        T_meas = np.tile(np.eye(3), (1, 1, 1))
+        T0 = spanning_tree_init([0], [1], T_meas, 4)
+        np.testing.assert_allclose(T0[2], np.eye(3))
+        np.testing.assert_allclose(T0[3], np.eye(3))
+
+    def test_reverse_edges(self):
+        from pyslam_tpu.graph.initialize import spanning_tree_init
+        from pyslam_tpu.io import synth
+
+        data = synth.se2_loop(n_poses=10, n_loops=0, seed=1)
+        # flip every edge direction: j->i with inverted measurement
+        T0 = spanning_tree_init(
+            data.edges_j, data.edges_i,
+            np.linalg.inv(data.T_meas), 10, T_root=data.T_gt[0],
+        )
+        np.testing.assert_allclose(T0, data.T_init, atol=1e-9)
