@@ -84,6 +84,11 @@ def read_g2o(path) -> PoseGraphData:
             if not tok:
                 continue
             tag = tok[0]
+            # legacy TORO/g2o aliases seen in published datasets
+            tag = {"VERTEX2": "VERTEX_SE2", "EDGE2": "EDGE_SE2",
+                   "VERTEX3": "VERTEX_SE3:QUAT", "EDGE3": "EDGE_SE3:QUAT",
+                   "VERTEX_SE3": "VERTEX_SE3:QUAT", "EDGE_SE3": "EDGE_SE3:QUAT",
+                   }.get(tag, tag)
             if tag == "VERTEX_SE2":
                 dim = dim or 2
                 i = int(tok[1])

@@ -87,3 +87,20 @@ class TestTrajectoryIO:
         _, back = trajectory.read_tum(p)
         tm = TrajectoryMetrics(T, back)
         assert float(tm.armse("trans")) < 1e-9
+
+
+class TestG2OLegacyTags:
+    def test_toro_aliases(self, tmp_path):
+        # VERTEX2/EDGE2 (TORO) must parse identically to VERTEX_SE2/EDGE_SE2
+        data = synth.se2_loop(n_poses=6, n_loops=1, seed=4)
+        p1 = str(tmp_path / "modern.g2o")
+        g2o.write_g2o(p1, data)
+        legacy = open(p1).read().replace("VERTEX_SE2", "VERTEX2").replace(
+            "EDGE_SE2", "EDGE2"
+        )
+        p2 = str(tmp_path / "legacy.g2o")
+        open(p2, "w").write(legacy)
+        a = g2o.read_g2o(p1)
+        b = g2o.read_g2o(p2)
+        np.testing.assert_allclose(b.T_init, a.T_init, atol=1e-12)
+        np.testing.assert_allclose(b.T_meas, a.T_meas, atol=1e-12)
