@@ -55,6 +55,16 @@ def _inv33_flat(h):
     ) * inv_det[None]
 
 
+def _sum_C(vals, bounds):
+    """Per-camera sums of a camera-sorted per-observation vector via
+    cumsum + boundary differences: ~5x faster than XLA's segment_sum on this
+    chip (scatter lowering costs ~38 ms per 4.65M-element reduction
+    regardless of sortedness or segment count; cumsum costs ~6 ms).
+    ``bounds``: (C+1,) start offsets into the sorted array."""
+    tot = jnp.concatenate([jnp.zeros(1, vals.dtype), jnp.cumsum(vals)])
+    return tot[bounds[1:]] - tot[bounds[:-1]]
+
+
 def _apply33_flat(h, x):
     """y_i = sum_j h[i,j] x_j with h (9, L), x (3, L)."""
     return jnp.stack(
@@ -68,7 +78,8 @@ def _apply33_flat(h, x):
 
 @partial(jax.jit, static_argnames=("kind", "loss", "n_chunks", "C", "L", "want_grad", "trails"))
 def _linearize_stream(
-    kind, loss, n_chunks, C, L, want_grad, trails, poses, lms, obs_data, ci, li, w_pad
+    kind, loss, n_chunks, C, L, want_grad, trails, poses, lms, obs_data, ci, li, w_pad,
+    cam_starts=None,
 ):
     """Streamed linearization over observation chunks.
 
@@ -118,26 +129,27 @@ def _linearize_stream(
         def col(J, i):  # (chunk,) component i summed over residual dim later
             return J[:, :, i]
 
-        # camera-block contributions
+        # camera-block contributions: this chunk is a contiguous range of the
+        # camera-sorted array, so per-camera sums are cumsum boundary diffs
+        bnd = jnp.clip(cam_starts - k * chunk, 0, chunk)
         for i in range(6):
             gi = jnp.sum(col(Jc, i) * wr, axis=1)
-            g_p = g_p.at[:, i].add(-jax.ops.segment_sum(gi, cck, num_segments=C))
+            g_p = g_p.at[:, i].add(-_sum_C(gi, bnd))
             for j in range(i, 6):
                 hij = jnp.sum(col(Jc, i) * w * col(Jc, j), axis=1)
-                acc = jax.ops.segment_sum(hij, cck, num_segments=C)
+                acc = _sum_C(hij, bnd)
                 Hpp = Hpp.at[:, i, j].add(acc)
                 if j > i:
                     Hpp = Hpp.at[:, j, i].add(acc)
-        # landmark-block contributions
+        # landmark-block contributions (scatter-add: collision-free at ~L
+        # segments)
         for i in range(3):
             gi = jnp.sum(col(Jl, i) * wr, axis=1)
-            g_l = g_l.at[i].add(
-                -jax.ops.segment_sum(gi, llk, num_segments=L, indices_are_sorted=True)
-            )
+            g_l = g_l.at[i].add(-jax.ops.segment_sum(gi, llk, num_segments=L))
             for j in range(3):
                 hij = jnp.sum(col(Jl, i) * w * col(Jl, j), axis=1)
                 Hll = Hll.at[3 * i + j].add(
-                    jax.ops.segment_sum(hij, llk, num_segments=L, indices_are_sorted=True)
+                    jax.ops.segment_sum(hij, llk, num_segments=L)
                 )
         # coupling W components, emitted per chunk (18, chunk)
         Wc = jnp.stack(
@@ -180,6 +192,7 @@ class LargeBA:
     ci: jnp.ndarray
     li: jnp.ndarray
     w_pad: jnp.ndarray
+    cam_starts: jnp.ndarray = None  # (C+1,) camera range bounds
     unary: tuple = ()
 
 
@@ -198,9 +211,10 @@ def prepare_large_ba(
     M = fb.n
     Mp = _ceil_to(M, n_chunks)
     pad = Mp - M
-    # stable-sort observations by landmark: li segment-sums become sorted
-    # scatters (indices_are_sorted=True), measurably faster at Venice scale
-    order = np.argsort(np.asarray(fb.indices[1]), kind="stable")
+    # stable-sort observations by CAMERA: all camera-direction reductions
+    # become cumsum + boundary differences (_sum_C); the landmark direction
+    # keeps scatter-adds, which are collision-free at ~1M segments
+    order = np.argsort(np.asarray(fb.indices[0]), kind="stable")
 
     def pad0(x):
         x = np.asarray(x)[order]
@@ -244,9 +258,18 @@ def prepare_large_ba(
         free_l=jnp.asarray((~np.asarray(lb.const_mask)).astype(np.asarray(pb.values).dtype)),
         obs_data=obs_data,
         trails=tuple(sorted(obs_trails.items())),
-        ci=jnp.asarray(pad0(np.asarray(fb.indices[0], np.int32))),
+        ci=jnp.asarray(np.concatenate([
+            np.asarray(fb.indices[0], np.int32)[order],
+            np.full(pad, pb.n - 1, np.int32),  # padding keeps sortedness
+        ]) if pad else np.asarray(fb.indices[0], np.int32)[order]),
         li=jnp.asarray(pad0(np.asarray(fb.indices[1], np.int32))),
         w_pad=jnp.asarray(pad0(np.asarray(fb.weight))),
+        cam_starts=jnp.asarray(np.searchsorted(
+            np.concatenate([np.asarray(fb.indices[0], np.int32)[order],
+                            np.full(pad, pb.n - 1, np.int32)]) if pad
+            else np.asarray(fb.indices[0], np.int32)[order],
+            np.arange(pb.n + 1),
+        ).astype(np.int32)),
         unary=tuple(
             (u.kind, jnp.asarray(u.indices[0]), dict(u.data), u.loss, u.weight)
             for u in unary
@@ -254,7 +277,7 @@ def prepare_large_ba(
     )
 
 
-def _mv_ops(C, L, Hpp, Hinv, W, ci, li):
+def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts):
     """Shared component-major operator closures."""
 
     def W_T_dot_cam(xc6):
@@ -263,7 +286,7 @@ def _mv_ops(C, L, Hpp, Hinv, W, ci, li):
             acc = jnp.zeros(ci.shape[0], W.dtype)
             for i in range(6):
                 acc = acc + W[3 * i + j] * xc6[i]
-            t.append(jax.ops.segment_sum(acc, li, num_segments=L, indices_are_sorted=True))
+            t.append(jax.ops.segment_sum(acc, li, num_segments=L))
         return jnp.stack(t)
 
     def W_dot_lm(t3):
@@ -271,7 +294,7 @@ def _mv_ops(C, L, Hpp, Hinv, W, ci, li):
         cols = []
         for i in range(6):
             acc = W[3 * i] * tg[0] + W[3 * i + 1] * tg[1] + W[3 * i + 2] * tg[2]
-            cols.append(jax.ops.segment_sum(acc, ci, num_segments=C))
+            cols.append(_sum_C(acc, cam_starts))
         return jnp.stack(cols, axis=1)
 
     def gather_cam(xb):
@@ -289,7 +312,7 @@ def _mv_ops(C, L, Hpp, Hinv, W, ci, li):
 
 
 @partial(jax.jit, static_argnames=("method", "C", "L"))
-def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, lam):
+def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, cam_starts, lam):
     """Mask constants, damp, invert Hll, reduced gradient, SCHUR_JACOBI."""
     dtype = Hpp.dtype
     eye6 = jnp.eye(6, dtype=dtype)
@@ -311,7 +334,7 @@ def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, 
             Hll = Hll.at[k].set(Hll[k] * (1.0 + lam))
     Hinv = _inv33_flat(Hll)
 
-    _, W_dot_lm, _, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li)
+    _, W_dot_lm, _, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
     g_red = g_p - W_dot_lm(_apply33_flat(Hinv, g_l))
 
     Wc = [W[3 * i : 3 * i + 3] for i in range(6)]
@@ -324,7 +347,7 @@ def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, 
         ]
         for i2 in range(i, 6):
             v = Wc[i2][0] * u[0] + Wc[i2][1] * u[1] + Wc[i2][2] * u[2]
-            acc = jax.ops.segment_sum(v, ci, num_segments=C)
+            acc = _sum_C(v, cam_starts)
             D = D.at[:, i, i2].add(-acc)
             if i2 > i:
                 D = D.at[:, i2, i].add(-acc)
@@ -335,11 +358,11 @@ def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, 
 
 
 @partial(jax.jit, static_argnames=("C", "L", "S"))
-def _pcg_segment(C, L, S, Hpp, Hinv, W, ci, li, Dinv, state):
+def _pcg_segment(C, L, S, Hpp, Hinv, W, ci, li, cam_starts, Dinv, state):
     """Advance PCG by up to S iterations (bounded program runtime: the TPU
     runtime in this environment kills single programs running for minutes,
     so the CG loop is driven from the host in segments)."""
-    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li)
+    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
@@ -364,8 +387,8 @@ def _pcg_segment(C, L, S, Hpp, Hinv, W, ci, li, Dinv, state):
 
 
 @partial(jax.jit, static_argnames=("C", "L"))
-def _pcg_init(C, L, Hpp, Hinv, W, ci, li, Dinv, b):
-    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li)
+def _pcg_init(C, L, Hpp, Hinv, W, ci, li, cam_starts, Dinv, b):
+    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
     r0 = b  # x0 = 0
     z0 = jnp.einsum("cij,cj->ci", Dinv, r0.reshape(C, 6)).reshape(-1)
     x0 = jnp.zeros_like(b)
@@ -373,8 +396,8 @@ def _pcg_init(C, L, Hpp, Hinv, W, ci, li, Dinv, b):
 
 
 @partial(jax.jit, static_argnames=("C", "L"))
-def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, g_l, live, free_p, poses, lms, dx_p_flat):
-    W_T_dot_cam, _, gather_cam, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li)
+def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, cam_starts, g_l, live, free_p, poses, lms, dx_p_flat):
+    W_T_dot_cam, _, gather_cam, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
     dx_p = dx_p_flat.reshape(C, 6) * free_p[:, None]
     dx_l = _apply33_flat(Hinv, g_l - W_T_dot_cam(gather_cam(dx_p))) * live[None]
     new_poses = retract("se3", poses, dx_p)
@@ -385,25 +408,25 @@ def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, g_l, live, free_p, poses, lms, 
 
 def _schur_solve_large(
     method, pcg_rtol, pcg_max_iters, C, L,
-    Hpp, g_p, Hll, g_l, W, poses, lms, free_p, free_l, ci, li, lam,
+    Hpp, g_p, Hll, g_l, W, poses, lms, free_p, free_l, ci, li, cam_starts, lam,
     pcg_segment: int = 25,
 ):
     """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub."""
     Hpp_d, Hinv, W_m, g_l_m, g_red, Dinv, live = _schur_prepare(
-        method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, lam
+        method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, cam_starts, lam
     )
-    state, r0 = _pcg_init(C, L, Hpp_d, Hinv, W_m, ci, li, Dinv, g_red.reshape(-1))
+    state, r0 = _pcg_init(C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, Dinv, g_red.reshape(-1))
     tol = pcg_rtol * float(r0)
     done = 0
     while done < pcg_max_iters:
         S = min(pcg_segment, pcg_max_iters - done)
-        state, rnorm = _pcg_segment(C, L, S, Hpp_d, Hinv, W_m, ci, li, Dinv, state)
+        state, rnorm = _pcg_segment(C, L, S, Hpp_d, Hinv, W_m, ci, li, cam_starts, Dinv, state)
         done += S
         if float(rnorm) <= tol:
             break
     dx_p_flat = state[0]
     return _backsub_retract(
-        C, L, Hpp_d, Hinv, W_m, ci, li, g_l_m, live, free_p, poses, lms, dx_p_flat
+        C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, g_l_m, live, free_p, poses, lms, dx_p_flat
     )
 
 
@@ -450,7 +473,7 @@ def solve_schur_large(
     for _ in range(options.max_iters):
         chi2, Hpp, g_p, Hll, g_l, W = _linearize_stream(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, True, lb.trails,
-            poses, lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
+            poses, lms, lb.obs_data, lb.ci, lb.li, lb.w_pad, lb.cam_starts,
         )
         if lb.unary:
             c_u, H_u, g_u = _unary_contrib(lb.unary, poses, lb.C, True)
@@ -460,12 +483,12 @@ def solve_schur_large(
         new_poses, new_lms, dx_norm = _schur_solve_large(
             options.method, pcg_rtol, pcg_max_iters, lb.C, lb.L,
             Hpp, g_p, Hll, g_l, W, poses, lms, lb.free_p, lb.free_l,
-            lb.ci, lb.li, jnp.asarray(lam, dtype),
+            lb.ci, lb.li, lb.cam_starts, jnp.asarray(lam, dtype),
         )
         del Hpp, g_p, Hll, g_l, W
         cost_new = _linearize_stream(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, False, lb.trails,
-            new_poses, new_lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
+            new_poses, new_lms, lb.obs_data, lb.ci, lb.li, lb.w_pad, lb.cam_starts,
         )
         if lb.unary:
             cost_new = cost_new + _unary_contrib(lb.unary, new_poses, lb.C, False)[0]
