@@ -258,7 +258,7 @@ def config_6():
     compile; run explicitly with --configs 6.
 
     Reference measurement (TPU v5 lite, this environment): 3 LM iterations,
-    85 s steady-state (28 s/iteration) at pcg(30, 1e-4), chi2
+    56 s steady-state (18.6 s/iteration) at pcg(30, 1e-4), chi2
     250.5M -> 1.391M (ground-truth chi2 1.74M; 100 CG iterations only
     improves chi2 by 0.001%)."""
     import jax
