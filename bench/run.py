@@ -258,9 +258,9 @@ def config_6():
     compile; run explicitly with --configs 6.
 
     Reference measurement (TPU v5 lite, this environment): 3 LM iterations,
-    56 s steady-state (18.6 s/iteration) at pcg(30, 1e-4), chi2
+    39 s steady-state (13 s/iteration) at pcg(20, 1e-4), chi2
     250.5M -> 1.391M (ground-truth chi2 1.74M; 100 CG iterations only
-    improves chi2 by 0.001%)."""
+    improves chi2 by 0.002%)."""
     import jax
 
     from pyslam_tpu.graph import build
@@ -276,7 +276,7 @@ def config_6():
     g = build.ba_graph(data)
     opts = Options(method="lm", max_iters=10)
     t0 = time.perf_counter()
-    _, chi2, hist = solve_schur_large(g, opts, n_chunks=128, pcg_rtol=1e-4, pcg_max_iters=30)
+    _, chi2, hist = solve_schur_large(g, opts, n_chunks=128, pcg_rtol=1e-4, pcg_max_iters=20)
     wall = time.perf_counter() - t0
     lb = prepare_large_ba(build.ba_graph(data, init="gt"), 128)
     chi2_gt = float(
