@@ -59,7 +59,6 @@ class ShardedBA:
     free_l: jnp.ndarray  # (n*Lb,)
     obs_data: dict  # per-obs arrays, leading axis n*Mb, sharded
     cam_idx: jnp.ndarray  # (n*Mb,)
-    cam_bounds: jnp.ndarray  # (n*(C+1),) per-device camera range offsets
     pt_local: jnp.ndarray  # (n*Mb,) index into the owner's slab
     weight: jnp.ndarray  # (n*Mb,)
     static_data: dict  # non-array kernel data (camera pytree), captured
@@ -112,10 +111,7 @@ def shard_ba(
     cam_idx = np.asarray(fb.indices[0])
     pt_idx = np.asarray(fb.indices[1])
     owner = part[pt_idx]
-    # sort by (owner, camera): camera-direction reductions become per-device
-    # cumsum + boundary differences (XLA scatter costs ~38 ms per multi-M
-    # element reduction on this TPU; cumsum ~6 ms — see solver/schur_large)
-    obs_order = np.lexsort((cam_idx, owner))
+    obs_order = np.argsort(owner, kind="stable")
     ocounts = np.bincount(owner, minlength=n)
     Mb = int(max(1, ocounts.max()))
     ostarts = np.concatenate([[0], np.cumsum(ocounts)[:-1]])
@@ -128,10 +124,7 @@ def shard_ba(
         out[dest] = arr[obs_order]
         return out
 
-    cam_pad = pad_obs(cam_idx, fill=C - 1).astype(np.int32)  # keeps slabs sorted
-    cam_bounds = np.stack(
-        [np.searchsorted(cam_pad[d * Mb : (d + 1) * Mb], np.arange(C + 1)) for d in range(n)]
-    ).astype(np.int32)  # (n, C+1) per-device camera ranges
+    cam_pad = pad_obs(cam_idx).astype(np.int32)
     pt_pad = pad_obs(slot_of[pt_idx] % Lb).astype(np.int32)  # local slot
     w_pad = pad_obs(np.asarray(fb.weight), fill=0.0)
     obs_data, static_data = {}, {}
@@ -155,7 +148,6 @@ def shard_ba(
         free_l=jnp.asarray(free_l),
         obs_data=obs_data,
         cam_idx=jnp.asarray(cam_pad),
-        cam_bounds=jnp.asarray(cam_bounds.reshape(-1)),
         pt_local=jnp.asarray(pt_pad),
         weight=jnp.asarray(w_pad),
         static_data=static_data,
@@ -173,7 +165,7 @@ def make_sharded_schur_step(
 ):
     """One landmark-sharded Schur LM iteration under shard_map.
 
-    step(poses, lm_slab, obs_data, cam_idx, cam_bounds, pt_local, weight, lam)
+    step(poses, lm_slab, obs_data, cam_idx, pt_local, weight, lam)
       -> (new_poses, new_lm_slab, chi2, cost_new, dx_norm)
     """
     axis = sb.axis
@@ -186,13 +178,6 @@ def make_sharded_schur_step(
 
     def _seg(vals, idx, nseg):
         return jax.ops.segment_sum(vals, idx, num_segments=nseg)
-
-    def _seg_C(vals, bounds):
-        """Per-camera sums of a camera-sorted per-observation array via
-        cumsum + boundary differences (leading axis = observations)."""
-        cs = jnp.cumsum(vals, axis=0)
-        tot = jnp.concatenate([jnp.zeros((1,) + vals.shape[1:], vals.dtype), cs])
-        return tot[bounds[1:]] - tot[bounds[:-1]]
 
     def _eval_binary(poses, lm_local, od, ci, pl, w_pad, want_jac):
         T = poses[ci]
@@ -226,7 +211,6 @@ def make_sharded_schur_step(
         P(axis),  # lm_slab
         jax.tree_util.tree_map(lambda _: P(axis), sb.obs_data),
         P(axis),  # cam_idx
-        P(axis),  # cam_bounds
         P(axis),  # pt_local
         P(axis),  # weight
         P(axis),  # free_l
@@ -235,7 +219,7 @@ def make_sharded_schur_step(
     out_specs = (P(), P(axis), P(), P(), P())
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
-    def step(poses, lm_slab, od, ci, bounds, pl, w_pad, free_l, lam):
+    def step(poses, lm_slab, od, ci, pl, w_pad, free_l, lam):
         Lb = lm_slab.shape[0]
         dtype = poses.dtype
         fl = free_l.astype(dtype)
@@ -246,8 +230,8 @@ def make_sharded_schur_step(
         w = loss.weight(r) * w_pad[:, None]
         chi2 = jax.lax.psum(jnp.sum(loss.loss(r) * w_pad[:, None]), axis) + _chi2_unary(poses)
 
-        Hpp = jax.lax.psum(_seg_C(jnp.einsum("fmi,fm,fmj->fij", Jc, w, Jc), bounds), axis)
-        g_p = jax.lax.psum(-_seg_C(jnp.einsum("fmi,fm->fi", Jc, w * r), bounds), axis)
+        Hpp = jax.lax.psum(_seg(jnp.einsum("fmi,fm,fmj->fij", Jc, w, Jc), ci, C), axis)
+        g_p = jax.lax.psum(-_seg(jnp.einsum("fmi,fm->fi", Jc, w * r), ci, C), axis)
         Hll = _seg(jnp.einsum("fmi,fm,fmj->fij", Jl, w, Jl), pl, Lb)
         g_l = -_seg(jnp.einsum("fmi,fm->fi", Jl, w * r), pl, Lb)
         W = jnp.einsum("fmi,fm,fmj->fij", Jc, w, Jl)
@@ -275,11 +259,11 @@ def make_sharded_schur_step(
         Hll_inv = _binv(L_ll)
 
         t = _binv_apply(L_ll, g_l)
-        g_red = g_p - jax.lax.psum(_seg_C(jnp.einsum("mij,mj->mi", W, t[pl]), bounds), axis)
+        g_red = g_p - jax.lax.psum(_seg(jnp.einsum("mij,mj->mi", W, t[pl]), ci, C), axis)
 
         # SCHUR_JACOBI preconditioner: exact S diagonal blocks
         Y = jnp.einsum("mij,mjk->mik", W, Hll_inv[pl])
-        D = Hpp - jax.lax.psum(_seg_C(jnp.einsum("mik,mjk->mij", Y, W), bounds), axis)
+        D = Hpp - jax.lax.psum(_seg(jnp.einsum("mik,mjk->mij", Y, W), ci, C), axis)
         L_d = jnp.linalg.cholesky(D)
 
         def matvec(x):
@@ -287,7 +271,7 @@ def make_sharded_schur_step(
             y = jnp.einsum("cij,cj->ci", Hpp, xb)
             tt = _seg(jnp.einsum("mij,mi->mj", W, xb[ci]), pl, Lb)
             tt = jnp.einsum("lij,lj->li", Hll_inv, tt)
-            y = y - jax.lax.psum(_seg_C(jnp.einsum("mij,mj->mi", W, tt[pl]), bounds), axis)
+            y = y - jax.lax.psum(_seg(jnp.einsum("mij,mj->mi", W, tt[pl]), ci, C), axis)
             return y.reshape(-1)
 
         def precond(rr):
@@ -367,8 +351,8 @@ def solve_schur_sharded(
     history = []
     for _it in range(options.max_iters):
         new_poses, new_lm, chi2, cost_new, dx_norm = step(
-            poses, lm_slab, sb.obs_data, sb.cam_idx, sb.cam_bounds,
-            sb.pt_local, sb.weight, sb.free_l, jnp.asarray(lam, dtype),
+            poses, lm_slab, sb.obs_data, sb.cam_idx, sb.pt_local, sb.weight,
+            sb.free_l, jnp.asarray(lam, dtype),
         )
         chi2 = float(chi2)
         cost_new = float(cost_new)
