@@ -60,7 +60,14 @@ def _sum_C(vals, bounds):
     cumsum + boundary differences: ~5x faster than XLA's segment_sum on this
     chip (scatter lowering costs ~38 ms per 4.65M-element reduction
     regardless of sortedness or segment count; cumsum costs ~6 ms).
-    ``bounds``: (C+1,) start offsets into the sorted array."""
+    ``bounds``: (C+1,) start offsets into the sorted array.
+
+    Precision note: the boundary difference subtracts two partial sums whose
+    magnitude grows with the GLOBAL total, so f32 relative error on a
+    per-camera sum scales like ulp(total)/segment_sum (~1e-4 at Venice
+    scale — measured harmless: converged chi2 is bit-identical to the
+    scatter path). Not suitable where exact per-segment summation gates a
+    tight parity bound (see docs/PERFORMANCE.md)."""
     tot = jnp.concatenate([jnp.zeros(1, vals.dtype), jnp.cumsum(vals)])
     return tot[bounds[1:]] - tot[bounds[:-1]]
 
