@@ -18,6 +18,7 @@ from .factor_parallel import (
 )
 from .mesh import make_mesh, init_distributed
 from .partitioner import Partition, cut_stats, partition_landmarks, partition_poses_bfs
+from .schur_cm import solve_schur_cm
 from .schur_reduce import shard_ba, solve_schur_sharded
 
 __all__ = [
@@ -33,4 +34,5 @@ __all__ = [
     "partition_poses_bfs",
     "shard_ba",
     "solve_schur_sharded",
+    "solve_schur_cm",
 ]

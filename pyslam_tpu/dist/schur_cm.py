@@ -1,0 +1,403 @@
+"""Component-major landmark-sharded Schur BA — the multi-chip form of
+solver/schur_large.py (BASELINE.json config #5 at full Venice scale).
+
+Combines the two measured-at-scale designs:
+
+  * per-observation / per-landmark data stored COMPONENT-MAJOR (flat
+    vectors; no (N, d, d) tile padding — solver/schur_large.py rationale),
+  * landmarks + observations sharded per chip (dist/schur_reduce.py
+    layout), camera poses replicated, ONE ``psum`` of a (C, 6) array per
+    S-matvec,
+  * within each chip's slab observations are camera-sorted, so every
+    camera-direction reduction is a local cumsum + boundary difference
+    (~6 ms vs ~38 ms scatter per multi-M elements) followed by the psum;
+    the landmark direction keeps chip-local scatter-adds (collision-free).
+
+Linearization streams over observation chunks under ``lax.scan``, so no
+(M, m, dof) Jacobian tensor materializes per chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph.core import FACTOR_KERNELS, FactorGraph, VariableBlock, retract
+from ..solver import lm as _lm
+from ..solver.linear import pcg_solve
+from ..solver.schur_large import _apply33_flat, _inv33_flat, _sum_C
+from .partitioner import Partition, partition_landmarks
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class ShardedCM:
+    """Host-side plan + device arrays (component-major, sharded)."""
+
+    mesh: Mesh
+    axis: str
+    kind: str
+    loss: object
+    n_dev: int
+    C: int
+    L: int
+    Lb: int
+    Mb: int
+    n_chunks: int
+    poses: jnp.ndarray  # (C, 4, 4) replicated
+    free_p: jnp.ndarray  # (C,)
+    lm_slab: jnp.ndarray  # (n*Lb, 3) sharded
+    free_l: jnp.ndarray  # (n*Lb,)
+    obs_data: dict  # name -> (flatdim, n*Mb) sharded on axis 1
+    trails: tuple
+    ci: jnp.ndarray  # (n*Mb,)
+    li: jnp.ndarray  # (n*Mb,) local slot in owner's slab
+    w_pad: jnp.ndarray  # (n*Mb,)
+    cam_bounds: jnp.ndarray  # (n, C+1)
+    lm_perm: np.ndarray  # original landmark id -> slab position
+
+
+def shard_ba_cm(
+    graph: FactorGraph,
+    mesh: Mesh,
+    n_chunks: int = 8,
+    axis: str = "l",
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    partition: Partition | None = None,
+) -> ShardedCM:
+    n = mesh.shape[axis]
+    pb, lb = graph.blocks[pose_name], graph.blocks[lm_name]
+    C, L = pb.n, lb.n
+    (fb,) = [b for b in graph.batches if b.slots == (pose_name, lm_name)]
+    assert len(graph.batches) == 1, "schur_cm v1 supports the single-batch BA graph"
+
+    if partition is None:
+        partition = partition_landmarks(None, None, L, n_parts=n)
+    part = partition.part
+
+    # landmark slabs (contiguous per device)
+    order_l = np.argsort(part, kind="stable")
+    counts = np.bincount(part, minlength=n)
+    Lb = int(max(1, counts.max()))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(L) - starts[part[order_l]]
+    slot_of = np.empty(L, np.int64)
+    slot_of[order_l] = part[order_l] * Lb + rank
+
+    lm_vals = np.zeros((n * Lb, 3), np.asarray(lb.values).dtype)
+    lm_vals[slot_of] = np.asarray(lb.values)
+    free_l = np.zeros(n * Lb)
+    free_l[slot_of] = (~np.asarray(lb.const_mask)).astype(np.float64)
+
+    # observations: sort by (owner, camera); pad per device to a chunk multiple
+    cam_idx = np.asarray(fb.indices[0])
+    pt_idx = np.asarray(fb.indices[1])
+    owner = part[pt_idx]
+    obs_order = np.lexsort((cam_idx, owner))
+    ocounts = np.bincount(owner, minlength=n)
+    Mb = _ceil_to(int(max(1, ocounts.max())), n_chunks)
+    ostarts = np.concatenate([[0], np.cumsum(ocounts)[:-1]])
+    orank = np.arange(len(obs_order)) - ostarts[owner[obs_order]]
+    dest = owner[obs_order] * Mb + orank
+
+    def pad_obs(arr, fill=0.0):
+        arr = np.asarray(arr)
+        out = np.full((n * Mb,) + arr.shape[1:], fill, arr.dtype)
+        out[dest] = arr[obs_order]
+        return out
+
+    ci_pad = pad_obs(cam_idx, fill=C - 1).astype(np.int32)
+    li_pad = pad_obs(slot_of[pt_idx] % Lb).astype(np.int32)
+    w_pad = pad_obs(np.asarray(fb.weight))
+    cam_bounds = np.stack(
+        [np.searchsorted(ci_pad[d * Mb : (d + 1) * Mb], np.arange(C + 1)) for d in range(n)]
+    ).astype(np.int32)
+
+    obs_data, obs_trails = {}, {}
+    static_data = {}
+    M = len(cam_idx)
+    for k, v in fb.data.items():
+        if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1 and v.shape[0] == M:
+            arr = pad_obs(v)
+            obs_data[k] = jnp.asarray(arr.reshape(n * Mb, -1).T.copy())
+            obs_trails[k] = arr.shape[1:]
+        else:
+            static_data[k] = v
+    if static_data:
+        kind0 = fb.kind
+        base = dict(static_data)
+
+        def kernel(data, T, p, compute_jacobians=True):
+            return FACTOR_KERNELS[kind0]({**data, **base}, T, p, compute_jacobians=compute_jacobians)
+
+        kname = f"__cm_{id(fb)}"
+        FACTOR_KERNELS[kname] = kernel
+    else:
+        kname = fb.kind
+
+    return ShardedCM(
+        mesh=mesh, axis=axis, kind=kname, loss=fb.loss, n_dev=n, C=C, L=L,
+        Lb=Lb, Mb=Mb, n_chunks=n_chunks,
+        poses=jnp.asarray(pb.values),
+        free_p=jnp.asarray((~np.asarray(pb.const_mask)).astype(np.asarray(pb.values).dtype)),
+        lm_slab=jnp.asarray(lm_vals),
+        free_l=jnp.asarray(free_l),
+        obs_data=obs_data,
+        trails=tuple(sorted(obs_trails.items())),
+        ci=jnp.asarray(ci_pad),
+        li=jnp.asarray(li_pad),
+        w_pad=jnp.asarray(w_pad),
+        cam_bounds=jnp.asarray(cam_bounds),
+        lm_perm=slot_of,
+    )
+
+
+def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_iters=30):
+    """One sharded component-major Schur LM iteration under shard_map."""
+    axis = sb.axis
+    C, Lb, Mb, n_chunks = sb.C, sb.Lb, sb.Mb, sb.n_chunks
+    kind, loss = sb.kind, sb.loss
+    free_p = sb.free_p
+    trails = sb.trails
+    mesh = sb.mesh
+    chunk = Mb // n_chunks
+
+    def chunk_args(od, ci, li, w, k):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, k * chunk, chunk, axis=0)
+        out = {}
+        trail_of = dict(trails)
+        for kk, v in od.items():
+            c = jax.lax.dynamic_slice_in_dim(v, k * chunk, chunk, axis=-1)
+            trail = trail_of[kk]
+            out[kk] = c[0] if trail == () else jnp.moveaxis(c, -1, 0).reshape((chunk,) + trail)
+        return out, sl(ci), sl(li), sl(w)
+
+    def linearize(poses, lms, od, ci, li, w_pad, bounds, want_grad):
+        dtype = poses.dtype
+
+        if not want_grad:
+            def body(carry, k):
+                odk, cck, llk, wk = chunk_args(od, ci, li, w_pad, k)
+                r, _ = FACTOR_KERNELS[kind](odk, poses[cck], lms[llk], compute_jacobians=False)
+                return carry + jnp.sum(loss.loss(r) * wk[:, None]), 0.0
+
+            chi2, _ = jax.lax.scan(body, jnp.zeros((), dtype), jnp.arange(n_chunks))
+            return chi2
+
+        def body(carry, k):
+            chi2, Hpp, g_p, Hll, g_l = carry
+            odk, cck, llk, wk = chunk_args(od, ci, li, w_pad, k)
+            r, (Jc, Jl) = FACTOR_KERNELS[kind](odk, poses[cck], lms[llk], compute_jacobians=True)
+            w = loss.weight(r) * wk[:, None]
+            chi2 = chi2 + jnp.sum(loss.loss(r) * wk[:, None])
+            wr = w * r
+            bnd = jnp.clip(bounds - k * chunk, 0, chunk)
+            for i in range(6):
+                gi = jnp.sum(Jc[:, :, i] * wr, axis=1)
+                g_p = g_p.at[:, i].add(-_sum_C(gi, bnd))
+                for j in range(i, 6):
+                    hij = jnp.sum(Jc[:, :, i] * w * Jc[:, :, j], axis=1)
+                    acc = _sum_C(hij, bnd)
+                    Hpp = Hpp.at[:, i, j].add(acc)
+                    if j > i:
+                        Hpp = Hpp.at[:, j, i].add(acc)
+            for i in range(3):
+                gi = jnp.sum(Jl[:, :, i] * wr, axis=1)
+                g_l = g_l.at[i].add(-jax.ops.segment_sum(gi, llk, num_segments=Lb))
+                for j in range(3):
+                    hij = jnp.sum(Jl[:, :, i] * w * Jl[:, :, j], axis=1)
+                    Hll = Hll.at[3 * i + j].add(jax.ops.segment_sum(hij, llk, num_segments=Lb))
+            Wc = jnp.stack([
+                jnp.sum(Jc[:, :, i] * w * Jl[:, :, j], axis=1)
+                for i in range(6) for j in range(3)
+            ])
+            return (chi2, Hpp, g_p, Hll, g_l), Wc
+
+        carry0 = (
+            jnp.zeros((), dtype), jnp.zeros((C, 6, 6), dtype), jnp.zeros((C, 6), dtype),
+            jnp.zeros((9, Lb), dtype), jnp.zeros((3, Lb), dtype),
+        )
+        (chi2, Hpp, g_p, Hll, g_l), Ws = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
+        W = jnp.moveaxis(Ws, 1, 0).reshape(18, Mb)
+        return chi2, Hpp, g_p, Hll, g_l, W
+
+    in_specs = (
+        P(),          # poses
+        P(axis),      # lm_slab
+        jax.tree_util.tree_map(lambda _: P(None, axis), sb.obs_data),
+        P(axis),      # ci
+        P(axis),      # li
+        P(axis),      # w_pad
+        P(axis),      # free_l
+        P(axis),      # cam_bounds (n, C+1)
+        P(),          # lam
+    )
+    out_specs = (P(), P(axis), P(), P(), P())
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    def step(poses, lm_slab, od, ci, li, w_pad, free_l, cam_bounds, lam):
+        dtype = poses.dtype
+        bounds = cam_bounds[0]
+        fl = free_l.astype(dtype)
+        fp = free_p.astype(dtype)
+
+        chi2, Hpp, g_p, Hll, g_l, W = linearize(
+            poses, lm_slab, od, ci, li, w_pad, bounds, True
+        )
+        chi2 = jax.lax.psum(chi2, axis)
+        Hpp = jax.lax.psum(Hpp, axis)
+        g_p = jax.lax.psum(g_p, axis)
+
+        # constant / dead handling
+        eye6 = jnp.eye(6, dtype=dtype)
+        Hpp = Hpp * fp[:, None, None] + (1.0 - fp)[:, None, None] * eye6
+        g_p = g_p * fp[:, None]
+        dead = ((Hll[0] + Hll[4] + Hll[8]) == 0.0).astype(dtype)
+        live = fl * (1.0 - dead)
+        Hll = Hll * live[None] + (1.0 - live)[None] * jnp.asarray(
+            [1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0], dtype
+        )[:, None]
+        g_l = g_l * live[None]
+        fobs = fp[ci] * live[li]
+        W = W * fobs[None]
+
+        if options.method == "lm":
+            d6 = jnp.maximum(jnp.einsum("nii->ni", Hpp), 1e-12)
+            Hpp = Hpp + lam * d6[:, :, None] * eye6
+            for k in (0, 4, 8):
+                Hll = Hll.at[k].set(Hll[k] * (1.0 + lam))
+        Hinv = _inv33_flat(Hll)
+
+        def W_T_dot_cam(xc6):
+            t = []
+            for j in range(3):
+                acc = jnp.zeros(Mb, dtype)
+                for i in range(6):
+                    acc = acc + W[3 * i + j] * xc6[i]
+                t.append(jax.ops.segment_sum(acc, li, num_segments=Lb))
+            return jnp.stack(t)
+
+        def W_dot_lm(t3):
+            tg = [t3[j][li] for j in range(3)]
+            cols = []
+            for i in range(6):
+                acc = W[3 * i] * tg[0] + W[3 * i + 1] * tg[1] + W[3 * i + 2] * tg[2]
+                cols.append(_sum_C(acc, bounds))
+            return jax.lax.psum(jnp.stack(cols, axis=1), axis)
+
+        def gather_cam(xb):
+            return [xb[:, i][ci] for i in range(6)]
+
+        g_red = g_p - W_dot_lm(_apply33_flat(Hinv, g_l))
+
+        # SCHUR_JACOBI
+        Wc = [W[3 * i : 3 * i + 3] for i in range(6)]
+        Hg = [Hinv[k][li] for k in range(9)]
+        D = Hpp
+        for i in range(6):
+            u = [
+                Hg[3 * j] * Wc[i][0] + Hg[3 * j + 1] * Wc[i][1] + Hg[3 * j + 2] * Wc[i][2]
+                for j in range(3)
+            ]
+            for i2 in range(i, 6):
+                v = Wc[i2][0] * u[0] + Wc[i2][1] * u[1] + Wc[i2][2] * u[2]
+                acc = jax.lax.psum(_sum_C(v, bounds), axis)
+                D = D.at[:, i, i2].add(-acc)
+                if i2 > i:
+                    D = D.at[:, i2, i].add(-acc)
+        from ..solver.bcsr import sym_block_inv
+
+        Dinv = sym_block_inv(D)
+
+        def matvec(x):
+            xb = x.reshape(C, 6)
+            y = jnp.einsum("cij,cj->ci", Hpp, xb)
+            t1 = W_T_dot_cam(gather_cam(xb))
+            t2 = _apply33_flat(Hinv, t1)
+            y = y - W_dot_lm(t2)
+            return y.reshape(-1)
+
+        def precond(r):
+            return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
+
+        dx_p, _ = pcg_solve(
+            matvec, g_red.reshape(-1), precond=precond, rtol=pcg_rtol,
+            max_iters=pcg_max_iters,
+        )
+        dx_p = dx_p.reshape(C, 6) * fp[:, None]
+        tloc = g_l - W_T_dot_cam(gather_cam(dx_p))
+        dx_l = _apply33_flat(Hinv, tloc) * live[None]
+
+        dx_norm = jnp.sqrt(jnp.sum(dx_p**2) + jax.lax.psum(jnp.sum(dx_l**2), axis))
+        new_poses = retract("se3", poses, dx_p)
+        new_lm = lm_slab + dx_l.T
+        cost_new = jax.lax.psum(
+            linearize(new_poses, new_lm, od, ci, li, w_pad, bounds, False), axis
+        )
+        return new_poses, new_lm, chi2, cost_new, dx_norm
+
+    return step
+
+
+def solve_schur_cm(
+    graph: FactorGraph,
+    mesh: Mesh,
+    options: _lm.Options = _lm.Options(),
+    n_chunks: int = 8,
+    axis: str = "l",
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    partition: Partition | None = None,
+    pcg_rtol: float = 1e-4,
+    pcg_max_iters: int = 30,
+):
+    """Sharded component-major Schur LM solve.  Returns
+    (solved_graph, final_chi2, cost_history)."""
+    sb = shard_ba_cm(graph, mesh, n_chunks, axis, pose_name, lm_name, partition)
+    step = jax.jit(make_cm_step(sb, options, pcg_rtol, pcg_max_iters))
+    poses, lm_slab = sb.poses, sb.lm_slab
+    dtype = np.asarray(poses).dtype
+    lam = options.lambda_init
+    history = []
+    for _ in range(options.max_iters):
+        new_poses, new_lm, chi2, cost_new, dx_norm = step(
+            poses, lm_slab, sb.obs_data, sb.ci, sb.li, sb.w_pad, sb.free_l,
+            sb.cam_bounds, jnp.asarray(lam, dtype),
+        )
+        chi2 = float(chi2)
+        cost_new = float(cost_new)
+        if not history:
+            history.append(chi2)
+        accept = cost_new < chi2
+        if options.method == "gn" or accept:
+            poses, lm_slab = new_poses, new_lm
+            history.append(cost_new)
+            lam = max(lam * options.lambda_down, options.lambda_min)
+            if cost_new > chi2 * options.min_cost_decrease:
+                break
+            if float(dx_norm) < options.min_update_norm:
+                break
+        else:
+            lam = min(lam * options.lambda_up, options.lambda_max)
+
+    lm_full = np.asarray(lm_slab)[sb.lm_perm]
+    pb = graph.blocks[pose_name]
+    lb = graph.blocks[lm_name]
+    new_blocks = dict(graph.blocks)
+    new_blocks[pose_name] = VariableBlock(pb.kind, jnp.asarray(np.asarray(poses)), pb.const_mask)
+    new_blocks[lm_name] = VariableBlock(lb.kind, jnp.asarray(lm_full), lb.const_mask)
+    solved = FactorGraph(new_blocks, graph.batches)
+    return solved, history[-1], history
+
+
+__all__ = ["solve_schur_cm", "shard_ba_cm", "make_cm_step"]

@@ -1,0 +1,61 @@
+"""Sharded component-major Schur (dist/schur_cm.py): must agree with the
+single-device Schur solver on the 8-way CPU mesh; mesh-size and partition
+invariance."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.dist import make_mesh
+from pyslam_tpu.dist.partitioner import Partition
+from pyslam_tpu.dist.schur_cm import solve_schur_cm
+from pyslam_tpu.graph import build
+from pyslam_tpu.io import synth
+from pyslam_tpu.losses import HuberLoss
+from pyslam_tpu.solver import Options, solve_schur
+
+
+def tiny_ba(seed=3, loss=None):
+    data = synth.ba_synthetic(n_cams=8, n_pts=64, seed=seed)
+    return build.ba_graph(data, loss=loss, dtype=jnp.float64)
+
+
+class TestSchurCM:
+    def test_matches_single_device(self):
+        g = tiny_ba()
+        opts = Options(method="lm", max_iters=20)
+        _, info = solve_schur(g, opts, mode="pcg", pcg_rtol=1e-10, pcg_max_iters=300)
+        _, chi2_cm, hist = solve_schur_cm(
+            g, make_mesh(8, axis_name="l"), opts, n_chunks=4,
+            pcg_rtol=1e-10, pcg_max_iters=300,
+        )
+        np.testing.assert_allclose(chi2_cm, float(info.chi2), rtol=1e-8)
+        assert hist[-1] < hist[0]
+
+    def test_mesh_size_invariance(self):
+        g = tiny_ba(seed=7)
+        opts = Options(method="lm", max_iters=10)
+        _, a, _ = solve_schur_cm(g, make_mesh(1, axis_name="l"), opts, n_chunks=2)
+        _, b, _ = solve_schur_cm(g, make_mesh(8, axis_name="l"), opts, n_chunks=2)
+        np.testing.assert_allclose(a, b, rtol=1e-9)
+
+    def test_partition_invariance(self):
+        g = tiny_ba(seed=5)
+        opts = Options(method="lm", max_iters=10)
+        mesh = make_mesh(8, axis_name="l")
+        _, a, _ = solve_schur_cm(g, mesh, opts)
+        rng = np.random.default_rng(0)
+        rp = Partition(rng.integers(0, 8, g.blocks["landmarks"].n), 8)
+        _, b, _ = solve_schur_cm(g, mesh, opts, partition=rp)
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_robust_loss_and_gauge(self):
+        g = tiny_ba(loss=HuberLoss(2.0))
+        mesh = make_mesh(8, axis_name="l")
+        solved, chi2, hist = solve_schur_cm(g, mesh, Options(method="lm", max_iters=10))
+        assert chi2 < hist[0]
+        np.testing.assert_allclose(
+            np.asarray(solved.blocks["poses"].values[0]),
+            np.asarray(g.blocks["poses"].values[0]),
+            atol=1e-12,
+        )
