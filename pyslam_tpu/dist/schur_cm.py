@@ -15,6 +15,14 @@ Combines the two measured-at-scale designs:
 
 Linearization streams over observation chunks under ``lax.scan``, so no
 (M, m, dof) Jacobian tensor materializes per chip.
+
+MEASURED CROSSOVER (TPU v5 lite): at 360k observations per device this is
+3x SLOWER than the block-major sharded path (dist/schur_reduce.py, 6.3 vs
+2.0 s/iteration) — the ~40 flat ops per matvec are each launch-latency
+bound below multi-M element counts, same crossover as every other
+component-major-vs-block measurement in this codebase.  Use this path when
+per-device slabs are Venice-sized (multi-M observations, where the block
+layout OOMs); use schur_reduce for smaller shards.
 """
 
 from __future__ import annotations
