@@ -46,12 +46,19 @@ __all__ += [
 ]
 
 
-def solve_auto(graph, options=None, dense_dof_limit: int = 12000):
+def solve_auto(
+    graph,
+    options=None,
+    dense_dof_limit: int = 12000,
+    dense_hpl_budget_bytes: int = 1 << 30,
+):
     """Structure-dispatching solve: picks the right linear-algebra path.
 
     * camera + landmark blocks (one lie + one euclidean block coupled by
       binary factors)  -> Schur complement (dense S for small camera counts,
       implicit PCG otherwise)
+    * camera + landmark beyond ~2M observations -> streamed component-major
+      Schur (solver/schur_large.py); accepts pose-unary prior batches too
     * single variable block, total dof <= dense_dof_limit -> dense Cholesky
       (exact solves; pure MXU — measured fastest AND most robust up to
       ~10k dof, e.g. M3500)
@@ -66,21 +73,38 @@ def solve_auto(graph, options=None, dense_dof_limit: int = 12000):
     euc_blocks = [n for n, k in kinds.items() if k == "euclidean"]
     if len(blocks) == 2 and len(lie_blocks) == 1 and len(euc_blocks) == 1:
         pose_name, lm_name = lie_blocks[0], euc_blocks[0]
-        n_obs = sum(
-            fb.n for fb in graph.batches if fb.slots == (pose_name, lm_name)
-        )
-        if n_obs > 2_000_000 and len(graph.batches) == 1:
-            # block layouts tile to 21x their logical bytes in HBM; beyond
+        binary = [fb for fb in graph.batches if fb.slots == (pose_name, lm_name)]
+        others = [fb for fb in graph.batches if fb.slots != (pose_name, lm_name)]
+        n_obs = sum(fb.n for fb in binary)
+        if (
+            n_obs > 2_000_000
+            and len(binary) == 1
+            and all(fb.slots == (pose_name,) for fb in others)
+        ):
+            # Block layouts tile to 21x their logical bytes in HBM; beyond
             # ~2M observations only the component-major streamed path fits
-            # on a 16 GB chip (solver/schur_large.py)
+            # on a 16 GB chip (solver/schur_large.py).  schur_large supports
+            # one binary batch plus any pose-unary prior batches
+            # (schur_large.prepare_large_ba), so priors must NOT disqualify
+            # a Venice-scale graph from this route.
             from .schur_large import solve_schur_large
 
             solved, chi2, hist = solve_schur_large(
                 graph, opts, pose_name=pose_name, lm_name=lm_name
             )
             return solved, hist
-        n_cams = blocks[pose_name].n
-        mode = "dense" if n_cams * blocks[pose_name].dof <= 4096 else "pcg"
+        pb, lb = blocks[pose_name], blocks[lm_name]
+        # Dense-S mode materializes Hpl and Ypl, each (C, dp, L, dl)
+        # (schur.schur_solve_dense) — gate on that footprint too, or a
+        # small-camera/many-landmark graph (BAL-Dubrovnik class) OOMs the
+        # chip despite passing the camera-dof gate.
+        itemsize = pb.values.dtype.itemsize
+        hpl_bytes = pb.n * pb.dof * lb.n * lb.dof * itemsize
+        mode = (
+            "dense"
+            if pb.n * pb.dof <= 4096 and 2 * hpl_bytes <= dense_hpl_budget_bytes
+            else "pcg"
+        )
         return solve_schur(graph, opts, mode=mode, pose_name=pose_name, lm_name=lm_name)
     if len(blocks) == 1 and graph.total_dof > dense_dof_limit:
         from .bcsr import solve_ell as _solve_ell

@@ -233,6 +233,79 @@ class TestSolveAuto:
             atol=1e-12,
         )
 
+    def _fake_ba_graph(self, n_obs, with_prior=False):
+        """Structure-only BA graph (never evaluated) for routing tests."""
+        from pyslam_tpu.graph.core import FactorBatch, FactorGraph, VariableBlock
+
+        blocks = dict(
+            poses=VariableBlock.create("se3", np.tile(np.eye(4), (3, 1, 1))),
+            landmarks=VariableBlock.create("euclidean", np.zeros((5, 3))),
+        )
+        z = np.zeros(n_obs, np.int32)
+        binary = FactorBatch.create(
+            "reprojection_bal", ("poses", "landmarks"), (z, z), {}, None
+        )
+        batches = [binary]
+        if with_prior:
+            batches.append(
+                FactorBatch.create(
+                    "prior_se3", ("poses",), (np.zeros(2, np.int32),), {}, None
+                )
+            )
+        return FactorGraph(blocks, batches)
+
+    def test_venice_scale_with_priors_routes_to_schur_large(self, monkeypatch):
+        """A >2M-observation BA graph WITH pose-prior batches must take the
+        streamed schur_large path (the (M,dp,dl) block layout of solve_schur
+        is a 19 GB OOM at that scale) — regression for the round-1 routing
+        bug where any extra batch fell through to solve_schur."""
+        import pyslam_tpu.solver as solver_mod
+        import pyslam_tpu.solver.schur_large as sl
+        from pyslam_tpu.solver import Options, solve_auto
+
+        calls = []
+        monkeypatch.setattr(
+            sl, "solve_schur_large",
+            lambda g, o, pose_name, lm_name: (calls.append("large") or g, 0.0, [0.0]),
+        )
+        monkeypatch.setattr(
+            solver_mod, "solve_schur",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("wrong route")),
+        )
+        g = self._fake_ba_graph(2_000_001, with_prior=True)
+        solve_auto(g, Options())
+        assert calls == ["large"]
+
+    def test_small_ba_with_priors_routes_to_schur(self, monkeypatch):
+        import pyslam_tpu.solver as solver_mod
+        from pyslam_tpu.solver import Options, solve_auto
+
+        modes = []
+        monkeypatch.setattr(
+            solver_mod, "solve_schur",
+            lambda g, o, mode, pose_name, lm_name: (modes.append(mode) or g, None),
+        )
+        g = self._fake_ba_graph(100, with_prior=True)
+        solve_auto(g, Options())
+        assert modes == ["dense"]
+
+    def test_dense_mode_gated_on_hpl_memory(self, monkeypatch):
+        """Few cameras + many landmarks (BAL-Dubrovnik class) must use the
+        implicit-PCG Schur mode: dense mode materializes two (C,dp,L,dl)
+        arrays, which OOMs despite a small camera count."""
+        import pyslam_tpu.solver as solver_mod
+        from pyslam_tpu.solver import Options, solve_auto
+
+        modes = []
+        monkeypatch.setattr(
+            solver_mod, "solve_schur",
+            lambda g, o, mode, pose_name, lm_name: (modes.append(mode) or g, None),
+        )
+        g = self._fake_ba_graph(100)
+        solve_auto(g, Options(), dense_hpl_budget_bytes=100)  # force over-budget
+        solve_auto(g, Options())  # default budget: comfortably dense
+        assert modes == ["pcg", "dense"]
+
     def test_problem_api_uses_dispatch(self):
         from pyslam_tpu import Problem, Options, PoseToPoseResidual, SE2
         from pyslam_tpu.io import synth
