@@ -36,7 +36,13 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..graph.core import FACTOR_KERNELS, FactorGraph, VariableBlock, retract
+from ..graph.core import (
+    FACTOR_KERNELS,
+    FactorGraph,
+    VariableBlock,
+    register_closed_kernel,
+    retract,
+)
 from ..solver import lm as _lm
 from ..solver.linear import pcg_solve
 from ..solver.schur_large import _apply33_flat, _inv33_flat, _sum_C
@@ -103,6 +109,9 @@ def shard_ba_cm(
     slot_of[order_l] = part[order_l] * Lb + rank
 
     lm_vals = np.zeros((n * Lb, 3), np.asarray(lb.values).dtype)
+    # safe z!=0 fill for padded slots (see schur_reduce.shard_ba): a
+    # zero-point through a projection kernel is inf, and 0 * inf = NaN
+    lm_vals[:, -1] = 1.0
     lm_vals[slot_of] = np.asarray(lb.values)
     free_l = np.zeros(n * Lb)
     free_l[slot_of] = (~np.asarray(lb.const_mask)).astype(np.float64)
@@ -142,14 +151,8 @@ def shard_ba_cm(
         else:
             static_data[k] = v
     if static_data:
-        kind0 = fb.kind
-        base = dict(static_data)
-
-        def kernel(data, T, p, compute_jacobians=True):
-            return FACTOR_KERNELS[kind0]({**data, **base}, T, p, compute_jacobians=compute_jacobians)
-
-        kname = f"__cm_{id(fb)}"
-        FACTOR_KERNELS[kname] = kernel
+        # content-hash-keyed closure kernel (see graph.core.register_closed_kernel)
+        kname = register_closed_kernel(fb.kind, static_data)
     else:
         kname = fb.kind
 

@@ -101,6 +101,12 @@ def shard_ba(
     slot_of[order] = part[order] * Lb + rank_sorted
 
     lm_vals = np.zeros((n * Lb, dl), np.asarray(lb.values).dtype)
+    # Padded slab slots get a SAFE point (unit last component, i.e. off the
+    # camera plane) instead of the origin: padded observations reference
+    # local slot 0, and if a device owns zero landmarks a zero-filled point
+    # can put z=0 through a projection kernel -> inf, and 0 * inf = NaN
+    # poisons the psum'd chi2 even at padding weight 0.
+    lm_vals[:, -1] = 1.0
     lm_vals[slot_of] = np.asarray(lb.values)
     free_l = np.zeros(n * Lb)
     free_l[slot_of] = (~np.asarray(lb.const_mask)).astype(np.float64)
@@ -327,6 +333,11 @@ def solve_schur_sharded(
     sb = shard_ba(graph, mesh, axis, pose_name, lm_name, partition)
     step = jax.jit(make_sharded_schur_step(sb, options, pcg_rtol, pcg_max_iters))
 
+    # np.savez appends '.npz' when absent — normalize ONCE so save and
+    # resume always agree on the on-disk name
+    if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
+        checkpoint_path = checkpoint_path + ".npz"
+
     poses, lm_slab = sb.poses, sb.lm_slab
     dtype = np.asarray(poses).dtype
     lam = options.lambda_init
@@ -340,7 +351,6 @@ def solve_schur_sharded(
             lam = float(ck["lam"])
 
     def _snapshot():
-        # checkpoint_path should end in .npz (np.savez appends it otherwise)
         np.savez(
             checkpoint_path.removesuffix(".npz"),
             poses=np.asarray(poses),

@@ -126,6 +126,39 @@ def register_factor(kind: str):
     return deco
 
 
+def register_closed_kernel(kind: str, static_data: dict) -> str:
+    """Register (or reuse) a kernel closing over non-factor-axis static data
+    (e.g. an unbatched camera pytree) and return its registry name.
+
+    The name is a content hash of ``static_data``, NOT id() of the caller's
+    batch: jitted callers cache compiled code keyed on this string, so a
+    recycled id() with different static data would silently reuse stale
+    constants, and id()-keyed entries would grow the registry per solve.
+    Content keying makes repeated prepares on identical data share one
+    entry and makes distinct data collision-free."""
+    import hashlib
+
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(static_data)
+    h = hashlib.sha1(repr((kind, str(treedef))).encode())
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        h.update(str((arr.dtype.str, arr.shape)).encode())
+        h.update(arr.tobytes())
+    kname = f"__closed_{kind}_{h.hexdigest()[:16]}"
+    if kname not in FACTOR_KERNELS:
+        base = dict(static_data)
+
+        def kernel(data, *vals, compute_jacobians=True):
+            return FACTOR_KERNELS[kind](
+                {**data, **base}, *vals, compute_jacobians=compute_jacobians
+            )
+
+        FACTOR_KERNELS[kname] = kernel
+    return kname
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class FactorBatch:

@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph.core import FACTOR_KERNELS, FactorGraph, VariableBlock, retract
+from ..graph.core import (
+    FACTOR_KERNELS,
+    FactorGraph,
+    VariableBlock,
+    register_closed_kernel,
+    retract,
+)
 from ..solver import lm as _lm
 from .linear import pcg_solve
 
@@ -239,16 +245,10 @@ def prepare_large_ba(
             static_data[k] = v
     if static_data:
         # small non-factor-axis values (camera pytree, unbatched sqrt_info)
-        # become jaxpr constants via closure — fine, they are tiny
-        # fold static pytrees (e.g. camera) back into the kernel via closure
-        kind = fb.kind
-        base = dict(static_data)
-
-        def kernel(data, T, p, compute_jacobians=True):
-            return FACTOR_KERNELS[kind]({**data, **base}, T, p, compute_jacobians=compute_jacobians)
-
-        kname = f"__large_{id(fb)}"
-        FACTOR_KERNELS[kname] = kernel
+        # become jaxpr constants via a content-hash-keyed kernel closure
+        # (graph.core.register_closed_kernel) — the jitted stream caches
+        # compiled code on this name, so the key must identify the DATA
+        kname = register_closed_kernel(fb.kind, static_data)
     else:
         kname = fb.kind
 
@@ -377,13 +377,19 @@ def _pcg_segment(C, L, S, Hpp, Hinv, W, ci, li, cam_starts, Dinv, state):
     def body(state):
         x, r, z, p, rz, it = state
         Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        pAp = jnp.vdot(p, Ap)
+        # Breakdown guard: on exact mid-segment convergence rz -> 0 and the
+        # alpha/beta divisions would NaN the state — the host tolerance check
+        # then never fires and the step gets rejected AT the solution.
+        # Freeze the state instead (alpha = beta = 0 keeps x, r, p fixed).
+        ok = (rz > 0.0) & (pAp > 0.0)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = x + alpha * p
-        r = r - alpha * Ap
+        r = jnp.where(ok, r - alpha * Ap, r)
         z = precond(r)
-        rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
-        p = z + beta * p
+        rz_new = jnp.where(ok, jnp.vdot(r, z), rz)
+        beta = jnp.where(ok, rz_new / jnp.where(ok, rz, 1.0), 0.0)
+        p = jnp.where(ok, z + beta * p, p)
         return x, r, z, p, rz_new, it + 1
 
     def cond(state):

@@ -82,3 +82,46 @@ class TestSchurLargeUnary:
             g2, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=300
         )
         np.testing.assert_allclose(chi2_l, float(info.chi2), rtol=1e-8)
+
+
+class TestPCGSegmentBreakdown:
+    def test_exact_convergence_mid_segment_freezes(self):
+        """rz -> 0 on exact convergence must freeze the CG state, not NaN it
+        (round-1 advisor finding: a NaN dx caused LM to reject the step AT
+        the solution and burn the full iteration budget)."""
+        from pyslam_tpu.solver.schur_large import _pcg_init, _pcg_segment
+
+        C, L = 1, 1
+        Hpp = jnp.eye(6, dtype=jnp.float64)[None]
+        Hinv = jnp.asarray([1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0], jnp.float64)[:, None]
+        W = jnp.zeros((18, 1), jnp.float64)
+        ci = jnp.zeros(1, jnp.int32)
+        li = jnp.zeros(1, jnp.int32)
+        cam_starts = jnp.asarray([0, 1], jnp.int32)
+        Dinv = jnp.eye(6, dtype=jnp.float64)[None]
+        b = jnp.ones(6, jnp.float64)
+        # identity system converges EXACTLY at iteration 1; run 10 more
+        state, _ = _pcg_init(C, L, Hpp, Hinv, W, ci, li, cam_starts, Dinv, b)
+        state, rnorm = _pcg_segment(
+            C, L, 10, Hpp, Hinv, W, ci, li, cam_starts, Dinv, state
+        )
+        x = np.asarray(state[0])
+        assert np.isfinite(x).all()
+        np.testing.assert_allclose(x, np.ones(6), atol=1e-12)
+        assert float(rnorm) < 1e-12
+
+
+class TestClosedKernelRegistry:
+    def test_content_keyed_names(self):
+        """Closure kernels are keyed on static-data CONTENT: identical data
+        reuses one registry entry; different data never collides (round-1
+        advisor finding: id()-keyed names could alias after GC)."""
+        from pyslam_tpu.graph.core import FACTOR_KERNELS, register_closed_kernel
+
+        d1 = {"f": np.asarray(800.0), "k": np.asarray([1.0, 2.0])}
+        d2 = {"f": np.asarray(801.0), "k": np.asarray([1.0, 2.0])}
+        n1 = register_closed_kernel("reprojection_bal", dict(d1))
+        n2 = register_closed_kernel("reprojection_bal", dict(d1))
+        n3 = register_closed_kernel("reprojection_bal", dict(d2))
+        assert n1 == n2 and n1 != n3
+        assert n1 in FACTOR_KERNELS and n3 in FACTOR_KERNELS

@@ -130,6 +130,37 @@ class TestShardedSchur:
         )
         np.testing.assert_allclose(chi2_resumed, chi2_full, rtol=1e-6)
 
+    def test_checkpoint_path_without_npz_suffix(self, tmp_path):
+        # np.savez silently appends '.npz'; save and resume must agree on
+        # the on-disk name even for a bare path (round-1 advisor finding)
+        g = tiny_ba(seed=13)
+        mesh = make_mesh_l(8)
+        ck = str(tmp_path / "state.ck")  # no .npz
+        common = dict(pcg_rtol=1e-12, pcg_max_iters=400)
+        opts8 = Options(method="lm", max_iters=8, min_cost_decrease=1.0 - 1e-15)
+        opts4 = Options(method="lm", max_iters=4, min_cost_decrease=1.0 - 1e-15)
+        _, chi2_full, _ = solve_schur_sharded(g, mesh, opts8, **common)
+        solve_schur_sharded(
+            g, mesh, opts4, checkpoint_path=ck, checkpoint_every=4, **common
+        )
+        _, chi2_resumed, _ = solve_schur_sharded(
+            g, mesh, opts4, checkpoint_path=ck, resume=True, **common
+        )
+        np.testing.assert_allclose(chi2_resumed, chi2_full, rtol=1e-6)
+
+    def test_empty_landmark_device_no_nan(self):
+        # pathological partition: device 0 owns ZERO landmarks — its padded
+        # slab rows must be inert (safe-point fill), not NaN via 0 * inf
+        g = tiny_ba(seed=9)
+        L = g.blocks["landmarks"].n
+        part = Partition(1 + (np.arange(L) % 7), 8)  # devices 1..7 only
+        mesh = make_mesh_l(8)
+        opts = Options(method="lm", max_iters=10)
+        _, chi2_p, hist = solve_schur_sharded(g, mesh, opts, partition=part)
+        assert np.isfinite(chi2_p) and chi2_p < hist[0]
+        _, chi2_d, _ = solve_schur_sharded(g, mesh, opts)
+        np.testing.assert_allclose(chi2_p, chi2_d, rtol=1e-5)
+
     def test_with_pose_prior_unary(self):
         # add a pose prior on camera 1 and make camera 0 free: the sharded
         # path must handle unary batches replicated (added once, not psum'd)
