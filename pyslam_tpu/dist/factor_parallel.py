@@ -105,32 +105,22 @@ def make_sharded_lm_step(graph: FactorGraph, mesh: Mesh, options: _lm.Options, a
 def solve_factor_parallel(
     graph: FactorGraph, mesh: Mesh, options: _lm.Options = _lm.Options(), axis: str = "f"
 ):
-    """Full LM solve with factor-parallel sharded iterations (host loop over
-    jitted sharded steps; accept/reject logic mirrors solver/lm.py)."""
+    """Full LM solve with factor-parallel sharded iterations: host loop over
+    jitted sharded steps via the shared host_lm_loop (solver/lm.py
+    semantics)."""
+    from ..solver.host_loop import host_lm_loop
+
     step, g = make_sharded_lm_step(graph, mesh, options, axis)
     step = jax.jit(step)
-    blocks = dict(g.blocks)
     batches = tuple(g.batches)
-    lam = options.lambda_init
-    best_cost = np.inf
-    cost_prev = None
-    history = []
-    for it in range(options.max_iters):
-        new_blocks, chi2, cost_new, dx_norm = step(blocks, batches, jnp.asarray(lam, jnp.result_type(float)))
-        chi2 = float(chi2)
-        cost_new = float(cost_new)
-        history.append(chi2)
-        accept = cost_new < chi2
-        if options.method == "gn" or accept:
-            blocks = new_blocks
-            lam = max(lam * options.lambda_down, options.lambda_min)
-        else:
-            lam = min(lam * options.lambda_up, options.lambda_max)
-        if accept and cost_new > chi2 * options.min_cost_decrease:
-            history.append(cost_new)
-            break
-        if float(dx_norm) < options.min_update_norm:
-            break
-        best_cost = min(best_cost, cost_new)
-    final = FactorGraph(blocks, list(batches))
+    lam_dtype = jnp.result_type(float)
+
+    def lm_step(blocks, lam):
+        new_blocks, chi2, cost_new, dx_norm = step(
+            blocks, batches, jnp.asarray(lam, lam_dtype)
+        )
+        return new_blocks, chi2, cost_new, dx_norm
+
+    best_blocks, history, _info = host_lm_loop(lm_step, dict(g.blocks), options)
+    final = FactorGraph(best_blocks, list(batches))
     return final, float(final.chi2()), history

@@ -376,30 +376,21 @@ def solve_schur_cm(
     (solved_graph, final_chi2, cost_history)."""
     sb = shard_ba_cm(graph, mesh, n_chunks, axis, pose_name, lm_name, partition)
     step = jax.jit(make_cm_step(sb, options, pcg_rtol, pcg_max_iters))
-    poses, lm_slab = sb.poses, sb.lm_slab
-    dtype = np.asarray(poses).dtype
-    lam = options.lambda_init
-    history = []
-    for _ in range(options.max_iters):
+    dtype = np.asarray(sb.poses).dtype
+
+    from ..solver.host_loop import host_lm_loop
+
+    def lm_step(state, lam):
+        p, l = state
         new_poses, new_lm, chi2, cost_new, dx_norm = step(
-            poses, lm_slab, sb.obs_data, sb.ci, sb.li, sb.w_pad, sb.free_l,
+            p, l, sb.obs_data, sb.ci, sb.li, sb.w_pad, sb.free_l,
             sb.cam_bounds, jnp.asarray(lam, dtype),
         )
-        chi2 = float(chi2)
-        cost_new = float(cost_new)
-        if not history:
-            history.append(chi2)
-        accept = cost_new < chi2
-        if options.method == "gn" or accept:
-            poses, lm_slab = new_poses, new_lm
-            history.append(cost_new)
-            lam = max(lam * options.lambda_down, options.lambda_min)
-            if cost_new > chi2 * options.min_cost_decrease:
-                break
-            if float(dx_norm) < options.min_update_norm:
-                break
-        else:
-            lam = min(lam * options.lambda_up, options.lambda_max)
+        return (new_poses, new_lm), chi2, cost_new, dx_norm
+
+    (poses, lm_slab), history, _info = host_lm_loop(
+        lm_step, (sb.poses, sb.lm_slab), options
+    )
 
     lm_full = np.asarray(lm_slab)[sb.lm_perm]
     pb = graph.blocks[pose_name]

@@ -340,7 +340,7 @@ def solve_schur_sharded(
 
     poses, lm_slab = sb.poses, sb.lm_slab
     dtype = np.asarray(poses).dtype
-    lam = options.lambda_init
+    opts = options
     if resume and checkpoint_path is not None:
         import os
 
@@ -348,39 +348,30 @@ def solve_schur_sharded(
             ck = np.load(checkpoint_path)
             poses = jnp.asarray(ck["poses"])
             lm_slab = jnp.asarray(ck["lm_slab"])
-            lam = float(ck["lam"])
+            opts = dataclasses.replace(options, lambda_init=float(ck["lam"]))
 
-    def _snapshot():
-        np.savez(
-            checkpoint_path.removesuffix(".npz"),
-            poses=np.asarray(poses),
-            lm_slab=np.asarray(lm_slab),
-            lam=lam,
-        )
+    from ..solver.host_loop import host_lm_loop
 
-    history = []
-    for _it in range(options.max_iters):
+    def lm_step(state, lam):
+        p, l = state
         new_poses, new_lm, chi2, cost_new, dx_norm = step(
-            poses, lm_slab, sb.obs_data, sb.cam_idx, sb.pt_local, sb.weight,
+            p, l, sb.obs_data, sb.cam_idx, sb.pt_local, sb.weight,
             sb.free_l, jnp.asarray(lam, dtype),
         )
-        chi2 = float(chi2)
-        cost_new = float(cost_new)
-        if not history:
-            history.append(chi2)
-        accept = cost_new < chi2
-        if options.method == "gn" or accept:
-            poses, lm_slab = new_poses, new_lm
-            history.append(cost_new)
-            lam = max(lam * options.lambda_down, options.lambda_min)
-            if checkpoint_path is not None and len(history) % checkpoint_every == 0:
-                _snapshot()
-            if cost_new > chi2 * options.min_cost_decrease:
-                break
-            if float(dx_norm) < options.min_update_norm:
-                break
-        else:
-            lam = min(lam * options.lambda_up, options.lambda_max)
+        return (new_poses, new_lm), chi2, cost_new, dx_norm
+
+    def _on_accept(state, lam, n_accepted):
+        if checkpoint_path is not None and n_accepted % checkpoint_every == 0:
+            np.savez(
+                checkpoint_path.removesuffix(".npz"),
+                poses=np.asarray(state[0]),
+                lm_slab=np.asarray(state[1]),
+                lam=lam,
+            )
+
+    (poses, lm_slab), history, _info = host_lm_loop(
+        lm_step, (poses, lm_slab), opts, on_accept=_on_accept
+    )
 
     # ---- write back into a FactorGraph (unpermute landmarks) ----
     lm_full = np.asarray(lm_slab)[sb.lm_perm]

@@ -155,3 +155,7 @@ __all__ += ["solve_implicit"]
 from .schur_large import solve_schur_large  # noqa: E402
 
 __all__ += ["solve_schur_large"]
+
+from .host_loop import host_lm_loop  # noqa: E402
+
+__all__ += ["host_lm_loop"]

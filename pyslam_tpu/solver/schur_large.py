@@ -479,11 +479,12 @@ def solve_schur_large(
     of 100 its @ 1e-6 at 3x the speed.  Returns
     (solved_graph, final_chi2, cost_history)."""
     lb = prepare_large_ba(graph, n_chunks, pose_name, lm_name)
-    poses, lms = lb.poses, lb.lms
-    lam = options.lambda_init
-    dtype = np.asarray(poses).dtype
-    history = []
-    for _ in range(options.max_iters):
+    dtype = np.asarray(lb.poses).dtype
+
+    from .host_loop import host_lm_loop
+
+    def lm_step(state, lam):
+        poses, lms = state
         chi2, Hpp, g_p, Hll, g_l, W = _linearize_stream(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, True, lb.trails,
             poses, lms, lb.obs_data, lb.ci, lb.li, lb.w_pad, lb.cam_starts,
@@ -505,21 +506,9 @@ def solve_schur_large(
         )
         if lb.unary:
             cost_new = cost_new + _unary_contrib(lb.unary, new_poses, lb.C, False)[0]
-        chi2 = float(chi2)
-        cost_new = float(cost_new)
-        if not history:
-            history.append(chi2)
-        accept = cost_new < chi2
-        if options.method == "gn" or accept:
-            poses, lms = new_poses, new_lms
-            history.append(cost_new)
-            lam = max(lam * options.lambda_down, options.lambda_min)
-            if cost_new > chi2 * options.min_cost_decrease:
-                break
-            if float(dx_norm) < options.min_update_norm:
-                break
-        else:
-            lam = min(lam * options.lambda_up, options.lambda_max)
+        return (new_poses, new_lms), chi2, cost_new, dx_norm
+
+    (poses, lms), history, _info = host_lm_loop(lm_step, (lb.poses, lb.lms), options)
 
     pb = graph.blocks[pose_name]
     lb_blk = graph.blocks[lm_name]
