@@ -7,6 +7,8 @@ layer provides the factor-graph analogues as first-class components:
   * ``factor_parallel`` — factors sharded across chips, psum-reduced normal
                           equations (DP analogue)
   * ``partitioner``     — variable-block graph partitioning (TP analogue)
+  * ``pose_sharded``    — variable-sharded pose-graph solver consuming the
+                          partitioner (TP analogue, separator all_gather)
   * ``schur_reduce``    — landmark-sharded Schur reduction (SP/ring analogue)
 """
 
@@ -18,6 +20,7 @@ from .factor_parallel import (
 )
 from .mesh import make_mesh, init_distributed
 from .partitioner import Partition, cut_stats, partition_landmarks, partition_poses_bfs
+from .pose_sharded import shard_pose_graph, solve_pose_sharded
 from .schur_cm import solve_schur_cm
 from .schur_reduce import shard_ba, solve_schur_sharded
 
@@ -35,4 +38,6 @@ __all__ = [
     "shard_ba",
     "solve_schur_sharded",
     "solve_schur_cm",
+    "shard_pose_graph",
+    "solve_pose_sharded",
 ]

@@ -1,0 +1,121 @@
+"""Variable-sharded pose-graph solver (dist/pose_sharded.py — the TP
+analogue, SURVEY.md §2.3): sharded solve on the 8-device CPU mesh must match
+the single-device ELL solver, be invariant to partition choice and mesh
+size, respect gauge anchors, and support unary prior batches."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.dist import (
+    Partition,
+    make_mesh,
+    partition_poses_bfs,
+    shard_pose_graph,
+    solve_pose_sharded,
+)
+from pyslam_tpu.graph import build
+from pyslam_tpu.graph.core import FactorBatch, FactorGraph
+from pyslam_tpu.io import synth
+from pyslam_tpu.losses import HuberLoss
+from pyslam_tpu.solver import Options
+from pyslam_tpu.solver.bcsr import solve_ell
+
+
+def mesh_p(n=8):
+    return make_mesh(n, axis_name="p")
+
+
+def se2_graph(n_poses=120, seed=0, loss=None):
+    data = synth.se2_loop(n_poses=n_poses, n_loops=15, seed=seed)
+    return build.pose_graph(data, loss=loss, dtype=jnp.float64)
+
+
+def se3_graph(n_poses=150, seed=0):
+    data = synth.se3_sphere(n_poses=n_poses, seed=seed)
+    return build.pose_graph(data, dtype=jnp.float64)
+
+
+COMMON = dict(pcg_rtol=1e-10, pcg_max_iters=400)
+
+
+class TestPoseSharded:
+    @pytest.mark.parametrize("graph_fn", [se2_graph, se3_graph])
+    def test_matches_single_device_ell(self, graph_fn):
+        g = graph_fn()
+        opts = Options(method="lm", max_iters=25)
+        solved_s, chi2_s, hist = solve_pose_sharded(g, mesh_p(8), opts, **COMMON)
+        _, info = solve_ell(g, opts, **COMMON)
+        assert len(hist) >= 2 and hist[-1] < hist[0]
+        np.testing.assert_allclose(chi2_s, float(info.chi2), rtol=1e-5)
+
+    def test_partition_invariance(self):
+        g = se2_graph(seed=5)
+        opts = Options(method="lm", max_iters=15)
+        _, chi2_a, _ = solve_pose_sharded(g, mesh_p(8), opts, **COMMON)
+        rng = np.random.default_rng(0)
+        random_part = Partition(rng.integers(0, 8, g.blocks["poses"].n), 8)
+        _, chi2_b, _ = solve_pose_sharded(
+            g, mesh_p(8), opts, partition=random_part, **COMMON
+        )
+        np.testing.assert_allclose(chi2_a, chi2_b, rtol=1e-6)
+
+    def test_mesh_size_invariance(self):
+        g = se2_graph(seed=7)
+        opts = Options(method="lm", max_iters=10)
+        _, chi2_1, _ = solve_pose_sharded(g, mesh_p(1), opts, **COMMON)
+        _, chi2_8, _ = solve_pose_sharded(g, mesh_p(8), opts, **COMMON)
+        np.testing.assert_allclose(chi2_1, chi2_8, rtol=1e-6)
+
+    def test_gauge_anchor_fixed(self):
+        g = se2_graph()
+        solved, _, _ = solve_pose_sharded(
+            g, mesh_p(8), Options(method="lm", max_iters=8), **COMMON
+        )
+        np.testing.assert_allclose(
+            np.asarray(solved.blocks["poses"].values[0]),
+            np.asarray(g.blocks["poses"].values[0]),
+            atol=1e-12,
+        )
+
+    def test_robust_loss(self):
+        g = se2_graph(loss=HuberLoss(2.0))
+        _, chi2, hist = solve_pose_sharded(
+            g, mesh_p(8), Options(method="lm", max_iters=15), **COMMON
+        )
+        assert chi2 < hist[0]
+
+    def test_unary_prior_batch(self):
+        # free all poses, anchor the graph with a strong SE(2) prior instead
+        data = synth.se2_loop(n_poses=60, n_loops=8, seed=3)
+        g = build.pose_graph(data, dtype=jnp.float64, anchor_first=False)
+        pb = g.blocks["poses"]
+        prior = FactorBatch.create(
+            kind="prior_se2",
+            slots=("poses",),
+            indices=(np.array([0], np.int32),),
+            data={
+                "T_obs": jnp.asarray(np.asarray(pb.values[:1]), jnp.float64),
+                "sqrt_info": 1e3 * jnp.eye(3, dtype=jnp.float64)[None],
+            },
+            loss=g.batches[0].loss,
+        )
+        g2 = FactorGraph(dict(g.blocks), [g.batches[0], prior])
+        opts = Options(method="lm", max_iters=20)
+        _, chi2_s, hist = solve_pose_sharded(g2, mesh_p(8), opts, **COMMON)
+        _, info = solve_ell(g2, opts, **COMMON)
+        assert hist[-1] < hist[0]
+        np.testing.assert_allclose(chi2_s, float(info.chi2), rtol=1e-5)
+
+    def test_plan_duplication_is_bounded(self):
+        # cut-factor replication must stay near the cut size, not blow up
+        g = se2_graph(n_poses=200)
+        sp = shard_pose_graph(g, mesh_p(8))
+        n_copies = sum(
+            int(np.sum(np.asarray(a["w"]) > 0)) for a in sp.batch_arrays
+        )
+        n_factors = sum(fb.n for fb in g.batches)
+        # each factor is copied at most twice (2 endpoint owners)
+        assert n_factors <= n_copies <= 2 * n_factors
+        # BFS partition on a loop graph: duplication should be a small excess
+        assert n_copies - n_factors < n_factors * 0.5
