@@ -345,9 +345,16 @@ def solve_schur_sharded(
         import os
 
         if os.path.exists(checkpoint_path):
+            # Checkpoints are MESH-INDEPENDENT (landmarks stored in original
+            # order, not slab order), so a snapshot written on n devices can
+            # resume on any mesh — the elastic-recovery path when a host
+            # dies and the solve restarts on the surviving n-1 devices
+            # (SURVEY.md §5 failure-detection row).
             ck = np.load(checkpoint_path)
             poses = jnp.asarray(ck["poses"])
-            lm_slab = jnp.asarray(ck["lm_slab"])
+            slab = np.asarray(sb.lm_slab).copy()
+            slab[sb.lm_perm] = ck["landmarks"]
+            lm_slab = jnp.asarray(slab)
             opts = dataclasses.replace(options, lambda_init=float(ck["lam"]))
 
     from ..solver.host_loop import host_lm_loop
@@ -365,7 +372,7 @@ def solve_schur_sharded(
             np.savez(
                 checkpoint_path.removesuffix(".npz"),
                 poses=np.asarray(state[0]),
-                lm_slab=np.asarray(state[1]),
+                landmarks=np.asarray(state[1])[sb.lm_perm],
                 lam=lam,
             )
 

@@ -130,6 +130,31 @@ class TestShardedSchur:
         )
         np.testing.assert_allclose(chi2_resumed, chi2_full, rtol=1e-6)
 
+    def test_elastic_recovery_kill_one_host(self, tmp_path):
+        """The kill-one-host drill (SURVEY.md §5): checkpoint mid-solve on 8
+        devices, 'lose' a device, rebuild the plan on the surviving 7 (new
+        landmark slabs), resume from the snapshot, converge — final chi2
+        must match the uninterrupted 8-device solve.  Checkpoints are
+        mesh-independent (original-order landmarks), so resharding is just a
+        fresh shard_ba on the smaller mesh."""
+        g = tiny_ba(seed=21)
+        ck = str(tmp_path / "drill.npz")
+        common = dict(pcg_rtol=1e-12, pcg_max_iters=400)
+        opts8 = Options(method="lm", max_iters=8, min_cost_decrease=1.0 - 1e-15)
+        opts4 = Options(method="lm", max_iters=4, min_cost_decrease=1.0 - 1e-15)
+        _, chi2_full, _ = solve_schur_sharded(g, make_mesh_l(8), opts8, **common)
+        # phase 1: 4 iterations on the full 8-device mesh, snapshotting
+        solve_schur_sharded(
+            g, make_mesh_l(8), opts4, checkpoint_path=ck, checkpoint_every=4,
+            **common,
+        )
+        # phase 2: one host died — resume on a 7-device mesh
+        _, chi2_recovered, hist = solve_schur_sharded(
+            g, make_mesh_l(7), opts4, checkpoint_path=ck, resume=True, **common
+        )
+        assert hist[-1] <= hist[0]  # resumed solve still decreases
+        np.testing.assert_allclose(chi2_recovered, chi2_full, rtol=1e-6)
+
     def test_checkpoint_path_without_npz_suffix(self, tmp_path):
         # np.savez silently appends '.npz'; save and resume must agree on
         # the on-disk name even for a bare path (round-1 advisor finding)
