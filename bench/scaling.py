@@ -1,0 +1,205 @@
+"""Multi-host readiness harness: iterations/sec of every sharded path at
+mesh sizes 1/2/4/8, parallel efficiency, and a per-iteration communication
+model (BASELINE.json north-star: >= 70% iterations/s efficiency at 2+ hosts).
+
+Run it the same way everywhere:
+
+  * THIS box (1 TPU chip, 1 CPU core): falls back to virtual CPU devices.
+    All virtual devices share ONE physical core, so it/s *cannot* scale here
+    — the numbers are dispatch/collective overhead curves and are labeled
+    `cpu-virtual-1core`.  The value of running here is (a) the harness is
+    exercised end-to-end, (b) per-iteration comm volumes are recorded.
+  * A real pod slice: `python bench/scaling.py --distributed` on every host
+    (jax.distributed.initialize via dist.init_distributed) — the same
+    script, no modification, measures real scaling.  The day >= 2 hosts
+    exist, the 70% target is one command away.
+
+Output: one JSON line per (path, mesh size) appended to bench/scaling.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def comm_model(path: str, n: int, stats: dict) -> dict:
+    """Logical collective payload per LM iteration (floats, per device).
+
+    These are the arrays that ride ICI/DCN; multiply by itemsize for bytes.
+    CG-loop collectives are reported per CG iteration separately since the
+    CG budget varies.
+    """
+    if path == "factor_parallel":
+        D = stats["D"]
+        return dict(psum_per_lm_it=D * D + D + 2, per_cg_it=0)
+    if path == "schur_reduce":
+        C = stats["C"]
+        # psums: Hpp (C*36), g_p (C*6), chi2, g_red term (C*6), precond D
+        # (C*36), cost (1); per CG it: one S-matvec psum (C*6)
+        return dict(psum_per_lm_it=C * (36 + 6 + 6 + 36) + 2, per_cg_it=C * 6)
+    if path == "schur_cm":
+        C = stats["C"]
+        # same reduced-system psums as schur_reduce plus the 21 SCHUR_JACOBI
+        # component psums (C*21); matvec psum (C*6) per CG it
+        return dict(psum_per_lm_it=C * (36 + 6 + 6 + 36 + 21) + 2, per_cg_it=C * 6)
+    if path == "pose_sharded":
+        Ns, d, es = stats["Nslab"], stats["d"], stats["elem"]
+        # all_gather pose state (Nslab*elem) twice (linearize + trial cost),
+        # 3 scalar psums; per CG it: all_gather x (Nslab*d) + 3 scalar psums
+        return dict(psum_per_lm_it=2 * Ns * es + 3, per_cg_it=Ns * d + 3)
+    return {}
+
+
+# Fixed GLOBAL problem sizes (strong scaling).  'cpu' fits the 1-core
+# virtual-device fallback on this box; 'pod' is the real-slice size
+# (sphere2500-class pose graphs, Ladybug-class BA).
+PRESETS = {
+    "cpu": dict(fp_poses=200, ps_poses=1000, ba_cams=12, ba_pts=2000, ba_obs=4),
+    "pod": dict(fp_poses=2500, ps_poses=50000, ba_cams=49, ba_pts=7000, ba_obs=6),
+}
+
+
+def run_path(path: str, n: int, iters: int, pcg_iters: int, preset: dict):
+    import jax
+    import jax.numpy as jnp
+
+    from pyslam_tpu.dist import make_mesh
+    from pyslam_tpu.graph import build
+    from pyslam_tpu.io import synth
+    from pyslam_tpu.solver import Options
+
+    # fixed global problem size -> strong scaling
+    opts = Options(
+        method="lm", max_iters=iters, min_cost_decrease=1.0 - 1e-15,
+        min_update_norm=0.0,
+    )
+    if path in ("factor_parallel", "pose_sharded"):
+        n_poses = preset["fp_poses" if path == "factor_parallel" else "ps_poses"]
+        data = synth.se3_sphere(n_poses=n_poses, seed=0)
+        g = build.pose_graph(data, dtype=jnp.float32)
+        stats = dict(
+            D=g.total_dof, Nslab=-(-n_poses // n) * n, d=6, elem=16,
+            n_factors=sum(fb.n for fb in g.batches),
+        )
+    else:
+        data = synth.ba_synthetic(
+            n_cams=preset["ba_cams"], n_pts=preset["ba_pts"],
+            obs_per_pt=preset["ba_obs"], seed=0,
+        )
+        g = build.ba_graph(data, dtype=jnp.float32)
+        stats = dict(
+            C=preset["ba_cams"], L=preset["ba_pts"],
+            M=sum(fb.n for fb in g.batches),
+        )
+
+    def solve():
+        if path == "factor_parallel":
+            from pyslam_tpu.dist import solve_factor_parallel
+
+            return solve_factor_parallel(g, make_mesh(n, axis_name="f"), opts)
+        if path == "pose_sharded":
+            from pyslam_tpu.dist import solve_pose_sharded
+
+            return solve_pose_sharded(
+                g, make_mesh(n, axis_name="p"), opts,
+                pcg_rtol=0.0, pcg_max_iters=pcg_iters,
+            )
+        if path == "schur_reduce":
+            from pyslam_tpu.dist import solve_schur_sharded
+
+            return solve_schur_sharded(
+                g, make_mesh(n, axis_name="l"), opts,
+                pcg_rtol=0.0, pcg_max_iters=pcg_iters,
+            )
+        if path == "schur_cm":
+            from pyslam_tpu.dist.schur_cm import solve_schur_cm
+
+            return solve_schur_cm(
+                g, make_mesh(n, axis_name="l"), opts,
+                n_chunks=4, pcg_rtol=0.0, pcg_max_iters=pcg_iters,
+            )
+        raise ValueError(path)
+
+    solve()  # compile warmup
+    t0 = time.perf_counter()
+    _, chi2, hist = solve()
+    wall = time.perf_counter() - t0
+    n_it = max(1, len(hist) - 1)
+    return dict(
+        wall_s=round(wall, 4),
+        iterations=n_it,
+        it_per_s=round(n_it / wall, 4),
+        chi2=float(chi2),
+        comm=comm_model(path, n, stats),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument(
+        "--paths", default="factor_parallel,pose_sharded,schur_reduce,schur_cm"
+    )
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--pcg-iters", type=int, default=50)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling.jsonl"),
+    )
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize before measuring",
+    )
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="cpu")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.devices.split(",")]
+
+    import jax
+
+    if args.distributed:
+        from pyslam_tpu.dist import init_distributed
+
+        init_distributed()
+        backend = f"{jax.default_backend()}-x{len(jax.devices())}"
+    else:
+        # single-host fallback: virtual CPU devices (in-process config — the
+        # axon plugin swallows JAX_PLATFORMS/XLA_FLAGS env vars)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", max(sizes))
+        except RuntimeError:
+            pass
+        backend = f"cpu-virtual-1core-x{len(jax.devices())}"
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    base_rate: dict = {}
+    with open(args.out, "a") as fh:
+        for path in args.paths.split(","):
+            for n in sizes:
+                if n > len(jax.devices()):
+                    continue
+                rec = dict(path=path, n_devices=n, backend=backend, preset=args.preset)
+                rec.update(
+                    run_path(path, n, args.iters, args.pcg_iters, PRESETS[args.preset])
+                )
+                if path not in base_rate:
+                    base_rate[path] = (n, rec["it_per_s"])
+                # strong-scaling parallel efficiency vs the smallest mesh:
+                # speedup / device ratio
+                n0, r0 = base_rate[path]
+                rec["efficiency_vs_smallest"] = round(
+                    (rec["it_per_s"] / r0) / (n / n0), 4
+                )
+                print(json.dumps(rec))
+                fh.write(json.dumps(rec) + "\n")
+                fh.flush()
+
+
+if __name__ == "__main__":
+    main()
