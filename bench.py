@@ -61,13 +61,15 @@ def main():
 
     g = build.pose_graph(data)  # f32, the TPU-native production path
     plan = build_ell_direct(g)
-    opts = Options(method="lm", max_iters=30)
+    opts = Options(method="lm", max_iters=30, min_cost_decrease=0.999)
 
     def run():
         # measured-best config on this chip: direct-to-ELL assembly,
-        # slice-damping, closed-form block-Jacobi, inexact-Newton PCG;
-        # chi2 parity still enforced below
-        s, info = solve_ell(g, opts, plan=plan, pcg_rtol=1e-4, pcg_max_iters=75)
+        # slice-damping, closed-form block-Jacobi, inexact-Newton PCG.
+        # rtol 3e-6 / 120 its is the measured knee (round 2): EXACT f64
+        # parity (7310.78, == the x64 optimum to 5e-7 relative) at the same
+        # wall as the loose round-1 config — tighter CG cuts an LM iteration
+        s, info = solve_ell(g, opts, plan=plan, pcg_rtol=3e-6, pcg_max_iters=120)
         jax.block_until_ready(s.blocks["poses"].values)
         return s, info
 
@@ -78,7 +80,10 @@ def main():
 
     chi2 = float(info.chi2)
     iters = int(info.iterations)
-    parity = chi2 <= baseline["chi2"] * 1.01  # within the optimality gap
+    # 0.1% gate (tightened from 1% in round 2: the f32 solve reaches the
+    # f64 optimum exactly, so the gate no longer needs slack for CG
+    # truncation — see docs/PERFORMANCE.md "Precision")
+    parity = chi2 <= baseline["chi2"] * 1.001
     speedup = baseline["wall_s"] / wall if parity else 0.0
 
     print(

@@ -72,3 +72,35 @@ def bilinear_interpolate(im, u, v, compute_gradients: bool = False):
     grad_u = (f01 - f00) + av * ((f11 - f10) - (f01 - f00))
     grad_v = bot - top
     return val, grad_u, grad_v
+
+
+def kahan_sum(x, chunk: int = 4096):
+    """Compensated (Neumaier) summation of a flat array in its own dtype.
+
+    XLA's reduction is already pairwise/tree (error ~ O(log n) ulp); this
+    sequential-over-chunks two-sum drives the error to O(1) ulp of the
+    total, for accumulations where f32 tree error would matter (hundreds of
+    millions of similarly-signed terms).  MEASURED (round 2, sphere2500 /
+    M3500 / Venice scales): plain f32 chi2 evaluation is already within
+    ~3e-5 relative of x64 — the round-1 parity gap was CG truncation, not
+    summation (docs/PERFORMANCE.md "Precision") — so nothing on the current
+    hot paths uses this; it exists for future >1e8-term reductions.
+    """
+    import jax
+
+    x = x.reshape(-1)
+    n = x.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+    parts = jnp.sum(x.reshape(-1, chunk), axis=1)  # tree-sum within chunks
+
+    def body(carry, p):
+        s, c = carry
+        t = s + p
+        # Neumaier: pick the larger-magnitude operand's rounding error
+        c = c + jnp.where(jnp.abs(s) >= jnp.abs(p), (s - t) + p, (p - t) + s)
+        return (t, c), None
+
+    (s, c), _ = jax.lax.scan(body, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)), parts)
+    return s + c

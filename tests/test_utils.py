@@ -85,3 +85,24 @@ class TestBilinearInterpolate:
             + np.asarray(im)[4, 2] + np.asarray(im)[4, 3]
         )
         np.testing.assert_allclose(np.asarray(vals[0]), manual, atol=1e-12)
+
+
+class TestKahanSum:
+    def test_matches_f64_on_adversarial_f32(self):
+        import jax.numpy as jnp
+        from pyslam_tpu.utils import kahan_sum
+
+        rng = np.random.default_rng(0)
+        # large similarly-signed values: plain f32 sequential sum drifts
+        x64 = rng.uniform(0.1, 1.0, 200_000)
+        x32 = jnp.asarray(x64, jnp.float32)
+        exact = float(np.sum(x64))
+        ks = float(kahan_sum(x32))
+        assert abs(ks - exact) / exact < 1e-6
+
+    def test_empty_and_small(self):
+        import jax.numpy as jnp
+        from pyslam_tpu.utils import kahan_sum
+
+        assert float(kahan_sum(jnp.zeros(0, jnp.float32))) == 0.0
+        np.testing.assert_allclose(float(kahan_sum(jnp.asarray([1.5, 2.5]))), 4.0)
