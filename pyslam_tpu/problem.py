@@ -200,21 +200,56 @@ class Problem:
         return float(self._build().chi2())
 
     # ----------------------------------------------------------- covariance
-    def compute_covariance(self):
+    def compute_covariance(self, dense_dof_limit: int = 8192):
         """Posterior covariance = (J^T W J)^-1 over free parameters
-        (reference Problem.compute_covariance — SURVEY.md §3.4).  Computed by
-        Cholesky solves against identity columns, not an explicit inverse."""
+        (reference Problem.compute_covariance — SURVEY.md §3.4).
+
+        At or below ``dense_dof_limit`` total dof the full (D, D) matrix is
+        materialized by Cholesky solves against identity columns (reference
+        behavior).  Beyond it NO dense (D, D) is ever formed: covariance
+        goes lazy and ``get_covariance_block`` answers per-block queries via
+        selective PCG column solves (single variable block: the ELL system,
+        solver/covariance.covariance_block; pose pairs of a camera+landmark
+        graph: the reduced Schur system, pose_covariance_block).  Returns
+        the dense matrix, or None in lazy mode."""
         graph = self._build()
-        H, _, _ = assemble_dense(graph)
-        eye = jnp.eye(H.shape[0], dtype=H.dtype)
-        self._covariance = cholesky_solve(H, eye)
+        if graph.total_dof <= dense_dof_limit:
+            H, _, _ = assemble_dense(graph)
+            eye = jnp.eye(H.shape[0], dtype=H.dtype)
+            self._covariance = cholesky_solve(H, eye)
+        else:
+            self._covariance = None
         return self._covariance
 
     def get_covariance_block(self, param_key_1: str, param_key_2: str):
-        """Covariance block between two named parameters (reference API)."""
+        """Covariance block between two named parameters (reference API).
+        Works in both dense and lazy modes (see compute_covariance)."""
         if not hasattr(self, "_covariance"):
             self.compute_covariance()
         graph = self._build()
+
+        if self._covariance is None:  # lazy: selective solves, no (D, D)
+            from .solver.covariance import covariance_block, pose_covariance_block
+
+            s1, s2 = self._slots[param_key_1], self._slots[param_key_2]
+            kinds = {n: b.kind for n, b in graph.blocks.items()}
+            if len(graph.blocks) == 1:
+                return covariance_block(graph, s1.index, s2.index)
+            lie = [n for n, k in kinds.items() if k != "euclidean"]
+            euc = [n for n, k in kinds.items() if k == "euclidean"]
+            if (
+                len(graph.blocks) == 2 and len(lie) == 1 and len(euc) == 1
+                and s1.block == lie[0] and s2.block == lie[0]
+            ):
+                return pose_covariance_block(
+                    graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
+                )
+            raise ValueError(
+                "lazy covariance supports single-block graphs and pose-pose "
+                "blocks of camera+landmark graphs; for landmark marginals "
+                "use solver.marginal_covariances, or raise dense_dof_limit"
+            )
+
         offsets = graph.offsets()
 
         def span(name):

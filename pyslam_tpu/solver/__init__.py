@@ -33,7 +33,13 @@ from .schur import ba_assemble, solve_schur  # noqa: E402
 __all__ += ["ba_assemble", "solve_schur"]
 
 from .bcsr import EllDirect, assemble_ell, build_ell_direct, solve_ell, sym_block_inv  # noqa: E402
-from .covariance import full_covariance, marginal_covariances  # noqa: E402
+from .covariance import (  # noqa: E402
+    covariance_block,
+    full_covariance,
+    marginal_covariances,
+    pose_covariance_block,
+    pose_marginal_covariances,
+)
 
 __all__ += [
     "EllDirect",
@@ -43,6 +49,9 @@ __all__ += [
     "sym_block_inv",
     "full_covariance",
     "marginal_covariances",
+    "covariance_block",
+    "pose_covariance_block",
+    "pose_marginal_covariances",
 ]
 
 

@@ -77,6 +77,10 @@ def assemble_dense(graph: FactorGraph):
     free = free_mask(graph).astype(dtype)
     H = H * free[:, None] * free[None, :]
     H = H + jnp.diag(1.0 - free)
+    # dead free dofs (no factor touches them, e.g. an unobserved landmark):
+    # unit diagonal so Cholesky/covariance stay defined; their g is 0 so the
+    # update is exactly 0 — same semantics as ba_assemble's dead_l handling
+    H = H + jnp.diag((jnp.diagonal(H) == 0.0).astype(dtype))
     g = g * free
     return H, g, chi2
 

@@ -32,6 +32,34 @@ def full_covariance(graph: FactorGraph):
     return cholesky_solve(H, jnp.eye(H.shape[0], dtype=H.dtype))
 
 
+def _ell_col_solver(graph: FactorGraph, block_name: str, pcg_rtol, pcg_max_iters):
+    """Shared selective-solve closure over the single-block ELL system:
+    solve_col(col_idx) -> column of H^-1."""
+    blk = graph.blocks[block_name]
+    d = blk.dof
+    plan = build_ell_direct(graph, block_name)
+    He, _, _ = assemble_ell(graph, plan)
+    nb = plan.nb
+    cols = jnp.asarray(plan.cols)
+    Minv = sym_block_inv(He[:, 0])
+
+    def matvec(x):
+        xg = x.reshape(nb, d)[cols]
+        return jnp.einsum("rkij,rkj->ri", He, xg).reshape(-1)
+
+    def precond(r):
+        return jnp.einsum("nij,nj->ni", Minv, r.reshape(nb, d)).reshape(-1)
+
+    D = nb * d
+
+    def solve_col(col_idx):
+        e = jnp.zeros(D, He.dtype).at[col_idx].set(1.0)
+        x, _ = pcg_solve(matvec, e, precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters)
+        return x
+
+    return solve_col, nb, d
+
+
 def marginal_covariances(
     graph: FactorGraph,
     block_name: str | None = None,
@@ -54,28 +82,9 @@ def marginal_covariances(
         indices = np.arange(blk.n)
     indices = np.asarray(indices)
 
-    plan = build_ell_direct(graph, block_name)
-    He, _, _ = assemble_ell(graph, plan)
-    nb, K = plan.nb, plan.K
-    cols = jnp.asarray(plan.cols)
-    Minv = sym_block_inv(He[:, 0])
-
+    solve_col, nb, d = _ell_col_solver(graph, block_name, pcg_rtol, pcg_max_iters)
     # offset of this block in the global tangent layout
     off = graph.offsets()[block_name]
-
-    def matvec(x):
-        xg = x.reshape(nb, d)[cols]
-        return jnp.einsum("rkij,rkj->ri", He, xg).reshape(-1)
-
-    def precond(r):
-        return jnp.einsum("nij,nj->ni", Minv, r.reshape(nb, d)).reshape(-1)
-
-    D = nb * d
-
-    def solve_col(col_idx):
-        e = jnp.zeros(D, He.dtype).at[col_idx].set(1.0)
-        x, _ = pcg_solve(matvec, e, precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters)
-        return x
 
     col_ids = (off + indices[:, None] * d + np.arange(d)[None, :]).reshape(-1)
     X = jax.vmap(solve_col)(jnp.asarray(col_ids, jnp.int32))  # (k*d, D)
@@ -85,4 +94,106 @@ def marginal_covariances(
     return 0.5 * (out + jnp.swapaxes(out, -1, -2))
 
 
-__all__ = ["full_covariance", "marginal_covariances"]
+def covariance_block(
+    graph: FactorGraph,
+    i: int,
+    j: int,
+    block_name: str | None = None,
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+):
+    """(dof, dof) cross-covariance block of H^-1 between elements ``i`` and
+    ``j`` of a single-block graph, by ``dof`` selective column solves — the
+    large-graph route for ``Problem.get_covariance_block`` (never forms a
+    dense (D, D))."""
+    if block_name is None:
+        (block_name,) = graph.blocks.keys()
+    solve_col, nb, d = _ell_col_solver(graph, block_name, pcg_rtol, pcg_max_iters)
+    cols = jnp.asarray(j * d + np.arange(d), jnp.int32)
+    X = jax.vmap(solve_col)(cols)  # (d, D) columns of H^-1 for element j
+    return jnp.swapaxes(X.reshape(d, nb, d)[:, i, :], 0, 1)  # rows i -> (d, d)
+
+
+def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
+    """Selective-solve closure over the REDUCED camera system S = Hpp -
+    W Hll^-1 W^T.  By the block-inverse identity, (H^-1)_pose-pose == S^-1,
+    so pose covariances come from S-solves — no dense H, the landmark side
+    stays as batched 3x3 factors (SURVEY.md §3.4 build note)."""
+    from .schur import _binv, _binv_apply, _seg, ba_assemble
+
+    parts, _, _ = ba_assemble(graph, pose_name, lm_name)
+    Hpp, W = parts["Hpp"], parts["W"]
+    ci, li = parts["cam_idx"], parts["pt_idx"]
+    C, dp = Hpp.shape[0], Hpp.shape[1]
+    L_ll = jnp.linalg.cholesky(parts["Hll"])
+    Hll_inv = _binv(L_ll)
+    Y = jnp.einsum("mij,mjk->mik", W, Hll_inv[li])
+    D_blk = Hpp - _seg(jnp.einsum("mik,mjk->mij", Y, W), ci, C)
+    L_d = jnp.linalg.cholesky(D_blk)
+
+    def matvec(x):
+        xb = x.reshape(C, dp)
+        y = jnp.einsum("cij,cj->ci", Hpp, xb)
+        t = _seg(jnp.einsum("mij,mi->mj", W, xb[ci]), li, Hll_inv.shape[0])
+        t = jnp.einsum("lij,lj->li", Hll_inv, t)
+        y = y - _seg(jnp.einsum("mij,mj->mi", W, t[li]), ci, C)
+        return y.reshape(-1)
+
+    def precond(r):
+        return _binv_apply(L_d, r.reshape(C, dp)).reshape(-1)
+
+    def solve_col(col_idx):
+        e = jnp.zeros(C * dp, Hpp.dtype).at[col_idx].set(1.0)
+        x, _ = pcg_solve(matvec, e, precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters)
+        return x
+
+    return solve_col, C, dp
+
+
+def pose_marginal_covariances(
+    graph: FactorGraph,
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    indices=None,
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+):
+    """(k, dp, dp) pose marginal covariances of a BA graph from the reduced
+    camera system: (H^-1)_pp = S^-1, solved per tangent column with
+    SCHUR_JACOBI-preconditioned PCG.  Constant (gauge-anchor) poses return
+    the unit block ba_assemble's masking gives them."""
+    solve_col, C, dp = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    if indices is None:
+        indices = np.arange(C)
+    indices = np.asarray(indices)
+    col_ids = (indices[:, None] * dp + np.arange(dp)[None, :]).reshape(-1)
+    X = jax.vmap(solve_col)(jnp.asarray(col_ids, jnp.int32))  # (k*dp, C*dp)
+    X = X.reshape(len(indices), dp, C, dp)
+    rows = jnp.asarray(indices, jnp.int32)
+    out = X[jnp.arange(len(indices)), :, rows, :]
+    return 0.5 * (out + jnp.swapaxes(out, -1, -2))
+
+
+def pose_covariance_block(
+    graph: FactorGraph,
+    i: int,
+    j: int,
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+):
+    """(dp, dp) pose-pose cross-covariance block (S^-1)_ij of a BA graph."""
+    solve_col, C, dp = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    cols = jnp.asarray(j * dp + np.arange(dp), jnp.int32)
+    X = jax.vmap(solve_col)(cols)
+    return jnp.swapaxes(X.reshape(dp, C, dp)[:, i, :], 0, 1)
+
+
+__all__ = [
+    "full_covariance",
+    "marginal_covariances",
+    "covariance_block",
+    "pose_marginal_covariances",
+    "pose_covariance_block",
+]

@@ -59,3 +59,73 @@ class TestCovariance:
         blk = np.asarray(problem.get_covariance_block("T_3", "T_3"))
         assert blk.shape == (3, 3)
         assert (np.linalg.eigvalsh(blk) > 0).all()
+
+
+class TestSchurCovariance:
+    """Pose marginals from the reduced camera system (round-2, SURVEY.md
+    §3.4 build note): (H^-1)_pp == S^-1, verified against the dense full
+    covariance on a small BA graph."""
+
+    def _solved_ba(self):
+        from pyslam_tpu.solver import solve_schur
+
+        data = synth.ba_synthetic(n_cams=6, n_pts=40, obs_per_pt=4, seed=8)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        solved, _ = solve_schur(g, Options(method="lm", max_iters=25), mode="dense")
+        return solved
+
+    def test_pose_marginals_match_dense(self):
+        from pyslam_tpu.solver import pose_marginal_covariances
+
+        g = self._solved_ba()
+        cov = np.asarray(full_covariance(g))
+        off = g.offsets()["poses"]
+        dp = g.blocks["poses"].dof
+        idx = [1, 3, 5]
+        marg = np.asarray(
+            pose_marginal_covariances(g, indices=idx, pcg_rtol=1e-12)
+        )
+        for k, i in enumerate(idx):
+            s = off + i * dp
+            np.testing.assert_allclose(
+                marg[k], cov[s : s + dp, s : s + dp], rtol=1e-4, atol=1e-10
+            )
+
+    def test_pose_cross_block_matches_dense(self):
+        from pyslam_tpu.solver import pose_covariance_block
+
+        g = self._solved_ba()
+        cov = np.asarray(full_covariance(g))
+        off = g.offsets()["poses"]
+        dp = g.blocks["poses"].dof
+        blk = np.asarray(pose_covariance_block(g, 2, 4, pcg_rtol=1e-12))
+        np.testing.assert_allclose(
+            blk,
+            cov[off + 2 * dp : off + 3 * dp, off + 4 * dp : off + 5 * dp],
+            rtol=1e-4, atol=1e-10,
+        )
+
+    def test_problem_lazy_dispatch_no_dense(self):
+        # force lazy mode with a tiny dense_dof_limit: block queries must
+        # match the dense answer without materializing (D, D)
+        from pyslam_tpu import PoseToPoseResidual, Problem, SE2
+
+        data = synth.se2_loop(n_poses=12, n_loops=3, seed=4)
+        names = [f"T_{i}" for i in range(12)]
+        prob = Problem(Options(max_iters=30))
+        for k in range(len(data.edges_i)):
+            i, j = int(data.edges_i[k]), int(data.edges_j[k])
+            prob.add_residual_block(
+                PoseToPoseResidual(data.T_meas[k], data.sqrt_info[k]),
+                [names[i], names[j]],
+            )
+        prob.initialize_params(
+            {n: SE2(jnp.asarray(T, jnp.float64)) for n, T in zip(names, data.T_init)}
+        )
+        prob.set_parameters_constant(names[0])
+        prob.solve()
+        dense = prob.compute_covariance()  # default limit: dense
+        b_dense = np.asarray(prob.get_covariance_block("T_3", "T_7"))
+        assert prob.compute_covariance(dense_dof_limit=4) is None  # lazy
+        b_lazy = np.asarray(prob.get_covariance_block("T_3", "T_7"))
+        np.testing.assert_allclose(b_lazy, b_dense, rtol=1e-5, atol=1e-10)
