@@ -81,3 +81,81 @@ def ell_matvec_pallas(He, cols, x, interpret: bool | None = None):
 
 
 __all__ = ["ell_matvec_lane_major", "ell_matvec_pallas"]
+
+
+# --------------------------------------------------------------------------
+# Scatter-as-matmul assembly (round-2 experiment, VERDICT item 7).
+#
+# Mosaic rejects dynamic gathers AND vector scatters, so a literal fused
+# linearize+scatter kernel is not expressible on this toolchain.  What IS
+# expressible: sort the per-factor block contributions by destination ELL
+# slot at plan-build time (static permutation), then for each tile of T
+# output slots load its contiguous contribution window with ONE dynamic
+# sublane slice (supported), build a (T, W) one-hot matrix by iota/compare
+# (vectorizable), and reduce with jnp.dot on the MXU — the scatter becomes
+# a dense matmul with no gather/scatter inside the kernel.
+#
+# Correctness needs no masking: the window starts at the tile's first
+# contribution (exact static bound) and later tiles' contributions fail the
+# one-hot comparison automatically.
+# --------------------------------------------------------------------------
+
+
+def _scatter_mm_kernel(T: int, W: int):
+    def kern(bblk_ref, sid_lo, sid_hi, con_lo, con_hi, o_ref):
+        # NOTE: no jnp.concatenate here — in-kernel sublane concat is
+        # rejected by this toolchain's remote Mosaic compiler (isolated
+        # round 2; everything else in this kernel compiles) — so the two
+        # aligned W-blocks are reduced by two dots and an add.
+        t = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0) + t * T
+        dtype = o_ref.dtype
+        oh_lo = (rows == sid_lo[:, 0][None, :]).astype(dtype)  # (T, W)
+        oh_hi = (rows == sid_hi[:, 0][None, :]).astype(dtype)
+        o_ref[:, :] = jnp.dot(
+            oh_lo, con_lo[:, :], preferred_element_type=dtype
+        ) + jnp.dot(oh_hi, con_hi[:, :], preferred_element_type=dtype)
+
+    return kern
+
+
+@partial(jax.jit, static_argnames=("S_pad", "T", "W", "interpret"))
+def scatter_matmul(
+    bounds_blk, slot_id, contrib, S_pad: int, T: int, W: int,
+    interpret: bool | None = None,
+):
+    """(S_pad, C) dense accumulation of slot-sorted contributions.
+
+    The per-tile contribution window is selected by BLOCK via the scalar-
+    prefetched ``bounds_blk`` (grid,) i32 = first-contribution-row // W:
+    each array is passed twice with (W, C) blocks at block indices
+    ``bblk[t]`` and ``bblk[t] + 1``, so the kernel sees the two aligned
+    W-blocks covering the true window (any run of <= W rows spans at most
+    two) — no dynamic loads inside the kernel; rows belonging to other
+    tiles fail the one-hot comparison.  slot_id (E_pad, 1) i32 sorted
+    ascending, padding rows -1; contrib (E_pad, C) with E_pad a multiple of
+    W plus >= 2W slack of zero/-1 rows; T = output slots per tile
+    (S_pad % T == 0)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    grid = S_pad // T
+    C = contrib.shape[1]
+    return pl.pallas_call(
+        _scatter_mm_kernel(T, W),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((W, 1), lambda t, bblk: (bblk[t], 0)),
+                pl.BlockSpec((W, 1), lambda t, bblk: (bblk[t] + 1, 0)),
+                pl.BlockSpec((W, C), lambda t, bblk: (bblk[t], 0)),
+                pl.BlockSpec((W, C), lambda t, bblk: (bblk[t] + 1, 0)),
+            ],
+            out_specs=pl.BlockSpec((T, C), lambda t, bblk: (t, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((S_pad, C), contrib.dtype),
+        interpret=interpret,
+    )(bounds_blk, slot_id, slot_id, contrib, contrib)
+
+
+__all__ += ["scatter_matmul"]

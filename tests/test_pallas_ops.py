@@ -29,3 +29,34 @@ class TestEllPallas:
         x = jnp.asarray(rng.normal(size=Hd.shape[0]))
         y = ell_matvec_pallas(He, jnp.asarray(plan.cols), x, interpret=True)
         np.testing.assert_allclose(np.asarray(y), np.asarray(Hd @ x), atol=1e-9)
+
+
+class TestScatterMatmul:
+    def test_matches_scatter_add(self):
+        """Scatter-as-one-hot-MXU-matmul (round-2 assembly experiment) must
+        equal the XLA scatter-add; interpret mode on CPU."""
+        from pyslam_tpu.solver.pallas_ops import scatter_matmul
+
+        rng = np.random.default_rng(3)
+        S_pad, T, E, C = 512, 128, 700, 36
+        sid = np.sort(rng.integers(0, S_pad, E)).astype(np.int32)
+        contrib = rng.normal(0, 1, (E, C)).astype(np.float32)
+        grid = S_pad // T
+        starts = np.searchsorted(sid, np.arange(grid) * T)
+        ends = np.searchsorted(sid, np.arange(1, grid + 1) * T)
+        W = max(8, int(np.ceil((ends - starts).max() / 8) * 8))
+        E_pad = ((E + W - 1) // W + 2) * W
+        sid_p = np.full((E_pad, 1), -1, np.int32)
+        sid_p[:E, 0] = sid
+        con_p = np.zeros((E_pad, C), np.float32)
+        con_p[:E] = contrib
+        bblk = (starts // W).astype(np.int32)
+        out = np.asarray(
+            scatter_matmul(
+                jnp.asarray(bblk), jnp.asarray(sid_p), jnp.asarray(con_p),
+                S_pad, T, W, interpret=True,
+            )
+        )
+        ref = np.zeros((S_pad, C), np.float32)
+        np.add.at(ref, sid, contrib)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
