@@ -90,6 +90,11 @@ def make_sharded_lm_step(graph: FactorGraph, mesh: Mesh, options: _lm.Options, a
         chi2 = jax.lax.psum(chi2, axis)
         # NOTE: assemble_dense adds the frozen-dof unit diagonal per shard, so
         # psum makes it n_dev instead of 1 — still SPD with dx=0 there.
+        # Dead-dof handling happens HERE, after the psum (a dof dead on one
+        # shard may be live globally).
+        from ..solver.assemble import unit_diag_where_dead
+
+        H = unit_diag_where_dead(H)
         if options.method == "lm":
             H = damp_marquardt(H, lam)
         dx = cholesky_solve(H, grad)

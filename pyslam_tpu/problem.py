@@ -214,7 +214,10 @@ class Problem:
         the dense matrix, or None in lazy mode."""
         graph = self._build()
         if graph.total_dof <= dense_dof_limit:
+            from .solver.assemble import unit_diag_where_dead
+
             H, _, _ = assemble_dense(graph)
+            H = unit_diag_where_dead(H)
             eye = jnp.eye(H.shape[0], dtype=H.dtype)
             self._covariance = cholesky_solve(H, eye)
         else:

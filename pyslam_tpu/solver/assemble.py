@@ -77,12 +77,22 @@ def assemble_dense(graph: FactorGraph):
     free = free_mask(graph).astype(dtype)
     H = H * free[:, None] * free[None, :]
     H = H + jnp.diag(1.0 - free)
-    # dead free dofs (no factor touches them, e.g. an unobserved landmark):
-    # unit diagonal so Cholesky/covariance stay defined; their g is 0 so the
-    # update is exactly 0 — same semantics as ba_assemble's dead_l handling
-    H = H + jnp.diag((jnp.diagonal(H) == 0.0).astype(dtype))
+    # NOTE: dead free dofs (no factor touches them) keep their zero diagonal
+    # HERE — fixing them per-assembly would corrupt the factor-parallel path,
+    # where shard-local assemblies are psum'd and a dof dead on one shard is
+    # live globally.  Consumers that factorize a FULLY-REDUCED H apply
+    # unit_diag_where_dead just before the factorization.
     g = g * free
     return H, g, chi2
+
+
+def unit_diag_where_dead(H):
+    """H + unit diagonal on exactly-zero diagonal entries: dead free dofs
+    (e.g. an unobserved landmark) keep Cholesky/covariance defined; their
+    gradient is 0 so their update stays exactly 0 — the dense-path analogue
+    of ba_assemble's dead_l handling.  Apply ONLY to a fully-reduced H
+    (after any cross-shard psum)."""
+    return H + jnp.diag((jnp.diagonal(H) == 0.0).astype(H.dtype))
 
 
 def gradient_and_chi2(graph: FactorGraph):

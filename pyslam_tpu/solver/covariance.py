@@ -27,8 +27,11 @@ from .linear import cholesky_solve, pcg_solve
 
 def full_covariance(graph: FactorGraph):
     """(D, D) posterior covariance over the free tangent space (constant
-    parameters get unit rows from the assembly masking, harmlessly)."""
+    parameters and dead dofs get unit rows from the masking, harmlessly)."""
+    from .assemble import unit_diag_where_dead
+
     H, _, _ = assemble_dense(graph)
+    H = unit_diag_where_dead(H)
     return cholesky_solve(H, jnp.eye(H.shape[0], dtype=H.dtype))
 
 

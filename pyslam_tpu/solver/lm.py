@@ -219,6 +219,9 @@ def solve(
 
 
 def _dense_solve(H, g, lam, opt: Options):
+    from .assemble import unit_diag_where_dead
+
+    H = unit_diag_where_dead(H)
     if opt.method == "lm":
         H = damp_marquardt(H, lam)
     elif opt.gn_diag_floor > 0.0:
