@@ -617,14 +617,26 @@ def solve_ell(
     graph: FactorGraph,
     options: _lm.Options = _lm.Options(),
     plan: EllDirect | None = None,
-    pcg_rtol: float = 1e-4,
-    pcg_max_iters: int = 75,
+    pcg_rtol: float | None = None,
+    pcg_max_iters: int | None = None,
 ):
     """GN/LM with direct-to-ELL assembly, slice-damping, closed-form
     block-Jacobi PCG — the fastest single-chip pose-graph path measured on
-    this hardware.  Shares the jitted LM trust-region loop (lm.solve)."""
+    this hardware.  Shares the jitted LM trust-region loop (lm.solve).
+
+    CG budget defaults are SIZE-ADAPTIVE (round-2 measurements): deeper CG
+    means fewer LM iterations, and the required depth grows with the graph.
+    At sphere2500 the knee is rtol 3e-6 / 120 its (exact f64-optimum parity
+    at loose-config speed); at 50k poses rtol 1e-8 / 600 its converges in 8
+    LM its / 13.3 s where the old 1e-4 / 75 default STALLED 7.4% above the
+    optimum (cost-decrease stop fires on the tiny truncated-CG steps).
+    Explicit arguments override."""
     if plan is None:
         plan = build_ell_direct(graph)
+    if pcg_rtol is None:
+        pcg_rtol = 3e-6 if plan.nb <= 10_000 else 1e-8
+    if pcg_max_iters is None:
+        pcg_max_iters = min(1000, max(120, plan.nb // 80))
     key = ("ell_direct", id(plan), pcg_rtol, pcg_max_iters)
     if key not in _CLOSURES:
         nb, d, K = plan.nb, plan.d, plan.K
