@@ -33,6 +33,18 @@ from functools import partial  # noqa: E402
 import jax  # noqa: E402
 
 
+@partial(jax.jit, static_argnames=("levels",))
+def _device_pyramid(im, levels: int):
+    """2x2 average-pool image pyramid on device (matches keyframes.pyrdown)
+    — one dispatch for all levels; shared jit cache across pipelines."""
+    ims = [im]
+    for _ in range(1, levels):
+        x = ims[-1]
+        H2, W2 = x.shape[0] // 2, x.shape[1] // 2
+        ims.append(x[: 2 * H2, : 2 * W2].reshape(H2, 2, W2, 2).mean(axis=(1, 3)))
+    return tuple(ims)
+
+
 @partial(jax.jit, static_argnames=("nu",))
 def _estimate_tdist_scale(data, T_init, nu):
     """Fixed-point Student-t scale from the residuals at the initial pose."""
@@ -61,6 +73,8 @@ def _track_levels_fused(options, nu, fixed_loss, levels, pyr, stiffness, T_init)
     per level inside the trace), else ``fixed_loss`` is used as-is."""
     from ..graph.core import FactorBatch, FactorGraph, VariableBlock
 
+    from ..utils import pack_corners
+
     T = T_init
     n_levels = len(levels)
     for lvl in range(n_levels - 1, -1, -1):
@@ -71,6 +85,9 @@ def _track_levels_fused(options, nu, fixed_loss, levels, pyr, stiffness, T_init)
             "I_ref": I_ref[None],
             "mask": mask[None],
             "im_track": pyr[lvl][None],
+            # corner-packed once per level, OUTSIDE the LM loop: every
+            # kernel eval then does one gather instead of four
+            "im_track4": pack_corners(pyr[lvl])[None],
             "stiffness": stiffness[None].astype(I_ref.dtype),
         }
         if nu is not None:
@@ -132,10 +149,12 @@ class _DensePipelineBase:
     # ---- core per-level solve ----
 
     def _track_pyramid(self, im_track: np.ndarray) -> list[jnp.ndarray]:
-        ims = [np.asarray(im_track, np.float64)]
-        for _ in range(1, self.pyrlevels):
-            ims.append(pyrdown(ims[-1]))
-        return [jnp.asarray(im, jnp.float32) for im in ims]
+        # device-side pyramid: one jitted dispatch, one 1-MB-class host
+        # upload — the host-numpy version cost ~80 ms/frame at VGA on this
+        # box's single core (round-2 profile)
+        return list(
+            _device_pyramid(jnp.asarray(im_track, jnp.float32), self.pyrlevels)
+        )
 
     def _level_loss(self, data, T_init):
         """Freeze the Student-t scale per level (Kerl-style IRLS): a loss
@@ -234,10 +253,12 @@ class _DensePipelineBase:
         self._T_last_rel = T_track_w @ np.linalg.inv(prev)
         self.T_c_w.append(T_track_w)
 
-        # keyframe decision (reference thresholds, SURVEY.md §3.3)
+        # keyframe decision (reference thresholds, SURVEY.md §3.3) — pure
+        # numpy on the single 4x4: the eager se3.log here cost ~240 ms/frame
+        # in per-op dispatches through the TPU tunnel (round-2 profile)
         trans = np.linalg.norm(T_track_key[:3, 3])
-        xi = np.asarray(se3.log(jnp.asarray(T_track_key)))
-        rot = np.linalg.norm(xi[3:])
+        cos_theta = np.clip((np.trace(T_track_key[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        rot = abs(float(np.arccos(cos_theta)))
         if trans > self.keyframe_trans_thresh or rot > self.keyframe_rot_thresh:
             new_kf = make_keyframe()
             new_kf.T_w = T_track_w

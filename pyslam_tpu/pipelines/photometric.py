@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..graph.core import register_factor
 from ..lie import se3
 from ..residuals import _ResidualBase
-from ..utils import bilinear_interpolate
+from ..utils import bilinear_interpolate, bilinear_interpolate_packed
 
 
 @register_factor("photometric_se3")
@@ -57,8 +57,21 @@ def photometric_se3(data, T, compute_jacobians=True):
     in_bounds = (u >= 0.0) & (u <= W - 1.0) & (v >= 0.0) & (v <= H - 1.0)
     valid = mask.astype(u.dtype) * in_bounds.astype(u.dtype) * (z > eps).astype(u.dtype)
 
-    sample = jax.vmap(lambda im_f, u_f, v_f: bilinear_interpolate(im_f, u_f, v_f, True))
-    I_w, gu, gv = sample(im, u, v)
+    if "im_track4" in data:
+        # corner-packed fast path: ONE gather row per pixel instead of four
+        # (utils.pack_corners rationale); arithmetic — and results — are
+        # identical to the 4-gather path
+        sample = jax.vmap(
+            lambda im4_f, u_f, v_f: bilinear_interpolate_packed(
+                im4_f, H, W, u_f, v_f, True
+            )
+        )
+        I_w, gu, gv = sample(data["im_track4"], u, v)
+    else:
+        sample = jax.vmap(
+            lambda im_f, u_f, v_f: bilinear_interpolate(im_f, u_f, v_f, True)
+        )
+        I_w, gu, gv = sample(im, u, v)
 
     s = data["stiffness"][:, None] * valid
     r = s * (I_w - I_ref)

@@ -74,6 +74,46 @@ def bilinear_interpolate(im, u, v, compute_gradients: bool = False):
     return val, grad_u, grad_v
 
 
+def pack_corners(im):
+    """(H, W) image -> (H*W, 4) per-pixel corner tuples
+    [f(v,u), f(v,u+1), f(v+1,u), f(v+1,u+1)] with edge padding.
+
+    TPU gathers cost per gathered ROW, so bilinear sampling via ONE gather
+    from this packed layout replaces the four separate corner gathers of
+    ``bilinear_interpolate`` — measured the dominant cost of the dense
+    photometric kernel at VGA (round 2).  Packing itself is elementwise
+    (shifted slices), one pass per image."""
+    r = jnp.pad(im, ((0, 1), (0, 1)), mode="edge")
+    return jnp.stack(
+        [r[:-1, :-1], r[:-1, 1:], r[1:, :-1], r[1:, 1:]], axis=-1
+    ).reshape(-1, 4)
+
+
+def bilinear_interpolate_packed(im4, H, W, u, v, compute_gradients: bool = False):
+    """``bilinear_interpolate`` from a ``pack_corners`` layout: one gather.
+
+    im4: (H*W, 4); u, v: (...,) float pixel coords.  Identical arithmetic
+    (and therefore bitwise-identical results) to the 4-gather version."""
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
+    u0 = jnp.clip(jnp.floor(u), 0, W - 2)
+    v0 = jnp.clip(jnp.floor(v), 0, H - 2)
+    au = jnp.clip(u - u0, 0.0, 1.0)
+    av = jnp.clip(v - v0, 0.0, 1.0)
+    idx = (v0.astype(jnp.int32) * W + u0.astype(jnp.int32)).reshape(-1)
+    quad = im4[idx].reshape(u.shape + (4,))
+    f00, f01, f10, f11 = (quad[..., k] for k in range(4))
+
+    top = f00 + au * (f01 - f00)
+    bot = f10 + au * (f11 - f10)
+    val = top + av * (bot - top)
+    if not compute_gradients:
+        return val
+    grad_u = (f01 - f00) + av * ((f11 - f10) - (f01 - f00))
+    grad_v = bot - top
+    return val, grad_u, grad_v
+
+
 def kahan_sum(x, chunk: int = 4096):
     """Compensated (Neumaier) summation of a flat array in its own dtype.
 
