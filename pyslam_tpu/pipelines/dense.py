@@ -36,7 +36,14 @@ import jax  # noqa: E402
 @partial(jax.jit, static_argnames=("levels",))
 def _device_pyramid(im, levels: int):
     """2x2 average-pool image pyramid on device (matches keyframes.pyrdown)
-    — one dispatch for all levels; shared jit cache across pipelines."""
+    — one dispatch for all levels; shared jit cache across pipelines.
+
+    uint8 input is normalized to [0, 1] f32 ON DEVICE: the host->device
+    frame upload through the TPU tunnel is bandwidth-bound (~45 ms for a
+    1.2 MB f32 VGA frame, round-2 profile), so shipping raw bytes cuts it
+    4x for camera-native images."""
+    if im.dtype == jnp.uint8:
+        im = im.astype(jnp.float32) * (1.0 / 255.0)
     ims = [im]
     for _ in range(1, levels):
         x = ims[-1]
@@ -149,12 +156,14 @@ class _DensePipelineBase:
     # ---- core per-level solve ----
 
     def _track_pyramid(self, im_track: np.ndarray) -> list[jnp.ndarray]:
-        # device-side pyramid: one jitted dispatch, one 1-MB-class host
-        # upload — the host-numpy version cost ~80 ms/frame at VGA on this
-        # box's single core (round-2 profile)
-        return list(
-            _device_pyramid(jnp.asarray(im_track, jnp.float32), self.pyrlevels)
-        )
+        # device-side pyramid: one jitted dispatch, one host upload — the
+        # host-numpy version cost ~80 ms/frame at VGA on this box's single
+        # core (round-2 profile).  uint8 frames upload raw (4x less tunnel
+        # traffic) and normalize on device.
+        im = jnp.asarray(im_track)
+        if im.dtype != jnp.uint8:
+            im = im.astype(jnp.float32)
+        return list(_device_pyramid(im, self.pyrlevels))
 
     def _level_loss(self, data, T_init):
         """Freeze the Student-t scale per level (Kerl-style IRLS): a loss
@@ -266,6 +275,24 @@ class _DensePipelineBase:
         return SE3(T_track_w)
 
 
+def _host_float01(im):
+    """Keyframe-side normalization (host, once per keyframe): uint8 camera
+    frames -> [0, 1] f32; float frames pass through."""
+    im = np.asarray(im)
+    if im.dtype == np.uint8:
+        return im.astype(np.float32) / 255.0
+    return im
+
+
+def _track_input(im):
+    """Tracked-frame input prep: keep uint8 RAW (the device pyramid
+    normalizes after a 4x-smaller upload); floats become f32 host-side."""
+    im = np.asarray(im)
+    if im.dtype == np.uint8:
+        return im
+    return im.astype(np.float32, copy=False)
+
+
 class DenseStereoPipeline(_DensePipelineBase):
     """Dense stereo direct VO (reference DenseStereoPipeline).
 
@@ -278,11 +305,12 @@ class DenseStereoPipeline(_DensePipelineBase):
     def track(self, im_left, im_right, guess=None, disp=None):
         def make_keyframe():
             return DenseStereoKeyframe(
-                im_left, im_right, self.camera, self.pyrlevels, self.min_grad,
+                _host_float01(im_left), _host_float01(im_right), self.camera,
+                self.pyrlevels, self.min_grad,
                 disp=disp, pixel_budget=self.pixel_budget,
             )
 
-        return self._track_common(make_keyframe, np.asarray(im_left, np.float64), guess)
+        return self._track_common(make_keyframe, _track_input(im_left), guess)
 
 
 class DenseRGBDPipeline(_DensePipelineBase):
@@ -293,11 +321,11 @@ class DenseRGBDPipeline(_DensePipelineBase):
     def track(self, im, depth, guess=None):
         def make_keyframe():
             return DenseRGBDKeyframe(
-                im, depth, self.camera, self.pyrlevels, self.min_grad,
-                pixel_budget=self.pixel_budget,
+                _host_float01(im), depth, self.camera, self.pyrlevels,
+                self.min_grad, pixel_budget=self.pixel_budget,
             )
 
-        return self._track_common(make_keyframe, np.asarray(im, np.float64), guess)
+        return self._track_common(make_keyframe, _track_input(im), guess)
 
 
 __all__ = ["DenseStereoPipeline", "DenseRGBDPipeline"]

@@ -154,3 +154,36 @@ class TestStereoPipeline:
         assert valid.mean() > 0.2
         err = np.abs(disp[valid] - disp_true[valid])
         assert np.median(err) < 2.0
+
+
+class TestUint8Frames:
+    def test_uint8_matches_float(self):
+        """uint8 camera frames (raw-byte upload, on-device normalization)
+        must track like the same frames as [0,1] floats."""
+        import numpy as np
+
+        from pyslam_tpu.pipelines import DenseRGBDPipeline
+        from pyslam_tpu.sensors import RGBDCamera
+
+        W, H = 64, 48
+        cam = dict(cu=(W - 1) / 2, cv=(H - 1) / 2, fu=60.0, fv=60.0, w=W, h=H)
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0.2, 0.8, (H, W))
+
+        def frame(shift):
+            im = np.roll(base, shift, axis=1)
+            return im, np.full((H, W), 3.0)
+
+        def run(to_u8):
+            pipe = DenseRGBDPipeline(RGBDCamera(**cam), pyrlevels=2)
+            for k in range(3):
+                im, d = frame(k)
+                if to_u8:
+                    im = np.clip(im * 255.0, 0, 255).astype(np.uint8)
+                pipe.track(im, d)
+            return np.stack(pipe.T_c_w)
+
+        Tf = run(False)
+        Tu = run(True)
+        # quantization-level agreement, not exactness
+        np.testing.assert_allclose(Tu, Tf, atol=5e-2)
