@@ -107,17 +107,25 @@ def synthetic_bal(
     k1=-1e-7,
     k2=1e-13,
     seed=0,
+    cam_cluster=None,
 ) -> BALData:
     """BAL-Ladybug-statistics synthetic problem (config #4 default shape):
     cameras on a ring looking at a central cloud, Snavely projection with
     mild radial distortion, ground-truth geometry (perturb via
-    ``perturbed`` for solver inputs)."""
+    ``perturbed`` for solver inputs).
+
+    ``cam_cluster`` places all cameras in a blob of that radius instead of
+    around the ring — LOW-PARALLAX monocular geometry (the triangulation
+    directions become ill-conditioned; solver/schur_sqrt.py rationale)."""
     rng = np.random.default_rng(seed)
     pts = rng.normal(0, 2.0, (n_pts, 3))
     T = np.zeros((n_cams, 4, 4))
     for c in range(n_cams):
         ang = 2 * np.pi * c / n_cams
-        center = np.array([10 * np.cos(ang), 10 * np.sin(ang), rng.normal(0, 0.5)])
+        if cam_cluster is not None:
+            center = np.array([10.0, 0.0, 0.0]) + rng.normal(0, cam_cluster, 3)
+        else:
+            center = np.array([10 * np.cos(ang), 10 * np.sin(ang), rng.normal(0, 0.5)])
         # BAL cameras look down -z: optical axis -z points at the origin.
         z = center / np.linalg.norm(center)
         up = np.array([0.0, 0.0, 1.0])

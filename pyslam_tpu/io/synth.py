@@ -247,19 +247,32 @@ def ba_synthetic(
     pose_noise=(0.05, 0.01),
     pt_noise=0.05,
     seed=0,
+    cam_radius=10.0,
+    cam_cluster=None,
 ):
     """Configs #4/#5: BAL-Ladybug-style BA — cameras on a ring looking at a
-    central point cloud, stereo observations with pixel noise."""
+    central point cloud, stereo observations with pixel noise.
+
+    ``cam_cluster`` (a small float) clusters ALL cameras in a blob of that
+    radius at distance ``cam_radius`` instead of spreading them on the ring:
+    baselines ~cluster with depths ~cam_radius gives LOW-PARALLAX geometry
+    (parallax angle ~ cluster/radius) — the ill-conditioned-Jl regime the
+    square-root Schur path (solver/schur_sqrt.py) targets."""
     rng = np.random.default_rng(seed)
     cam = dict(cu=320.0, cv=240.0, fu=500.0, fv=500.0, b=0.3, w=640, h=480)
 
     # point cloud in a central blob
     pts = rng.normal(0, 2.0, (n_pts, 3))
-    # cameras on a ring of radius 10 looking inward
+    # cameras on a ring of radius cam_radius looking inward (or clustered)
     T_gt = np.zeros((n_cams, 4, 4))
     for c in range(n_cams):
         ang = 2 * np.pi * c / n_cams
-        center = np.array([10 * np.cos(ang), 10 * np.sin(ang), rng.normal(0, 0.5)])
+        if cam_cluster is not None:
+            center = np.array([cam_radius, 0.0, 0.0]) + rng.normal(0, cam_cluster, 3)
+        else:
+            center = np.array(
+                [cam_radius * np.cos(ang), cam_radius * np.sin(ang), rng.normal(0, 0.5)]
+            )
         z = -center / np.linalg.norm(center)  # optical axis toward origin
         up = np.array([0.0, 0.0, 1.0])
         x = np.cross(z, up)

@@ -168,3 +168,7 @@ __all__ += ["solve_schur_large"]
 from .host_loop import host_lm_loop  # noqa: E402
 
 __all__ += ["host_lm_loop"]
+
+from .schur_sqrt import solve_schur_sqrt  # noqa: E402
+
+__all__ += ["solve_schur_sqrt"]
