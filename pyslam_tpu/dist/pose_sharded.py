@@ -148,9 +148,12 @@ def shard_pose_graph(
     def ell_pos(uu, vv):
         """Flat LOCAL position of block (row uu, col vv) in owner(uu)'s
         (Pb*K,) ELL store; diagonal lands at slot 0."""
-        pos = np.searchsorted(keys, uu * Nslab + vv)
-        slot = 1 + erank[np.minimum(pos, max(len(keys) - 1, 0))]
-        slot = np.where(uu == vv, 0, slot)
+        if len(keys) == 0:  # unary-only graph: every block is diagonal
+            slot = np.zeros(np.shape(uu), np.int64)
+        else:
+            pos = np.searchsorted(keys, uu * Nslab + vv)
+            slot = 1 + erank[np.minimum(pos, len(keys) - 1)]
+            slot = np.where(uu == vv, 0, slot)
         return ((uu % Pb) * K + slot).astype(np.int32)
 
     # ---- per-batch factor copies, bucketed by device ----

@@ -119,3 +119,35 @@ class TestPoseSharded:
         assert n_factors <= n_copies <= 2 * n_factors
         # BFS partition on a loop graph: duplication should be a small excess
         assert n_copies - n_factors < n_factors * 0.5
+
+
+class TestUnaryOnlyGraph:
+    def test_prior_only_graph(self):
+        """Unary-only graphs (empty edge set) must shard: every ELL block
+        is diagonal (regression for the empty-keys ell_pos edge case)."""
+        from pyslam_tpu.graph.core import VariableBlock
+        from pyslam_tpu.lie import se2
+        from pyslam_tpu.solver import solve
+
+        rng = np.random.default_rng(0)
+        n = 24
+        T_targets = np.asarray(se2.exp(jnp.asarray(rng.normal(0, 0.3, (n, 3)))))
+        T_init = np.tile(np.eye(3), (n, 1, 1))
+        from pyslam_tpu.losses import L2Loss
+
+        blocks = {"poses": VariableBlock.create("se2", jnp.asarray(T_init, jnp.float64))}
+        prior = FactorBatch.create(
+            kind="prior_se2",
+            slots=("poses",),
+            indices=(np.arange(n, dtype=np.int32),),
+            data={
+                "T_obs": jnp.asarray(T_targets, jnp.float64),
+                "sqrt_info": jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (n, 3, 3)),
+            },
+            loss=L2Loss(),
+        )
+        g = FactorGraph(blocks, [prior])
+        opts = Options(method="lm", max_iters=20)
+        _, chi2_s, hist = solve_pose_sharded(g, mesh_p(8), opts, **COMMON)
+        _, info = solve(g, opts)
+        np.testing.assert_allclose(chi2_s, float(info.chi2), atol=1e-10)
