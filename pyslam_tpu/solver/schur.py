@@ -84,6 +84,7 @@ def ba_assemble(graph: FactorGraph, pose_name: str = "poses", lm_name: str = "la
     g_l = jnp.zeros((L, dl), dtype)
     chi2 = jnp.zeros((), dtype)
     Ws, cam_ids, pt_ids = [], [], []
+    PPs, pp_is, pp_js = [], [], []  # pose-pose off-diagonal coupling
 
     for fb in graph.batches:
         r, jacs, w, c2 = linearize_batch(fb, graph.blocks)
@@ -109,15 +110,34 @@ def ba_assemble(graph: FactorGraph, pose_name: str = "poses", lm_name: str = "la
             (li,) = fb.indices
             Hll = Hll + _seg(jnp.einsum("fmi,fm,fmj->fij", J, w, J), li, L)
             g_l = g_l - _seg(jnp.einsum("fmi,fm->fi", J, wr), li, L)
+        elif fb.slots == (pose_name, pose_name):
+            # full-SLAM graphs: odometry / loop-closure factors between
+            # poses alongside the landmark observations.  Diagonal blocks
+            # fold into Hpp; the off-diagonal pose-pose coupling is kept as
+            # per-factor blocks applied in the S solve (dense scatter or
+            # two segment-sums per implicit matvec).
+            Ja, Jb = jacs
+            pi, pj = fb.indices
+            Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", Ja, w, Ja), pi, C)
+            Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", Jb, w, Jb), pj, C)
+            g_p = g_p - _seg(jnp.einsum("fmi,fm->fi", Ja, wr), pi, C)
+            g_p = g_p - _seg(jnp.einsum("fmi,fm->fi", Jb, wr), pj, C)
+            PPs.append(jnp.einsum("fmi,fm,fmj->fij", Ja, w, Jb))
+            pp_is.append(pi)
+            pp_js.append(pj)
         else:
             raise ValueError(
                 f"Schur path: unsupported slot pattern {fb.slots}; expected "
-                f"({pose_name},), ({lm_name},) or ({pose_name}, {lm_name})"
+                f"({pose_name},), ({lm_name},), ({pose_name}, {pose_name}) "
+                f"or ({pose_name}, {lm_name})"
             )
 
     W = jnp.concatenate(Ws, axis=0) if Ws else jnp.zeros((0, dp, dl), dtype)
     cam_idx = jnp.concatenate(cam_ids) if cam_ids else jnp.zeros(0, jnp.int32)
     pt_idx = jnp.concatenate(pt_ids) if pt_ids else jnp.zeros(0, jnp.int32)
+    PP = jnp.concatenate(PPs, axis=0) if PPs else jnp.zeros((0, dp, dp), dtype)
+    pp_i = jnp.concatenate(pp_is) if pp_is else jnp.zeros(0, jnp.int32)
+    pp_j = jnp.concatenate(pp_js) if pp_js else jnp.zeros(0, jnp.int32)
 
     # Constant variables: zero their blocks everywhere, unit diagonal so the
     # factorizations stay SPD and their tangent update is exactly 0
@@ -135,6 +155,7 @@ def ba_assemble(graph: FactorGraph, pose_name: str = "poses", lm_name: str = "la
     live_l = free_l * (1.0 - dead_l)
     Hll = Hll * live_l[:, None, None] + (1.0 - live_l)[:, None, None] * eye_l
     W = W * free_p[cam_idx][:, None, None] * live_l[pt_idx][:, None, None]
+    PP = PP * free_p[pp_i][:, None, None] * free_p[pp_j][:, None, None]
 
     # Global tangent layout follows the graph's (sorted) block order; record
     # it as a static flag so the solve modes concatenate dx consistently.
@@ -142,6 +163,7 @@ def ba_assemble(graph: FactorGraph, pose_name: str = "poses", lm_name: str = "la
     pose_first = names.index(pose_name) < names.index(lm_name)
     parts = dict(
         Hpp=Hpp, Hll=Hll, W=W, g_p=g_p, g_l=g_l, cam_idx=cam_idx, pt_idx=pt_idx,
+        PP=PP, pp_i=pp_i, pp_j=pp_j,
         pose_first=pose_first,
     )
     segs = [g_p.reshape(-1), g_l.reshape(-1)]
@@ -207,6 +229,11 @@ def schur_solve_dense(parts, g, lam, opt: _lm.Options):
     S = S + jnp.einsum("ab,aij->aibj", jnp.eye(C, dtype=Hpp.dtype), Hpp).reshape(
         C, dp, C, dp
     )
+    # pose-pose off-diagonal coupling (full-SLAM graphs: between factors)
+    PP, pp_i, pp_j = parts["PP"], parts["pp_i"], parts["pp_j"]
+    if PP.shape[0]:
+        S = S.at[pp_i, :, pp_j, :].add(PP)
+        S = S.at[pp_j, :, pp_i, :].add(jnp.swapaxes(PP, -1, -2))
     S = S.reshape(C * dp, C * dp)
     L_s = jnp.linalg.cholesky(S)
     y = solve_triangular(L_s, g_red.reshape(-1), lower=True)
@@ -231,9 +258,14 @@ def schur_solve_pcg(parts, g, lam, opt: _lm.Options, rtol=1e-8, max_iters=200):
     D = Hpp - _seg(jnp.einsum("mik,mjk->mij", Y, W), ci, C)
     L_d = jnp.linalg.cholesky(D)
 
+    PP, pp_i, pp_j = parts["PP"], parts["pp_i"], parts["pp_j"]
+
     def matvec(x):
         xb = x.reshape(C, dp)
         y = jnp.einsum("cij,cj->ci", Hpp, xb)
+        if PP.shape[0]:  # pose-pose coupling (full-SLAM between factors)
+            y = y + _seg(jnp.einsum("eij,ej->ei", PP, xb[pp_j]), pp_i, C)
+            y = y + _seg(jnp.einsum("eij,ei->ej", PP, xb[pp_i]), pp_j, C)
         t = _seg(jnp.einsum("mij,mi->mj", W, xb[ci]), li, Hll_inv.shape[0])
         t = jnp.einsum("lij,lj->li", Hll_inv, t)
         y = y - _seg(jnp.einsum("mij,mj->mi", W, t[li]), ci, C)

@@ -156,3 +156,53 @@ class TestBALIO:
         data = bal.synthetic_bal(n_cams=4, n_pts=30, pixel_std=0.0, seed=1)
         g = build.bal_graph(data, dtype=jnp.float64)
         assert float(g.chi2()) < 1e-10
+
+
+class TestFullSlamGraph:
+    """Full-SLAM graphs (odometry/loop-closure between factors + landmark
+    observations in ONE graph) through the Schur path — round-2 capability:
+    ba_assemble previously rejected (pose, pose) batches, so such graphs
+    crashed solve_auto."""
+
+    def _slam_graph(self):
+        from pyslam_tpu.lie import se3 as se3_ops
+
+        data = synth.ba_synthetic(n_cams=8, n_pts=50, obs_per_pt=4, seed=12)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        # odometry chain between consecutive ground-truth poses
+        Ti = np.arange(7, dtype=np.int32)
+        Tj = Ti + 1
+        T_obs = np.stack(
+            [data.T_gt[j] @ np.linalg.inv(data.T_gt[i]) for i, j in zip(Ti, Tj)]
+        )
+        from pyslam_tpu.graph.core import FactorBatch
+        from pyslam_tpu.losses import L2Loss
+
+        between = FactorBatch.create(
+            kind="between_se3",
+            slots=("poses", "poses"),
+            indices=(Ti, Tj),
+            data={
+                "T_obs": jnp.asarray(T_obs, jnp.float64),
+                "sqrt_info": jnp.broadcast_to(
+                    10.0 * jnp.eye(6, dtype=jnp.float64), (7, 6, 6)
+                ),
+            },
+            loss=L2Loss(),
+        )
+        return FactorGraph(dict(g.blocks), [g.batches[0], between])
+
+    @pytest.mark.parametrize("mode", ["dense", "pcg"])
+    def test_matches_monolithic_dense(self, mode):
+        g = self._slam_graph()
+        opts = Options(method="lm", max_iters=25)
+        _, i_ref = solve(g, opts)
+        _, i_s = solve_schur(g, opts, mode=mode, pcg_rtol=1e-12, pcg_max_iters=400)
+        np.testing.assert_allclose(float(i_s.chi2), float(i_ref.chi2), rtol=1e-6)
+
+    def test_solve_auto_routes_mixed_graph(self):
+        from pyslam_tpu.solver import solve_auto
+
+        g = self._slam_graph()
+        solved, info = solve_auto(g, Options(method="lm", max_iters=15))
+        assert float(info.chi2) < float(g.chi2())
