@@ -132,3 +132,51 @@ class TestCovariance:
         problem.solve()
         cov = np.asarray(problem.get_covariance_block("T", "T"))
         np.testing.assert_allclose(cov, np.linalg.inv(stiff.T @ stiff), atol=1e-5)
+
+
+class TestProblemFullSlam:
+    def test_mixed_reprojection_and_odometry(self):
+        """The reference Problem freely mixes residual types; a pose graph
+        with both odometry and landmark reprojections must solve through
+        the Problem API (round-2: routes via the extended Schur path)."""
+        import numpy as np
+
+        from pyslam_tpu import (
+            Options,
+            PoseToPoseResidual,
+            Problem,
+            ReprojectionResidual,
+            SE3,
+        )
+        from pyslam_tpu.io import synth
+        from pyslam_tpu.sensors import StereoCamera
+
+        data = synth.ba_synthetic(n_cams=5, n_pts=30, obs_per_pt=3, seed=2)
+        cam = StereoCamera(**data.camera)
+        prob = Problem(Options(max_iters=25))
+        pose_names = [f"T_{c}" for c in range(5)]
+        pt_names = [f"p_{l}" for l in range(30)]
+        for k in range(len(data.cam_idx)):
+            prob.add_residual_block(
+                ReprojectionResidual(cam, data.obs[k], 2.0),
+                [pose_names[int(data.cam_idx[k])], pt_names[int(data.pt_idx[k])]],
+            )
+        for c in range(4):
+            T_obs = data.T_gt[c + 1] @ np.linalg.inv(data.T_gt[c])
+            prob.add_residual_block(
+                PoseToPoseResidual(T_obs, 10.0),
+                [pose_names[c], pose_names[c + 1]],
+            )
+        import jax.numpy as jnp
+
+        prob.initialize_params(
+            {n: SE3(jnp.asarray(T, jnp.float64)) for n, T in zip(pose_names, data.T_init)}
+        )
+        prob.initialize_params(
+            {n: jnp.asarray(p, jnp.float64) for n, p in zip(pt_names, data.pts_init)}
+        )
+        prob.set_parameters_constant(pose_names[0])
+        before = prob.eval_cost()
+        prob.solve()
+        after = prob.eval_cost()
+        assert after < before * 0.1
