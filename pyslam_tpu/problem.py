@@ -232,7 +232,11 @@ class Problem:
         graph = self._build()
 
         if self._covariance is None:  # lazy: selective solves, no (D, D)
-            from .solver.covariance import covariance_block, pose_covariance_block
+            from .solver.covariance import (
+                covariance_block,
+                landmark_marginal_covariances,
+                pose_covariance_block,
+            )
 
             s1, s2 = self._slots[param_key_1], self._slots[param_key_2]
             kinds = {n: b.kind for n, b in graph.blocks.items()}
@@ -240,17 +244,22 @@ class Problem:
                 return covariance_block(graph, s1.index, s2.index)
             lie = [n for n, k in kinds.items() if k != "euclidean"]
             euc = [n for n, k in kinds.items() if k == "euclidean"]
-            if (
-                len(graph.blocks) == 2 and len(lie) == 1 and len(euc) == 1
-                and s1.block == lie[0] and s2.block == lie[0]
-            ):
-                return pose_covariance_block(
-                    graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
-                )
+            if len(graph.blocks) == 2 and len(lie) == 1 and len(euc) == 1:
+                if s1.block == lie[0] and s2.block == lie[0]:
+                    return pose_covariance_block(
+                        graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
+                    )
+                if (
+                    s1.block == euc[0] and s2.block == euc[0]
+                    and s1.index == s2.index
+                ):
+                    return landmark_marginal_covariances(
+                        graph, [s1.index], pose_name=lie[0], lm_name=euc[0]
+                    )[0]
             raise ValueError(
-                "lazy covariance supports single-block graphs and pose-pose "
-                "blocks of camera+landmark graphs; for landmark marginals "
-                "use solver.marginal_covariances, or raise dense_dof_limit"
+                "lazy covariance supports single-block graphs, pose-pose "
+                "blocks, and landmark marginals of camera+landmark graphs; "
+                "for cross pose-landmark blocks raise dense_dof_limit"
             )
 
         offsets = graph.offsets()

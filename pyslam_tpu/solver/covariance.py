@@ -118,10 +118,14 @@ def covariance_block(
 
 
 def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
-    """Selective-solve closure over the REDUCED camera system S = Hpp -
+    """Selective-solve closures over the REDUCED camera system S = Hpp -
     W Hll^-1 W^T.  By the block-inverse identity, (H^-1)_pose-pose == S^-1,
     so pose covariances come from S-solves — no dense H, the landmark side
-    stays as batched 3x3 factors (SURVEY.md §3.4 build note)."""
+    stays as batched 3x3 factors (SURVEY.md §3.4 build note).
+
+    Returns (solve_col, solve_rhs, aux) where aux carries the eliminated
+    pieces (Hll_inv, W, cam/pt indices) needed by the landmark-marginal
+    identity."""
     from .schur import _binv, _binv_apply, _seg, ba_assemble
 
     parts, _, _ = ba_assemble(graph, pose_name, lm_name)
@@ -145,12 +149,15 @@ def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
     def precond(r):
         return _binv_apply(L_d, r.reshape(C, dp)).reshape(-1)
 
-    def solve_col(col_idx):
-        e = jnp.zeros(C * dp, Hpp.dtype).at[col_idx].set(1.0)
-        x, _ = pcg_solve(matvec, e, precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters)
+    def solve_rhs(b):
+        x, _ = pcg_solve(matvec, b, precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters)
         return x
 
-    return solve_col, C, dp
+    def solve_col(col_idx):
+        return solve_rhs(jnp.zeros(C * dp, Hpp.dtype).at[col_idx].set(1.0))
+
+    aux = dict(C=C, dp=dp, Hll_inv=Hll_inv, W=W, ci=ci, li=li)
+    return solve_col, solve_rhs, aux
 
 
 def pose_marginal_covariances(
@@ -165,7 +172,8 @@ def pose_marginal_covariances(
     camera system: (H^-1)_pp = S^-1, solved per tangent column with
     SCHUR_JACOBI-preconditioned PCG.  Constant (gauge-anchor) poses return
     the unit block ba_assemble's masking gives them."""
-    solve_col, C, dp = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    solve_col, _, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    C, dp = aux["C"], aux["dp"]
     if indices is None:
         indices = np.arange(C)
     indices = np.asarray(indices)
@@ -187,10 +195,51 @@ def pose_covariance_block(
     pcg_max_iters: int = 500,
 ):
     """(dp, dp) pose-pose cross-covariance block (S^-1)_ij of a BA graph."""
-    solve_col, C, dp = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    solve_col, _, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    C, dp = aux["C"], aux["dp"]
     cols = jnp.asarray(j * dp + np.arange(dp), jnp.int32)
     X = jax.vmap(solve_col)(cols)
     return jnp.swapaxes(X.reshape(dp, C, dp)[:, i, :], 0, 1)
+
+
+def landmark_marginal_covariances(
+    graph: FactorGraph,
+    indices,
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+):
+    """(k, dl, dl) landmark marginal covariances of a BA graph via the
+    block-inverse identity Sigma_ll,ii = (Hll^-1)_ii + B_i^T S^-1 B_i,
+    where B_i = [W Hll^-1] block-column i (nonzero only at the cameras
+    observing landmark i).  dl S-solves per requested landmark; no dense H."""
+    _, solve_rhs, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    C, dp = aux["C"], aux["dp"]
+    Hll_inv, W = aux["Hll_inv"], aux["W"]
+    ci = np.asarray(aux["ci"])
+    li = np.asarray(aux["li"])
+    dl = Hll_inv.shape[-1]
+
+    out = []
+    for i in indices:
+        sel = np.nonzero(li == int(i))[0]
+        Hi = Hll_inv[int(i)]  # (dl, dl)
+        if len(sel) == 0:
+            out.append(Hi)  # unobserved: masked unit block from ba_assemble
+            continue
+        Wm = W[jnp.asarray(sel, jnp.int32)]  # (k_obs, dp, dl)
+        Bm = jnp.einsum("mij,jk->mik", Wm, Hi)  # (k_obs, dp, dl)
+        B = (
+            jnp.zeros((C, dp, dl), W.dtype)
+            .at[jnp.asarray(ci[sel], jnp.int32)]
+            .add(Bm)
+            .reshape(C * dp, dl)
+        )
+        X = jax.vmap(solve_rhs, in_axes=1, out_axes=1)(B)  # (C*dp, dl)
+        cov = Hi + B.T @ X
+        out.append(0.5 * (cov + cov.T))
+    return jnp.stack(out)
 
 
 __all__ = [
@@ -199,4 +248,5 @@ __all__ = [
     "covariance_block",
     "pose_marginal_covariances",
     "pose_covariance_block",
+    "landmark_marginal_covariances",
 ]

@@ -129,3 +129,48 @@ class TestSchurCovariance:
         assert prob.compute_covariance(dense_dof_limit=4) is None  # lazy
         b_lazy = np.asarray(prob.get_covariance_block("T_3", "T_7"))
         np.testing.assert_allclose(b_lazy, b_dense, rtol=1e-5, atol=1e-10)
+
+    def test_landmark_marginals_match_dense(self):
+        from pyslam_tpu.solver import landmark_marginal_covariances
+
+        g = self._solved_ba()
+        cov = np.asarray(full_covariance(g))
+        off = g.offsets()["landmarks"]
+        idx = [0, 7, 23]
+        marg = np.asarray(
+            landmark_marginal_covariances(g, idx, pcg_rtol=1e-12)
+        )
+        for k, i in enumerate(idx):
+            s = off + i * 3
+            np.testing.assert_allclose(
+                marg[k], cov[s : s + 3, s : s + 3], rtol=1e-4, atol=1e-10
+            )
+
+    def test_problem_lazy_landmark_marginal(self):
+        from pyslam_tpu import Problem, Options, ReprojectionResidual, SE3
+        from pyslam_tpu.sensors import StereoCamera
+
+        data = synth.ba_synthetic(n_cams=5, n_pts=20, obs_per_pt=3, seed=6)
+        cam = StereoCamera(**data.camera)
+        prob = Problem(Options(max_iters=25))
+        poses = [f"T_{c}" for c in range(5)]
+        pts = [f"p_{l}" for l in range(20)]
+        for k in range(len(data.cam_idx)):
+            prob.add_residual_block(
+                ReprojectionResidual(cam, data.obs[k], 2.0),
+                [poses[int(data.cam_idx[k])], pts[int(data.pt_idx[k])]],
+            )
+        prob.initialize_params(
+            {n: SE3(jnp.asarray(T, jnp.float64)) for n, T in zip(poses, data.T_init)}
+        )
+        prob.initialize_params(
+            {n: jnp.asarray(p, jnp.float64) for n, p in zip(pts, data.pts_init)}
+        )
+        prob.set_parameters_constant(poses[0])
+        prob.set_parameters_constant(poses[1])
+        prob.solve()
+        dense = prob.compute_covariance()
+        b_dense = np.asarray(prob.get_covariance_block("p_3", "p_3"))
+        assert prob.compute_covariance(dense_dof_limit=4) is None  # lazy
+        b_lazy = np.asarray(prob.get_covariance_block("p_3", "p_3"))
+        np.testing.assert_allclose(b_lazy, b_dense, rtol=1e-4, atol=1e-10)
