@@ -83,7 +83,11 @@ def shard_ba(
 
     binary = [fb for fb in graph.batches if fb.slots == (pose_name, lm_name)]
     unary_p = [fb for fb in graph.batches if fb.slots == (pose_name,)]
+    between_p = [fb for fb in graph.batches if fb.slots == (pose_name, pose_name)]
     assert len(binary) == 1, "shard_ba expects exactly one pose-landmark batch"
+    assert len(binary) + len(unary_p) + len(between_p) == len(graph.batches), (
+        "shard_ba supports pose-landmark, pose-unary, and pose-pose batches"
+    )
     fb = binary[0]
 
     if partition is None:
@@ -144,6 +148,12 @@ def shard_ba(
     unary = [
         (u.kind, jnp.asarray(u.indices[0]), dict(u.data), u.loss, u.weight)
         for u in unary_p
+    ] + [
+        # pose-pose (full-SLAM between) factors: replicated like unary —
+        # a 2-tuple of index arrays marks the binary form
+        (b.kind, (jnp.asarray(b.indices[0]), jnp.asarray(b.indices[1])),
+         dict(b.data), b.loss, b.weight)
+        for b in between_p
     ]
     return ShardedBA(
         mesh=mesh, axis=axis, kind=fb.kind, n_dev=n, C=C, L=L, Lb=Lb, Mb=Mb,
@@ -195,22 +205,46 @@ def make_sharded_schur_step(
         r, _ = _eval_binary(poses, lm_local, od, ci, pl, w_pad, False)
         return jnp.sum(loss.loss(r) * w_pad[:, None])
 
+    def _eval_rep(poses, ukind, uidx, udata, want_jac):
+        """Evaluate a replicated (unary or pose-pose) factor batch."""
+        if isinstance(uidx, tuple):  # between factor: two pose slots
+            return FACTOR_KERNELS[ukind](
+                udata, poses[uidx[0]], poses[uidx[1]], compute_jacobians=want_jac
+            )
+        return FACTOR_KERNELS[ukind](udata, poses[uidx], compute_jacobians=want_jac)
+
     def _chi2_unary(poses):
         total = jnp.zeros((), poses.dtype)
         for ukind, uidx, udata, uloss, uw in unary:
-            r, _ = FACTOR_KERNELS[ukind](udata, poses[uidx], compute_jacobians=False)
+            r, _ = _eval_rep(poses, ukind, uidx, udata, False)
             total = total + jnp.sum(uloss.loss(r) * uw[:, None])
         return total
 
     def _unary_contrib(poses, dtype):
+        """Replicated-factor normal-equation pieces: Hpp diagonal blocks,
+        gradient, and (for pose-pose between factors) the off-diagonal
+        coupling list [(PP (E,dp,dp), pi, pj)] applied in the S matvec."""
         Hpp = jnp.zeros((C, dp, dp), dtype)
         g_p = jnp.zeros((C, dp), dtype)
+        couplings = []
         for ukind, uidx, udata, uloss, uw in unary:
-            r, (J,) = FACTOR_KERNELS[ukind](udata, poses[uidx], compute_jacobians=True)
+            r, jacs = _eval_rep(poses, ukind, uidx, udata, True)
             w = uloss.weight(r) * uw[:, None]
-            Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", J, w, J), uidx, C)
-            g_p = g_p - _seg(jnp.einsum("fmi,fm->fi", J, w * r), uidx, C)
-        return Hpp, g_p
+            if isinstance(uidx, tuple):
+                Ja, Jb = jacs
+                pi, pj = uidx
+                Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", Ja, w, Ja), pi, C)
+                Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", Jb, w, Jb), pj, C)
+                g_p = g_p - _seg(jnp.einsum("fmi,fm->fi", Ja, w * r), pi, C)
+                g_p = g_p - _seg(jnp.einsum("fmi,fm->fi", Jb, w * r), pj, C)
+                couplings.append(
+                    (jnp.einsum("fmi,fm,fmj->fij", Ja, w, Jb), pi, pj)
+                )
+            else:
+                (J,) = jacs
+                Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", J, w, J), uidx, C)
+                g_p = g_p - _seg(jnp.einsum("fmi,fm->fi", J, w * r), uidx, C)
+        return Hpp, g_p, couplings
 
     in_specs = (
         P(),  # poses
@@ -242,9 +276,14 @@ def make_sharded_schur_step(
         g_l = -_seg(jnp.einsum("fmi,fm->fi", Jl, w * r), pl, Lb)
         W = jnp.einsum("fmi,fm,fmj->fij", Jc, w, Jl)
 
-        H_u, g_u = _unary_contrib(poses, dtype)
+        H_u, g_u, couplings = _unary_contrib(poses, dtype)
         Hpp = Hpp + H_u
         g_p = g_p + g_u
+        # pose-pose coupling masked like Hpp (frozen poses)
+        couplings = [
+            (PP * fp[pi][:, None, None] * fp[pj][:, None, None], pi, pj)
+            for PP, pi, pj in couplings
+        ]
 
         # ---- constant / padding handling (schur.ba_assemble semantics) ----
         eye_p = jnp.eye(dp, dtype=dtype)
@@ -275,6 +314,11 @@ def make_sharded_schur_step(
         def matvec(x):
             xb = x.reshape(C, dp)
             y = jnp.einsum("cij,cj->ci", Hpp, xb)
+            # replicated pose-pose coupling (full-SLAM between factors):
+            # identical on every device, applied outside the psum
+            for PP, pi, pj in couplings:
+                y = y + _seg(jnp.einsum("eij,ej->ei", PP, xb[pj]), pi, C)
+                y = y + _seg(jnp.einsum("eij,ei->ej", PP, xb[pi]), pj, C)
             tt = _seg(jnp.einsum("mij,mi->mj", W, xb[ci]), pl, Lb)
             tt = jnp.einsum("lij,lj->li", Hll_inv, tt)
             y = y - jax.lax.psum(_seg(jnp.einsum("mij,mj->mi", W, tt[pl]), ci, C), axis)

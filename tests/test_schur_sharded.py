@@ -210,3 +210,38 @@ class TestShardedSchur:
         _, chi2_s, _ = solve_schur_sharded(g2, mesh, opts, pcg_rtol=1e-10)
         _, info = solve_schur(g2, opts, mode="pcg", pcg_rtol=1e-10)
         np.testing.assert_allclose(chi2_s, float(info.chi2), rtol=1e-5)
+
+
+class TestShardedFullSlam:
+    def test_between_factors_match_single_device(self):
+        """Full-SLAM graphs (between factors + landmark observations) must
+        solve sharded and match the single-device Schur solve — round-2:
+        pose-pose batches were previously silently DROPPED by shard_ba."""
+        from pyslam_tpu.losses import L2Loss
+
+        data = synth.ba_synthetic(n_cams=8, n_pts=50, obs_per_pt=4, seed=12)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        Ti = np.arange(7, dtype=np.int32)
+        Tj = Ti + 1
+        T_obs = np.stack(
+            [data.T_gt[j] @ np.linalg.inv(data.T_gt[i]) for i, j in zip(Ti, Tj)]
+        )
+        between = FactorBatch.create(
+            kind="between_se3",
+            slots=("poses", "poses"),
+            indices=(Ti, Tj),
+            data={
+                "T_obs": jnp.asarray(T_obs, jnp.float64),
+                "sqrt_info": jnp.broadcast_to(
+                    10.0 * jnp.eye(6, dtype=jnp.float64), (7, 6, 6)
+                ),
+            },
+            loss=L2Loss(),
+        )
+        g2 = FactorGraph(dict(g.blocks), [g.batches[0], between])
+        opts = Options(method="lm", max_iters=20)
+        common = dict(pcg_rtol=1e-12, pcg_max_iters=400)
+        _, chi2_s, hist = solve_schur_sharded(g2, make_mesh_l(8), opts, **common)
+        _, info = solve_schur(g2, opts, mode="pcg", **common)
+        assert hist[-1] < hist[0]
+        np.testing.assert_allclose(chi2_s, float(info.chi2), rtol=1e-6)
