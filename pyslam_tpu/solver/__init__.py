@@ -90,7 +90,10 @@ def solve_auto(
         if (
             n_obs > 2_000_000
             and len(binary) == 1
-            and all(fb.slots == (pose_name,) for fb in others)
+            and all(
+                fb.slots in ((pose_name,), (pose_name, pose_name))
+                for fb in others
+            )
         ):
             # Block layouts tile to 21x their logical bytes in HBM; beyond
             # ~2M observations only the component-major streamed path fits

@@ -218,8 +218,10 @@ def prepare_large_ba(
     pb, lb = graph.blocks[pose_name], graph.blocks[lm_name]
     (fb,) = [b for b in graph.batches if b.slots == (pose_name, lm_name)]
     unary = [b for b in graph.batches if b.slots == (pose_name,)]
-    assert len(unary) + 1 == len(graph.batches), (
-        "schur_large supports one pose-landmark batch plus pose-unary priors"
+    between = [b for b in graph.batches if b.slots == (pose_name, pose_name)]
+    assert len(unary) + len(between) + 1 == len(graph.batches), (
+        "schur_large supports one pose-landmark batch plus pose-unary and "
+        "pose-pose (between) batches"
     )
     M = fb.n
     Mp = _ceil_to(M, n_chunks)
@@ -280,12 +282,19 @@ def prepare_large_ba(
         unary=tuple(
             (u.kind, jnp.asarray(u.indices[0]), dict(u.data), u.loss, u.weight)
             for u in unary
+        )
+        + tuple(
+            # pose-pose between factors: tuple of index arrays marks binary
+            (b.kind, (jnp.asarray(b.indices[0]), jnp.asarray(b.indices[1])),
+             dict(b.data), b.loss, b.weight)
+            for b in between
         ),
     )
 
 
-def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts):
-    """Shared component-major operator closures."""
+def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP=None, pi=None, pj=None):
+    """Shared component-major operator closures.  ``PP/pi/pj`` carry the
+    (possibly zero-length) pose-pose coupling blocks of between factors."""
 
     def W_T_dot_cam(xc6):
         t = []
@@ -310,6 +319,13 @@ def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts):
     def matvec(x):
         xb = x.reshape(C, 6)
         y = jnp.einsum("cij,cj->ci", Hpp, xb)
+        if PP is not None and PP.shape[0]:
+            y = y + jax.ops.segment_sum(
+                jnp.einsum("eij,ej->ei", PP, xb[pj]), pi, num_segments=C
+            )
+            y = y + jax.ops.segment_sum(
+                jnp.einsum("eij,ei->ej", PP, xb[pi]), pj, num_segments=C
+            )
         t1 = W_T_dot_cam(gather_cam(xb))
         t2 = _apply33_flat(Hinv, t1)
         y = y - W_dot_lm(t2)
@@ -319,12 +335,13 @@ def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts):
 
 
 @partial(jax.jit, static_argnames=("method", "C", "L"))
-def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, cam_starts, lam):
+def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj, cam_starts, lam):
     """Mask constants, damp, invert Hll, reduced gradient, SCHUR_JACOBI."""
     dtype = Hpp.dtype
     eye6 = jnp.eye(6, dtype=dtype)
     Hpp = Hpp * free_p[:, None, None] + (1.0 - free_p)[:, None, None] * eye6
     g_p = g_p * free_p[:, None]
+    PP = PP * free_p[pi][:, None, None] * free_p[pj][:, None, None]
     dead = ((Hll[0] + Hll[4] + Hll[8]) == 0.0).astype(dtype)
     live = free_l * (1.0 - dead)
     Hll = Hll * live[None] + (1.0 - live)[None] * jnp.asarray(
@@ -361,15 +378,15 @@ def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, 
     from .bcsr import sym_block_inv
 
     Dinv = sym_block_inv(D)
-    return Hpp, Hinv, W, g_l, g_red, Dinv, live
+    return Hpp, Hinv, W, PP, g_l, g_red, Dinv, live
 
 
 @partial(jax.jit, static_argnames=("C", "L", "S"))
-def _pcg_segment(C, L, S, Hpp, Hinv, W, ci, li, cam_starts, Dinv, state):
+def _pcg_segment(C, L, S, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, state):
     """Advance PCG by up to S iterations (bounded program runtime: the TPU
     runtime in this environment kills single programs running for minutes,
     so the CG loop is driven from the host in segments)."""
-    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
+    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP, pi, pj)
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
@@ -400,8 +417,8 @@ def _pcg_segment(C, L, S, Hpp, Hinv, W, ci, li, cam_starts, Dinv, state):
 
 
 @partial(jax.jit, static_argnames=("C", "L"))
-def _pcg_init(C, L, Hpp, Hinv, W, ci, li, cam_starts, Dinv, b):
-    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
+def _pcg_init(C, L, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, b):
+    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP, pi, pj)
     r0 = b  # x0 = 0
     z0 = jnp.einsum("cij,cj->ci", Dinv, r0.reshape(C, 6)).reshape(-1)
     x0 = jnp.zeros_like(b)
@@ -411,6 +428,7 @@ def _pcg_init(C, L, Hpp, Hinv, W, ci, li, cam_starts, Dinv, b):
 @partial(jax.jit, static_argnames=("C", "L"))
 def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, cam_starts, g_l, live, free_p, poses, lms, dx_p_flat):
     W_T_dot_cam, _, gather_cam, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
+    # (couplings not needed: back-substitution only uses W and Hll^-1)
     dx_p = dx_p_flat.reshape(C, 6) * free_p[:, None]
     dx_l = _apply33_flat(Hinv, g_l - W_T_dot_cam(gather_cam(dx_p))) * live[None]
     new_poses = retract("se3", poses, dx_p)
@@ -421,19 +439,26 @@ def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, cam_starts, g_l, live, free_p, 
 
 def _schur_solve_large(
     method, pcg_rtol, pcg_max_iters, C, L,
-    Hpp, g_p, Hll, g_l, W, poses, lms, free_p, free_l, ci, li, cam_starts, lam,
+    Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l, ci, li, pi, pj,
+    cam_starts, lam,
     pcg_segment: int = 25,
 ):
     """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub."""
-    Hpp_d, Hinv, W_m, g_l_m, g_red, Dinv, live = _schur_prepare(
-        method, C, L, Hpp, g_p, Hll, g_l, W, free_p, free_l, ci, li, cam_starts, lam
+    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live = _schur_prepare(
+        method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
+        cam_starts, lam,
     )
-    state, r0 = _pcg_init(C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, Dinv, g_red.reshape(-1))
+    state, r0 = _pcg_init(
+        C, L, Hpp_d, Hinv, W_m, PP_m, ci, li, pi, pj, cam_starts, Dinv,
+        g_red.reshape(-1),
+    )
     tol = pcg_rtol * float(r0)
     done = 0
     while done < pcg_max_iters:
         S = min(pcg_segment, pcg_max_iters - done)
-        state, rnorm = _pcg_segment(C, L, S, Hpp_d, Hinv, W_m, ci, li, cam_starts, Dinv, state)
+        state, rnorm = _pcg_segment(
+            C, L, S, Hpp_d, Hinv, W_m, PP_m, ci, li, pi, pj, cam_starts, Dinv, state
+        )
         done += S
         if float(rnorm) <= tol:
             break
@@ -444,13 +469,42 @@ def _schur_solve_large(
 
 
 def _unary_contrib(unary, poses, C, want_grad):
-    """Pose-prior contributions (chi2, Hpp (C,6,6), g_p (C,6)) — evaluated
-    unchunked (priors are C-sized, tiny next to the observation set)."""
+    """Replicated-factor contributions (chi2, Hpp (C,6,6), g_p (C,6),
+    couplings) — pose priors AND pose-pose between factors, evaluated
+    unchunked (both are C-sized, tiny next to the observation set).
+    ``couplings`` is [(PP (E,6,6), pi, pj)] off-diagonal blocks for the
+    S matvec (empty without between factors)."""
     dtype = poses.dtype
     chi2 = jnp.zeros((), dtype)
     Hpp = jnp.zeros((C, 6, 6), dtype)
     g_p = jnp.zeros((C, 6), dtype)
+    couplings = []
     for ukind, uidx, udata, uloss, uw in unary:
+        if isinstance(uidx, tuple):
+            pi, pj = uidx
+            r, jac = FACTOR_KERNELS[ukind](
+                udata, poses[pi], poses[pj], compute_jacobians=want_grad
+            )
+            chi2 = chi2 + jnp.sum(uloss.loss(r) * uw[:, None])
+            if want_grad:
+                Ja, Jb = jac
+                w = uloss.weight(r) * uw[:, None]
+                Hpp = Hpp + jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm,fmj->fij", Ja, w, Ja), pi, num_segments=C
+                )
+                Hpp = Hpp + jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm,fmj->fij", Jb, w, Jb), pj, num_segments=C
+                )
+                g_p = g_p - jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm->fi", Ja, w * r), pi, num_segments=C
+                )
+                g_p = g_p - jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm->fi", Jb, w * r), pj, num_segments=C
+                )
+                couplings.append(
+                    (jnp.einsum("fmi,fm,fmj->fij", Ja, w, Jb), pi, pj)
+                )
+            continue
         r, jac = FACTOR_KERNELS[ukind](udata, poses[uidx], compute_jacobians=want_grad)
         chi2 = chi2 + jnp.sum(uloss.loss(r) * uw[:, None])
         if want_grad:
@@ -462,7 +516,7 @@ def _unary_contrib(unary, poses, C, want_grad):
             g_p = g_p - jax.ops.segment_sum(
                 jnp.einsum("fmi,fm->fi", J, w * r), uidx, num_segments=C
             )
-    return chi2, Hpp, g_p
+    return chi2, Hpp, g_p, couplings
 
 
 def solve_schur_large(
@@ -489,15 +543,22 @@ def solve_schur_large(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, True, lb.trails,
             poses, lms, lb.obs_data, lb.ci, lb.li, lb.w_pad, lb.cam_starts,
         )
+        PP = jnp.zeros((0, 6, 6), dtype)
+        pi = jnp.zeros(0, jnp.int32)
+        pj = jnp.zeros(0, jnp.int32)
         if lb.unary:
-            c_u, H_u, g_u = _unary_contrib(lb.unary, poses, lb.C, True)
+            c_u, H_u, g_u, coup = _unary_contrib(lb.unary, poses, lb.C, True)
             chi2 = chi2 + c_u
             Hpp = Hpp + H_u
             g_p = g_p + g_u
+            if coup:
+                PP = jnp.concatenate([c[0] for c in coup])
+                pi = jnp.concatenate([c[1] for c in coup])
+                pj = jnp.concatenate([c[2] for c in coup])
         new_poses, new_lms, dx_norm = _schur_solve_large(
             options.method, pcg_rtol, pcg_max_iters, lb.C, lb.L,
-            Hpp, g_p, Hll, g_l, W, poses, lms, lb.free_p, lb.free_l,
-            lb.ci, lb.li, lb.cam_starts, jnp.asarray(lam, dtype),
+            Hpp, g_p, Hll, g_l, W, PP, poses, lms, lb.free_p, lb.free_l,
+            lb.ci, lb.li, pi, pj, lb.cam_starts, jnp.asarray(lam, dtype),
         )
         del Hpp, g_p, Hll, g_l, W
         cost_new = _linearize_stream(

@@ -100,10 +100,13 @@ class TestPCGSegmentBreakdown:
         cam_starts = jnp.asarray([0, 1], jnp.int32)
         Dinv = jnp.eye(6, dtype=jnp.float64)[None]
         b = jnp.ones(6, jnp.float64)
+        PP = jnp.zeros((0, 6, 6), jnp.float64)
+        pi = jnp.zeros(0, jnp.int32)
+        pj = jnp.zeros(0, jnp.int32)
         # identity system converges EXACTLY at iteration 1; run 10 more
-        state, _ = _pcg_init(C, L, Hpp, Hinv, W, ci, li, cam_starts, Dinv, b)
+        state, _ = _pcg_init(C, L, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, b)
         state, rnorm = _pcg_segment(
-            C, L, 10, Hpp, Hinv, W, ci, li, cam_starts, Dinv, state
+            C, L, 10, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, state
         )
         x = np.asarray(state[0])
         assert np.isfinite(x).all()
@@ -125,3 +128,39 @@ class TestClosedKernelRegistry:
         n3 = register_closed_kernel("reprojection_bal", dict(d2))
         assert n1 == n2 and n1 != n3
         assert n1 in FACTOR_KERNELS and n3 in FACTOR_KERNELS
+
+
+class TestSchurLargeBetween:
+    def test_between_factors_match_standard(self):
+        """Full-SLAM at the streamed path: pose-pose between factors ride
+        replicated alongside the streamed observations."""
+        from pyslam_tpu.graph.core import FactorBatch, FactorGraph
+        from pyslam_tpu.losses import L2Loss
+
+        data = synth.ba_synthetic(n_cams=8, n_pts=64, obs_per_pt=4, seed=12)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        Ti = np.arange(7, dtype=np.int32)
+        Tj = Ti + 1
+        T_obs = np.stack(
+            [data.T_gt[j] @ np.linalg.inv(data.T_gt[i]) for i, j in zip(Ti, Tj)]
+        )
+        between = FactorBatch.create(
+            kind="between_se3",
+            slots=("poses", "poses"),
+            indices=(Ti, Tj),
+            data={
+                "T_obs": jnp.asarray(T_obs, jnp.float64),
+                "sqrt_info": jnp.broadcast_to(
+                    10.0 * jnp.eye(6, dtype=jnp.float64), (7, 6, 6)
+                ),
+            },
+            loss=L2Loss(),
+        )
+        g2 = FactorGraph(dict(g.blocks), [g.batches[0], between])
+        opts = Options(method="lm", max_iters=20)
+        _, i_ref = solve_schur(g2, opts, mode="pcg", pcg_rtol=1e-12, pcg_max_iters=400)
+        _, chi2, hist = solve_schur_large(
+            g2, opts, n_chunks=4, pcg_rtol=1e-12, pcg_max_iters=400
+        )
+        assert hist[-1] < hist[0]
+        np.testing.assert_allclose(chi2, float(i_ref.chi2), rtol=1e-6)
