@@ -78,6 +78,7 @@ class ShardedCM:
     w_pad: jnp.ndarray  # (n*Mb,)
     cam_bounds: jnp.ndarray  # (n, C+1)
     lm_perm: np.ndarray  # original landmark id -> slab position
+    unary: tuple = ()  # replicated pose-unary / pose-pose batches
 
 
 def shard_ba_cm(
@@ -93,7 +94,12 @@ def shard_ba_cm(
     pb, lb = graph.blocks[pose_name], graph.blocks[lm_name]
     C, L = pb.n, lb.n
     (fb,) = [b for b in graph.batches if b.slots == (pose_name, lm_name)]
-    assert len(graph.batches) == 1, "schur_cm v1 supports the single-batch BA graph"
+    unary_p = [b for b in graph.batches if b.slots == (pose_name,)]
+    between_p = [b for b in graph.batches if b.slots == (pose_name, pose_name)]
+    assert 1 + len(unary_p) + len(between_p) == len(graph.batches), (
+        "schur_cm supports one pose-landmark batch plus pose-unary and "
+        "pose-pose batches"
+    )
 
     if partition is None:
         partition = partition_landmarks(None, None, L, n_parts=n)
@@ -170,6 +176,15 @@ def shard_ba_cm(
         w_pad=jnp.asarray(w_pad),
         cam_bounds=jnp.asarray(cam_bounds),
         lm_perm=slot_of,
+        unary=tuple(
+            (u.kind, jnp.asarray(u.indices[0]), dict(u.data), u.loss, u.weight)
+            for u in unary_p
+        )
+        + tuple(
+            (b.kind, (jnp.asarray(b.indices[0]), jnp.asarray(b.indices[1])),
+             dict(b.data), b.loss, b.weight)
+            for b in between_p
+        ),
     )
 
 
@@ -182,6 +197,58 @@ def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_ite
     trails = sb.trails
     mesh = sb.mesh
     chunk = Mb // n_chunks
+    unary = sb.unary
+
+    def _eval_rep(poses, ukind, uidx, udata, want_jac):
+        if isinstance(uidx, tuple):  # pose-pose between factor
+            return FACTOR_KERNELS[ukind](
+                udata, poses[uidx[0]], poses[uidx[1]], compute_jacobians=want_jac
+            )
+        return FACTOR_KERNELS[ukind](udata, poses[uidx], compute_jacobians=want_jac)
+
+    def _chi2_rep(poses):
+        total = jnp.zeros((), poses.dtype)
+        for ukind, uidx, udata, uloss, uw in unary:
+            r, _ = _eval_rep(poses, ukind, uidx, udata, False)
+            total = total + jnp.sum(uloss.loss(r) * uw[:, None])
+        return total
+
+    def _rep_contrib(poses, dtype):
+        """Replicated Hpp/g_p contributions + pose-pose couplings (see
+        dist/schur_reduce.py — identical semantics)."""
+        Hpp = jnp.zeros((C, 6, 6), dtype)
+        g_p = jnp.zeros((C, 6), dtype)
+        couplings = []
+        for ukind, uidx, udata, uloss, uw in unary:
+            r, jacs = _eval_rep(poses, ukind, uidx, udata, True)
+            w = uloss.weight(r) * uw[:, None]
+            if isinstance(uidx, tuple):
+                Ja, Jb = jacs
+                pi, pj = uidx
+                Hpp = Hpp + jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm,fmj->fij", Ja, w, Ja), pi, num_segments=C
+                )
+                Hpp = Hpp + jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm,fmj->fij", Jb, w, Jb), pj, num_segments=C
+                )
+                g_p = g_p - jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm->fi", Ja, w * r), pi, num_segments=C
+                )
+                g_p = g_p - jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm->fi", Jb, w * r), pj, num_segments=C
+                )
+                couplings.append(
+                    (jnp.einsum("fmi,fm,fmj->fij", Ja, w, Jb), pi, pj)
+                )
+            else:
+                (J,) = jacs
+                Hpp = Hpp + jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm,fmj->fij", J, w, J), uidx, num_segments=C
+                )
+                g_p = g_p - jax.ops.segment_sum(
+                    jnp.einsum("fmi,fm->fi", J, w * r), uidx, num_segments=C
+                )
+        return Hpp, g_p, couplings
 
     def chunk_args(od, ci, li, w, k):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, k * chunk, chunk, axis=0)
@@ -265,9 +332,16 @@ def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_ite
         chi2, Hpp, g_p, Hll, g_l, W = linearize(
             poses, lm_slab, od, ci, li, w_pad, bounds, True
         )
-        chi2 = jax.lax.psum(chi2, axis)
+        chi2 = jax.lax.psum(chi2, axis) + _chi2_rep(poses)
         Hpp = jax.lax.psum(Hpp, axis)
         g_p = jax.lax.psum(g_p, axis)
+        H_u, g_u, couplings = _rep_contrib(poses, dtype)
+        Hpp = Hpp + H_u
+        g_p = g_p + g_u
+        couplings = [
+            (PP * fp[pi][:, None, None] * fp[pj][:, None, None], pi, pj)
+            for PP, pi, pj in couplings
+        ]
 
         # constant / dead handling
         eye6 = jnp.eye(6, dtype=dtype)
@@ -333,6 +407,15 @@ def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_ite
         def matvec(x):
             xb = x.reshape(C, 6)
             y = jnp.einsum("cij,cj->ci", Hpp, xb)
+            # replicated pose-pose coupling: identical on every device,
+            # applied outside the psum (see dist/schur_reduce.py)
+            for PP, pi, pj in couplings:
+                y = y + jax.ops.segment_sum(
+                    jnp.einsum("eij,ej->ei", PP, xb[pj]), pi, num_segments=C
+                )
+                y = y + jax.ops.segment_sum(
+                    jnp.einsum("eij,ei->ej", PP, xb[pi]), pj, num_segments=C
+                )
             t1 = W_T_dot_cam(gather_cam(xb))
             t2 = _apply33_flat(Hinv, t1)
             y = y - W_dot_lm(t2)
@@ -354,7 +437,7 @@ def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_ite
         new_lm = lm_slab + dx_l.T
         cost_new = jax.lax.psum(
             linearize(new_poses, new_lm, od, ci, li, w_pad, bounds, False), axis
-        )
+        ) + _chi2_rep(new_poses)
         return new_poses, new_lm, chi2, cost_new, dx_norm
 
     return step

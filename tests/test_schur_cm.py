@@ -59,3 +59,49 @@ class TestSchurCM:
             np.asarray(g.blocks["poses"].values[0]),
             atol=1e-12,
         )
+
+
+class TestCMFullSlam:
+    def test_between_and_prior_match_single_device(self):
+        from pyslam_tpu.graph.core import FactorBatch, FactorGraph
+        from pyslam_tpu.losses import L2Loss
+
+        data = synth.ba_synthetic(n_cams=8, n_pts=48, obs_per_pt=4, seed=12)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        Ti = np.arange(7, dtype=np.int32)
+        Tj = Ti + 1
+        T_obs = np.stack(
+            [data.T_gt[j] @ np.linalg.inv(data.T_gt[i]) for i, j in zip(Ti, Tj)]
+        )
+        between = FactorBatch.create(
+            kind="between_se3",
+            slots=("poses", "poses"),
+            indices=(Ti, Tj),
+            data={
+                "T_obs": jnp.asarray(T_obs, jnp.float64),
+                "sqrt_info": jnp.broadcast_to(
+                    10.0 * jnp.eye(6, dtype=jnp.float64), (7, 6, 6)
+                ),
+            },
+            loss=L2Loss(),
+        )
+        pb = g.blocks["poses"]
+        prior = FactorBatch.create(
+            kind="prior_se3",
+            slots=("poses",),
+            indices=(np.array([1], np.int32),),
+            data={
+                "T_obs": jnp.asarray(np.asarray(pb.values[1:2]), jnp.float64),
+                "sqrt_info": 1e2 * jnp.eye(6, dtype=jnp.float64)[None],
+            },
+            loss=L2Loss(),
+        )
+        g2 = FactorGraph(dict(g.blocks), [g.batches[0], between, prior])
+        opts = Options(method="lm", max_iters=15)
+        common = dict(pcg_rtol=1e-12, pcg_max_iters=400)
+        _, chi2_cm, hist = solve_schur_cm(
+            g2, make_mesh(8, axis_name="l"), opts, n_chunks=2, **common
+        )
+        _, info = solve_schur(g2, opts, mode="pcg", **common)
+        assert hist[-1] < hist[0]
+        np.testing.assert_allclose(chi2_cm, float(info.chi2), rtol=1e-6)
