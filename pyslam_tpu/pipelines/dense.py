@@ -298,16 +298,22 @@ class DenseStereoPipeline(_DensePipelineBase):
 
     ``track(im_left, im_right, guess=None)`` returns the SE3 camera-from-
     world estimate for the frame and updates the internal trajectory
-    ``self.T_c_w``.  ``disp`` may inject a precomputed disparity map
-    (otherwise OpenCV's SGBM runs host-side, the reference's behavior).
+    ``self.T_c_w``.  ``disp`` may inject a precomputed disparity map;
+    otherwise ``matcher`` selects the disparity stage: OpenCV "sgbm"/"bm"
+    host-side (the reference's behavior) or "tpu" for the on-device
+    plane-sweep block matcher (pipelines/stereo_match.py).
     """
+
+    def __init__(self, *args, matcher: str = "sgbm", **kw):
+        super().__init__(*args, **kw)
+        self.matcher = matcher
 
     def track(self, im_left, im_right, guess=None, disp=None):
         def make_keyframe():
             return DenseStereoKeyframe(
                 _host_float01(im_left), _host_float01(im_right), self.camera,
                 self.pyrlevels, self.min_grad,
-                disp=disp, pixel_budget=self.pixel_budget,
+                disp=disp, matcher=self.matcher, pixel_budget=self.pixel_budget,
             )
 
         return self._track_common(make_keyframe, _track_input(im_left), guess)

@@ -55,9 +55,25 @@ def compute_disparity(
     num_disparities: int | None = None,
 ):
     """Disparity via OpenCV block matching (reference behavior, SURVEY.md
-    §3.3).  Inputs are float images in [0, 1] or uint8.  Invalid pixels
-    are returned as NaN.  ``num_disparities`` defaults to the largest
-    multiple of 16 the image width supports (capped at 128)."""
+    §3.3) or the TPU-native plane-sweep matcher (``matcher="tpu"``,
+    pipelines/stereo_match.py — one jitted program, runs on device).
+    Inputs are float images in [0, 1] or uint8.  Invalid pixels are
+    returned as NaN.  ``num_disparities`` defaults to the largest multiple
+    of 16 the image width supports (capped at 128)."""
+    W = im_left.shape[1]
+    if num_disparities is None:
+        num_disparities = max(16, min(128, ((W // 3) // 16) * 16))
+    if matcher == "tpu":
+        from .stereo_match import block_match
+
+        def to_f(im):
+            im = np.asarray(im)
+            return im.astype(np.float32) / 255.0 if im.dtype == np.uint8 else im
+
+        return np.asarray(
+            block_match(to_f(im_left), to_f(im_right), num_disparities=num_disparities)
+        ).astype(np.float64)
+
     import cv2
 
     def to_u8(im):
@@ -66,9 +82,6 @@ def compute_disparity(
         return np.clip(im * 255.0, 0, 255).astype(np.uint8)
 
     l8, r8 = to_u8(im_left), to_u8(im_right)
-    W = l8.shape[1]
-    if num_disparities is None:
-        num_disparities = max(16, min(128, ((W // 3) // 16) * 16))
     if matcher == "sgbm":
         m = cv2.StereoSGBM_create(
             minDisparity=0,

@@ -187,3 +187,83 @@ class TestUint8Frames:
         Tu = run(True)
         # quantization-level agreement, not exactness
         np.testing.assert_allclose(Tu, Tf, atol=5e-2)
+
+
+class TestTPUBlockMatcher:
+    def test_known_constant_disparity(self):
+        """TPU plane-sweep matcher recovers an exact constant-disparity pair
+        to sub-0.05-px accuracy (pipelines/stereo_match.py)."""
+        import numpy as np
+
+        from pyslam_tpu.pipelines.keyframes import compute_disparity
+
+        rng = np.random.default_rng(0)
+        H, W, D, pad = 96, 192, 48, 64
+        tex = rng.uniform(0, 1, (H, W + 2 * pad))
+        k = np.array([0.25, 0.5, 0.25])
+        tex = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, tex)
+        for d_true in (12, 23):
+            left = tex[:, pad : pad + W]
+            right = tex[:, pad + d_true : pad + d_true + W]
+            disp = compute_disparity(left, right, matcher="tpu", num_disparities=D)
+            m = np.isfinite(disp)
+            assert m.mean() > 0.5
+            err = np.abs(disp[m] - d_true)
+            assert np.median(err) < 0.05
+            assert np.percentile(err, 95) < 0.25
+
+    def test_agrees_with_opencv_bm(self):
+        """Cross-check against OpenCV StereoBM on the same pair: where both
+        are valid, the disparities must agree to ~1 px (different window
+        sizes and validity rules, same geometry)."""
+        import numpy as np
+
+        from pyslam_tpu.pipelines.keyframes import compute_disparity
+
+        rng = np.random.default_rng(3)
+        H, W, pad = 96, 256, 64
+        tex = rng.uniform(0, 1, (H, W + 2 * pad))
+        k = np.ones(3) / 3
+        tex = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, tex)
+        d_true = 17
+        left = tex[:, pad : pad + W]
+        right = tex[:, pad + d_true : pad + d_true + W]
+        d_tpu = compute_disparity(left, right, matcher="tpu", num_disparities=48)
+        d_cv = compute_disparity(left, right, matcher="bm", num_disparities=48)
+        both = np.isfinite(d_tpu) & np.isfinite(d_cv)
+        assert both.mean() > 0.3
+        agree = np.abs(d_tpu[both] - d_cv[both])
+        assert np.median(agree) < 1.0
+
+    def test_stereo_pipeline_with_tpu_matcher(self):
+        """End-to-end stereo tracking with the on-device matcher."""
+        import numpy as np
+
+        from pyslam_tpu.pipelines import DenseStereoPipeline
+        from pyslam_tpu.sensors import StereoCamera
+
+        rng = np.random.default_rng(1)
+        H, W = 96, 192
+        b, fu = 0.3, 160.0
+        cam = StereoCamera(
+            cu=(W - 1) / 2, cv=(H - 1) / 2, fu=fu, fv=fu, b=b, w=W, h=H
+        )
+        Z = 4.0
+        d_px = fu * b / Z  # constant disparity of the fronto plane
+        pad = 64
+        tex = rng.uniform(0.2, 0.8, (H, W + 2 * pad))
+        k = np.ones(3) / 3
+        tex = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, tex)
+
+        def pair(shift_px):
+            left = tex[:, pad + shift_px : pad + shift_px + W]
+            right = tex[:, pad + shift_px + int(round(d_px)) :][:, :W]
+            return left, right
+
+        pipe = DenseStereoPipeline(cam, pyrlevels=2, matcher="tpu")
+        pipe.track(*pair(0))
+        # camera translates +x by one pixel-projected step: world shift
+        dx_world = Z / fu  # 1 px at depth Z
+        T = pipe.track(*pair(1))
+        est = np.asarray(T.as_matrix())[:3, 3]
+        assert abs(est[0] - (-dx_world)) < 0.3 * dx_world
