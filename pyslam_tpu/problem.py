@@ -236,6 +236,7 @@ class Problem:
                 covariance_block,
                 landmark_marginal_covariances,
                 pose_covariance_block,
+                pose_landmark_covariance_block,
             )
 
             s1, s2 = self._slots[param_key_1], self._slots[param_key_2]
@@ -256,10 +257,19 @@ class Problem:
                     return landmark_marginal_covariances(
                         graph, [s1.index], pose_name=lie[0], lm_name=euc[0]
                     )[0]
+                if s1.block == lie[0] and s2.block == euc[0]:
+                    return pose_landmark_covariance_block(
+                        graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
+                    )
+                if s1.block == euc[0] and s2.block == lie[0]:
+                    return pose_landmark_covariance_block(
+                        graph, s2.index, s1.index, pose_name=lie[0], lm_name=euc[0]
+                    ).T
             raise ValueError(
-                "lazy covariance supports single-block graphs, pose-pose "
-                "blocks, and landmark marginals of camera+landmark graphs; "
-                "for cross pose-landmark blocks raise dense_dof_limit"
+                "lazy covariance supports single-block graphs and all "
+                "pose/landmark block combinations of camera+landmark graphs "
+                "except landmark-landmark CROSS blocks; raise dense_dof_limit "
+                "for those"
             )
 
         offsets = graph.offsets()

@@ -39,6 +39,7 @@ from .covariance import (  # noqa: E402
     landmark_marginal_covariances,
     marginal_covariances,
     pose_covariance_block,
+    pose_landmark_covariance_block,
     pose_marginal_covariances,
 )
 
@@ -54,6 +55,7 @@ __all__ += [
     "pose_covariance_block",
     "pose_marginal_covariances",
     "landmark_marginal_covariances",
+    "pose_landmark_covariance_block",
 ]
 
 

@@ -202,6 +202,29 @@ def pose_covariance_block(
     return jnp.swapaxes(X.reshape(dp, C, dp)[:, i, :], 0, 1)
 
 
+def _landmark_B(aux, i):
+    """B_i = [W Hll^-1] block-column i as a (C*dp, dl) array (nonzero only
+    at the cameras observing landmark i), plus (Hll^-1)_ii."""
+    C, dp = aux["C"], aux["dp"]
+    Hll_inv, W = aux["Hll_inv"], aux["W"]
+    ci = np.asarray(aux["ci"])
+    li = np.asarray(aux["li"])
+    dl = Hll_inv.shape[-1]
+    sel = np.nonzero(li == int(i))[0]
+    Hi = Hll_inv[int(i)]
+    if len(sel) == 0:
+        return None, Hi
+    Wm = W[jnp.asarray(sel, jnp.int32)]  # (k_obs, dp, dl)
+    Bm = jnp.einsum("mij,jk->mik", Wm, Hi)
+    B = (
+        jnp.zeros((C, dp, dl), W.dtype)
+        .at[jnp.asarray(ci[sel], jnp.int32)]
+        .add(Bm)
+        .reshape(C * dp, dl)
+    )
+    return B, Hi
+
+
 def landmark_marginal_covariances(
     graph: FactorGraph,
     indices,
@@ -215,31 +238,37 @@ def landmark_marginal_covariances(
     where B_i = [W Hll^-1] block-column i (nonzero only at the cameras
     observing landmark i).  dl S-solves per requested landmark; no dense H."""
     _, solve_rhs, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
-    C, dp = aux["C"], aux["dp"]
-    Hll_inv, W = aux["Hll_inv"], aux["W"]
-    ci = np.asarray(aux["ci"])
-    li = np.asarray(aux["li"])
-    dl = Hll_inv.shape[-1]
-
     out = []
     for i in indices:
-        sel = np.nonzero(li == int(i))[0]
-        Hi = Hll_inv[int(i)]  # (dl, dl)
-        if len(sel) == 0:
+        B, Hi = _landmark_B(aux, i)
+        if B is None:
             out.append(Hi)  # unobserved: masked unit block from ba_assemble
             continue
-        Wm = W[jnp.asarray(sel, jnp.int32)]  # (k_obs, dp, dl)
-        Bm = jnp.einsum("mij,jk->mik", Wm, Hi)  # (k_obs, dp, dl)
-        B = (
-            jnp.zeros((C, dp, dl), W.dtype)
-            .at[jnp.asarray(ci[sel], jnp.int32)]
-            .add(Bm)
-            .reshape(C * dp, dl)
-        )
         X = jax.vmap(solve_rhs, in_axes=1, out_axes=1)(B)  # (C*dp, dl)
         cov = Hi + B.T @ X
         out.append(0.5 * (cov + cov.T))
     return jnp.stack(out)
+
+
+def pose_landmark_covariance_block(
+    graph: FactorGraph,
+    pose_i: int,
+    lm_j: int,
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+):
+    """(dp, dl) pose-landmark cross-covariance block of H^-1: by the block
+    inverse, Sigma_pl = -S^-1 [W Hll^-1], so the block is the pose-i rows
+    of -S^-1 B_j — the same dl S-solves as the landmark marginal."""
+    _, solve_rhs, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    dp = aux["dp"]
+    B, Hi = _landmark_B(aux, lm_j)
+    if B is None:
+        return jnp.zeros((dp, Hi.shape[-1]), Hi.dtype)  # unobserved: decoupled
+    X = jax.vmap(solve_rhs, in_axes=1, out_axes=1)(B)  # (C*dp, dl)
+    return -X[pose_i * dp : (pose_i + 1) * dp, :]
 
 
 __all__ = [

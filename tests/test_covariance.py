@@ -174,3 +174,20 @@ class TestSchurCovariance:
         assert prob.compute_covariance(dense_dof_limit=4) is None  # lazy
         b_lazy = np.asarray(prob.get_covariance_block("p_3", "p_3"))
         np.testing.assert_allclose(b_lazy, b_dense, rtol=1e-4, atol=1e-10)
+
+    def test_pose_landmark_cross_block_matches_dense(self):
+        from pyslam_tpu.solver import pose_landmark_covariance_block
+
+        g = self._solved_ba()
+        cov = np.asarray(full_covariance(g))
+        offp = g.offsets()["poses"]
+        offl = g.offsets()["landmarks"]
+        dp = g.blocks["poses"].dof
+        blk = np.asarray(
+            pose_landmark_covariance_block(g, 2, 7, pcg_rtol=1e-12)
+        )
+        np.testing.assert_allclose(
+            blk,
+            cov[offp + 2 * dp : offp + 3 * dp, offl + 7 * 3 : offl + 8 * 3],
+            rtol=1e-4, atol=1e-10,
+        )
