@@ -12,8 +12,10 @@ Design (one jitted program, no cost volume in memory):
   * winner-take-all with subpixel parabola refinement: the scan carries the
     cost at best-1 and best+1 so the 3-point fit needs no second pass;
   * validity: texture (window SAD range), uniqueness (second-best outside
-    ±1 of best must exceed ratio), and border/disparity-range masks —
-    invalid pixels come back NaN (the convention keyframes.py expects).
+    ±1 of best must exceed ratio; candidates within ±1 of a superseded best
+    are not retained — a slightly lenient approximation of OpenCV's rule),
+    and border/disparity-range masks — invalid pixels come back NaN (the
+    convention keyframes.py expects).
 
 Measured as a drop-in for ``compute_disparity(matcher="tpu")``.
 """

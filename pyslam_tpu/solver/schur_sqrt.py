@@ -60,6 +60,7 @@ def build_sqrt_plan(
     graph: FactorGraph, pose_name: str = "poses", lm_name: str = "landmarks"
 ) -> SqrtBAPlan:
     pb, lb = graph.blocks[pose_name], graph.blocks[lm_name]
+    assert lb.dof == 3, "schur_sqrt's Householder/back-sub path is 3-dof landmarks"
     binary = [fb for fb in graph.batches if fb.slots == (pose_name, lm_name)]
     assert len(binary) == 1, "schur_sqrt expects exactly one pose-landmark batch"
     fb = binary[0]
