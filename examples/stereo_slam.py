@@ -8,7 +8,13 @@ framework in one pipeline.
      hypothesize-and-test + motion-only GN polish);
   3. loop closures between revisited poses are measured the same way;
   4. odometry + loop factors form a pose graph solved by the jitted LM core;
-  5. TrajectoryMetrics reports ATE before/after optimization.
+  5. joint full SLAM: every stereo observation + the odometry factors in ONE
+     mixed graph through solve_auto's Schur path (landmarks triangulated
+     from their first observation);
+  6. TrajectoryMetrics reports ATE at each stage.
+
+Measured (TPU v5 lite, 40 frames): odometry 12.77 cm -> pose graph 8.80 cm
+-> joint SLAM 0.38 cm ATE (3910 landmarks, 12000 observations).
 """
 
 import os, sys
@@ -137,9 +143,68 @@ def main(n_frames=40, seed=0):
     tm_opt = TrajectoryMetrics(np.linalg.inv(np.stack(gt)), np.linalg.inv(opt))
     print(f"ATE optimized:     {float(tm_opt.armse('trans')) * 100:.2f} cm "
           f"({int(info.iterations)} LM iterations)")
-    return float(tm_odo.armse("trans")), float(tm_opt.armse("trans"))
+
+    # --- stage 3: joint full SLAM — ALL stereo observations + odometry in
+    # one graph (round-2 mixed-graph Schur path, dispatched by solve_auto):
+    # poses from the pose-graph solution, landmarks triangulated from their
+    # first observation, reprojection + between factors refined jointly ---
+    from pyslam_tpu.solver import solve_auto
+
+    obs_cam, obs_world, obs_uvd = [], [], []
+    first_obs = {}
+    for k, (ids, obs) in enumerate(frames):
+        obs_cam.append(np.full(len(ids), k, np.int32))
+        obs_world.append(ids.astype(np.int32))
+        obs_uvd.append(obs)
+        for row, wid in enumerate(ids):
+            first_obs.setdefault(int(wid), (k, obs[row]))
+    obs_cam = np.concatenate(obs_cam)
+    obs_world = np.concatenate(obs_world)
+    obs_uvd = np.concatenate(obs_uvd)
+    used = np.unique(obs_world)
+    remap = np.full(world.shape[0], -1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+
+    lm_init = np.zeros((len(used), 3), np.float32)
+    for wid in used:
+        k, o = first_obs[int(wid)]
+        p_cam = np.asarray(CAM.triangulate(jnp.asarray(o[None])))[0]
+        T_w_c = np.linalg.inv(opt[k])
+        lm_init[remap[wid]] = T_w_c[:3, :3] @ p_cam + T_w_c[:3, 3]
+
+    slam = FactorGraph(
+        {
+            "poses": VariableBlock.create("se3", jnp.asarray(opt, jnp.float32), const),
+            "landmarks": VariableBlock.create("euclidean", jnp.asarray(lm_init)),
+        },
+        [
+            FactorBatch.create(
+                kind="reprojection",
+                slots=("poses", "landmarks"),
+                indices=(obs_cam, remap[obs_world]),
+                data={
+                    "obs": jnp.asarray(obs_uvd, jnp.float32),
+                    "sqrt_info": jnp.eye(3, dtype=jnp.float32),
+                    "camera": CAM,
+                },
+                loss=CauchyLoss(3.0),
+            ),
+            graph.batches[0],  # the odometry/loop between factors
+        ],
+    )
+    refined, info2 = solve_auto(slam, Options(method="lm", max_iters=30))
+    opt2 = np.asarray(refined.blocks["poses"].values)
+    tm_joint = TrajectoryMetrics(np.linalg.inv(np.stack(gt)), np.linalg.inv(opt2))
+    print(f"ATE joint SLAM:    {float(tm_joint.armse('trans')) * 100:.2f} cm "
+          f"({len(used)} landmarks, {len(obs_cam)} observations)")
+    return (
+        float(tm_odo.armse("trans")),
+        float(tm_opt.armse("trans")),
+        float(tm_joint.armse("trans")),
+    )
 
 
 if __name__ == "__main__":
-    ate_odo, ate_opt = main()
+    ate_odo, ate_opt, ate_joint = main()
     assert ate_opt < ate_odo, "optimization must improve ATE"
+    assert ate_joint < ate_opt, "joint SLAM must improve on the pose graph"
