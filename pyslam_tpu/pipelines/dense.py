@@ -216,13 +216,18 @@ class _DensePipelineBase:
             if isinstance(self.loss, TDistributionLoss) and self.loss.scale is None
             else None
         )
+        # stiffness is constant: upload once (each host->device transfer
+        # through the axon tunnel costs ~40 ms of LATENCY regardless of
+        # size — round-2 profile)
+        if not hasattr(self, "_stiff_dev"):
+            self._stiff_dev = jnp.asarray(self.stiffness, jnp.float32)
         T = _track_levels_fused(
             self.options,
             nu,
             self.loss if nu is None else None,
             levels,
             tuple(pyr),
-            jnp.asarray(self.stiffness, jnp.float32),
+            self._stiff_dev,
             jnp.asarray(guess, jnp.float32),
         )
         return np.asarray(T)
