@@ -119,11 +119,14 @@ class Problem:
                 (f.name, getattr(loss, f.name)) for f in dataclasses.fields(loss)
             )
 
+        from .solver.plan_cache import content_key
+
         batch_groups: dict = {}
         for residual, keys, loss in self.residual_blocks:
             data = residual.batch_data()
             cam = data.pop("camera", None)
-            gkey = (residual.factor_kind, loss_key(loss), id(cam) if cam is not None else None)
+            # content key (not id): identical cameras merge into one batch
+            gkey = (residual.factor_kind, loss_key(loss), content_key(cam) if cam is not None else None)
             batch_groups.setdefault(gkey, dict(items=[], loss=loss, camera=cam)).setdefault(
                 "kind", residual.factor_kind
             )
@@ -234,7 +237,7 @@ class Problem:
         if self._covariance is None:  # lazy: selective solves, no (D, D)
             from .solver.covariance import (
                 covariance_block,
-                landmark_marginal_covariances,
+                landmark_covariance_block,
                 pose_covariance_block,
                 pose_landmark_covariance_block,
             )
@@ -250,13 +253,10 @@ class Problem:
                     return pose_covariance_block(
                         graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
                     )
-                if (
-                    s1.block == euc[0] and s2.block == euc[0]
-                    and s1.index == s2.index
-                ):
-                    return landmark_marginal_covariances(
-                        graph, [s1.index], pose_name=lie[0], lm_name=euc[0]
-                    )[0]
+                if s1.block == euc[0] and s2.block == euc[0]:
+                    return landmark_covariance_block(
+                        graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
+                    )
                 if s1.block == lie[0] and s2.block == euc[0]:
                     return pose_landmark_covariance_block(
                         graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
@@ -266,10 +266,9 @@ class Problem:
                         graph, s2.index, s1.index, pose_name=lie[0], lm_name=euc[0]
                     ).T
             raise ValueError(
-                "lazy covariance supports single-block graphs and all "
-                "pose/landmark block combinations of camera+landmark graphs "
-                "except landmark-landmark CROSS blocks; raise dense_dof_limit "
-                "for those"
+                "lazy covariance supports single-block graphs and "
+                "camera+landmark graphs; raise dense_dof_limit for other "
+                "block structures"
             )
 
         offsets = graph.offsets()

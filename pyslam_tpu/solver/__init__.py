@@ -36,6 +36,7 @@ from .bcsr import EllDirect, assemble_ell, build_ell_direct, solve_ell, sym_bloc
 from .covariance import (  # noqa: E402
     covariance_block,
     full_covariance,
+    landmark_covariance_block,
     landmark_marginal_covariances,
     marginal_covariances,
     pose_covariance_block,
@@ -55,6 +56,7 @@ __all__ += [
     "pose_covariance_block",
     "pose_marginal_covariances",
     "landmark_marginal_covariances",
+    "landmark_covariance_block",
     "pose_landmark_covariance_block",
 ]
 

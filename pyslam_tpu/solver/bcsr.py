@@ -28,6 +28,7 @@ import numpy as np
 from ..graph.core import FactorGraph
 from .assemble import free_mask, linearize_batch
 from .linear import pcg_solve
+from .plan_cache import ClosureCache, content_key
 from . import lm as _lm
 
 
@@ -569,7 +570,7 @@ def solve_ell_cm(
     layout at sphere2500 scale).  Shares the jitted LM loop."""
     if plan is None:
         plan = build_ell_direct(graph)
-    key = ("ell_cm", id(plan), pcg_rtol, pcg_max_iters)
+    key = ("ell_cm", content_key(plan), pcg_rtol, pcg_max_iters)
     if key not in _CLOSURES:
         nb, d, K = plan.nb, plan.d, plan.K
         cols_flat = jnp.asarray(plan.cols.reshape(-1))
@@ -637,7 +638,7 @@ def solve_ell(
         pcg_rtol = 3e-6 if plan.nb <= 10_000 else 1e-8
     if pcg_max_iters is None:
         pcg_max_iters = min(1000, max(120, plan.nb // 80))
-    key = ("ell_direct", id(plan), pcg_rtol, pcg_max_iters)
+    key = ("ell_direct", content_key(plan), pcg_rtol, pcg_max_iters)
     if key not in _CLOSURES:
         nb, d, K = plan.nb, plan.d, plan.K
         cols = jnp.asarray(plan.cols)
@@ -673,8 +674,9 @@ def solve_ell(
 
 
 # Closure cache so repeated solves on one pattern reuse the jitted LM loop
-# (lm.solve treats assemble_fn/solve_fn as static args).
-_CLOSURES: dict = {}
+# (lm.solve treats assemble_fn/solve_fn as static args).  Content-keyed and
+# bounded per the plan_cache policy.
+_CLOSURES = ClosureCache()
 
 
 def solve_bcsr(
@@ -697,7 +699,7 @@ def solve_bcsr(
     """
     if pattern is None:
         pattern = build_pattern(graph)
-    key = (id(pattern), pcg_rtol, pcg_max_iters, spmv, precond_group)
+    key = ("bcsr", content_key(pattern), pcg_rtol, pcg_max_iters, spmv, precond_group)
     if key in _CLOSURES:
         assemble_fn, solve_fn = _CLOSURES[key]
         return _lm.solve(graph, options, assemble_fn=assemble_fn, solve_fn=solve_fn)

@@ -90,7 +90,20 @@ def marginal_covariances(
     off = graph.offsets()[block_name]
 
     col_ids = (off + indices[:, None] * d + np.arange(d)[None, :]).reshape(-1)
-    X = jax.vmap(solve_col)(jnp.asarray(col_ids, jnp.int32))  # (k*d, D)
+    # Chunk the vmap: each solved column is a full (nb*d,) vector, so
+    # vmapping all k*d requested columns at once materializes a
+    # (k*d, nb*d) intermediate — the full-inverse footprint the selective
+    # design exists to avoid.  A few hundred columns per dispatch keeps the
+    # peak at (chunk, D) while still batching the PCG while_loops.
+    chunk = max(d, 256 - 256 % d)  # multiple of d so variables never split
+    col_ids = jnp.asarray(col_ids, jnp.int32)
+    if len(col_ids) <= chunk:
+        X = jax.vmap(solve_col)(col_ids)  # (k*d, D)
+    else:
+        pieces = []
+        for s in range(0, len(col_ids), chunk):
+            pieces.append(jax.vmap(solve_col)(col_ids[s : s + chunk]))
+        X = jnp.concatenate(pieces, axis=0)
     X = X.reshape(len(indices), d, nb, d)
     rows = jnp.asarray(indices, jnp.int32)
     out = X[jnp.arange(len(indices)), :, rows, :]  # (k, d, d)
@@ -125,7 +138,14 @@ def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
 
     Returns (solve_col, solve_rhs, aux) where aux carries the eliminated
     pieces (Hll_inv, W, cam/pt indices) needed by the landmark-marginal
-    identity."""
+    identity.
+
+    Full-SLAM graphs: the pose-pose between-factor coupling (parts['PP'])
+    is part of S = (H/Hll) and MUST enter the matvec — dropping it returns
+    covariances of a different (odometry-free) graph.  The SCHUR_JACOBI
+    preconditioner stays diagonal-only (PP off-diagonals never land on a
+    diagonal block for i != j; an approximate preconditioner only costs CG
+    iterations, never correctness)."""
     from .schur import _binv, _binv_apply, _seg, ba_assemble
 
     parts, _, _ = ba_assemble(graph, pose_name, lm_name)
@@ -136,11 +156,21 @@ def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
     Hll_inv = _binv(L_ll)
     Y = jnp.einsum("mij,mjk->mik", W, Hll_inv[li])
     D_blk = Hpp - _seg(jnp.einsum("mik,mjk->mij", Y, W), ci, C)
+    # Self-loop (i == j) between factors would contribute to the diagonal of
+    # S; fold them into the preconditioner so it stays the exact diagonal.
+    PP, pp_i, pp_j = parts["PP"], parts["pp_i"], parts["pp_j"]
+    if PP.shape[0]:
+        selfloop = (pp_i == pp_j).astype(PP.dtype)[:, None, None]
+        sym = PP + jnp.swapaxes(PP, -1, -2)
+        D_blk = D_blk + _seg(selfloop * sym, pp_i, C)
     L_d = jnp.linalg.cholesky(D_blk)
 
     def matvec(x):
         xb = x.reshape(C, dp)
         y = jnp.einsum("cij,cj->ci", Hpp, xb)
+        if PP.shape[0]:  # pose-pose coupling (full-SLAM between factors)
+            y = y + _seg(jnp.einsum("eij,ej->ei", PP, xb[pp_j]), pp_i, C)
+            y = y + _seg(jnp.einsum("eij,ei->ej", PP, xb[pp_i]), pp_j, C)
         t = _seg(jnp.einsum("mij,mi->mj", W, xb[ci]), li, Hll_inv.shape[0])
         t = jnp.einsum("lij,lj->li", Hll_inv, t)
         y = y - _seg(jnp.einsum("mij,mj->mi", W, t[li]), ci, C)
@@ -250,6 +280,36 @@ def landmark_marginal_covariances(
     return jnp.stack(out)
 
 
+def landmark_covariance_block(
+    graph: FactorGraph,
+    lm_i: int,
+    lm_j: int,
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+):
+    """(dl, dl) landmark-landmark covariance block of H^-1 (cross blocks
+    included): by the block-inverse identity,
+
+        Sigma_ll',ij = delta_ij (Hll^-1)_i + B_i^T S^-1 B_j
+
+    with B_k = [W Hll^-1] block-column k — one step past the marginal
+    (i == j) case, sharing _landmark_B and the S-solver (reference covers
+    this via its full inverse, SURVEY.md §3.4)."""
+    _, solve_rhs, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    Bi, Hi = _landmark_B(aux, lm_i)
+    Bj, Hj = _landmark_B(aux, lm_j)
+    delta = Hi if lm_i == lm_j else jnp.zeros((Hi.shape[-1], Hj.shape[-1]), Hi.dtype)
+    if Bi is None or Bj is None:
+        return delta  # an unobserved landmark is decoupled from everything
+    X = jax.vmap(solve_rhs, in_axes=1, out_axes=1)(Bj)  # S^-1 B_j, (C*dp, dl)
+    cov = delta + Bi.T @ X
+    if lm_i == lm_j:
+        cov = 0.5 * (cov + cov.T)
+    return cov
+
+
 def pose_landmark_covariance_block(
     graph: FactorGraph,
     pose_i: int,
@@ -278,4 +338,6 @@ __all__ = [
     "pose_marginal_covariances",
     "pose_covariance_block",
     "landmark_marginal_covariances",
+    "landmark_covariance_block",
+    "pose_landmark_covariance_block",
 ]

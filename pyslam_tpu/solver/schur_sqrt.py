@@ -38,6 +38,7 @@ from ..graph.core import FactorGraph
 from . import lm as _lm
 from .assemble import linearize_batch
 from .linear import cholesky_solve
+from .plan_cache import ClosureCache, content_key
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,7 +168,7 @@ def solve_schur_sqrt(
     Returns (solved_graph, SolveInfo)."""
     if plan is None:
         plan = build_sqrt_plan(graph, pose_name, lm_name)
-    key = ("sqrt", id(plan))
+    key = ("sqrt", content_key(plan))
     if key not in _CLOSURES:
         C, dp, dl, m = plan.C, plan.dp, plan.dl, plan.m
 
@@ -308,6 +309,6 @@ def solve_schur_sqrt(
     return _lm.solve(graph, options, assemble_fn=assemble_fn, solve_fn=solve_fn)
 
 
-_CLOSURES: dict = {}
+_CLOSURES = ClosureCache()
 
 __all__ = ["solve_schur_sqrt", "build_sqrt_plan", "SqrtBAPlan"]
