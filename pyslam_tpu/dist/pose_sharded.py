@@ -391,12 +391,36 @@ def solve_pose_sharded(
     partition: Partition | None = None,
     pcg_rtol: float = 1e-8,
     pcg_max_iters: int = 250,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ):
     """Full variable-sharded pose-graph LM solve.  Returns
-    (solved_graph, final_chi2, cost_history)."""
+    (solved_graph, final_chi2, cost_history).
+
+    Elastic recovery (SURVEY.md §5, same contract as schur_reduce): with
+    ``checkpoint_path`` set, (original-order pose values, lambda) snapshot
+    every ``checkpoint_every`` accepted iterations; ``resume=True`` restarts
+    from the snapshot.  Checkpoints are MESH-INDEPENDENT (values stored in
+    original pose order, not slab order), so a snapshot written on n
+    devices resumes on any mesh — the kill-one-host path."""
     sp = shard_pose_graph(graph, mesh, axis, partition)
     step = jax.jit(make_pose_sharded_step(sp, options, pcg_rtol, pcg_max_iters))
     dtype = np.asarray(sp.pose_slab).dtype
+
+    if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
+        checkpoint_path = checkpoint_path + ".npz"
+    slab0 = sp.pose_slab
+    opts = options
+    if resume and checkpoint_path is not None:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            slab = np.asarray(sp.pose_slab).copy()
+            slab[sp.slot_of] = ck["values"]
+            slab0 = jnp.asarray(slab)
+            opts = dataclasses.replace(options, lambda_init=float(ck["lam"]))
 
     def lm_step(slab, lam):
         new_slab, chi2, cost_new, dx_norm = step(
@@ -404,7 +428,15 @@ def solve_pose_sharded(
         )
         return new_slab, chi2, cost_new, dx_norm
 
-    slab, history, _info = host_lm_loop(lm_step, sp.pose_slab, options)
+    def _on_accept(state, lam, n_accepted):
+        if checkpoint_path is not None and n_accepted % checkpoint_every == 0:
+            np.savez(
+                checkpoint_path.removesuffix(".npz"),
+                values=np.asarray(state)[sp.slot_of],
+                lam=lam,
+            )
+
+    slab, history, _info = host_lm_loop(lm_step, slab0, opts, on_accept=_on_accept)
 
     blk = graph.blocks[sp.block_name]
     values = jnp.asarray(np.asarray(slab)[sp.slot_of])

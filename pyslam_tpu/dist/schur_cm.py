@@ -454,14 +454,37 @@ def solve_schur_cm(
     partition: Partition | None = None,
     pcg_rtol: float = 1e-4,
     pcg_max_iters: int = 30,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ):
     """Sharded component-major Schur LM solve.  Returns
-    (solved_graph, final_chi2, cost_history)."""
+    (solved_graph, final_chi2, cost_history).
+
+    Elastic recovery (SURVEY.md §5, same contract as schur_reduce):
+    mesh-independent (poses, original-order landmarks, lambda) snapshots on
+    accepted iterations; ``resume=True`` restarts from the snapshot on any
+    mesh size."""
     sb = shard_ba_cm(graph, mesh, n_chunks, axis, pose_name, lm_name, partition)
     step = jax.jit(make_cm_step(sb, options, pcg_rtol, pcg_max_iters))
     dtype = np.asarray(sb.poses).dtype
 
     from ..solver.host_loop import host_lm_loop
+
+    if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
+        checkpoint_path = checkpoint_path + ".npz"
+    poses0, lm0 = sb.poses, sb.lm_slab
+    opts = options
+    if resume and checkpoint_path is not None:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            poses0 = jnp.asarray(ck["poses"])
+            slab = np.asarray(sb.lm_slab).copy()
+            slab[sb.lm_perm] = ck["landmarks"]
+            lm0 = jnp.asarray(slab)
+            opts = dataclasses.replace(options, lambda_init=float(ck["lam"]))
 
     def lm_step(state, lam):
         p, l = state
@@ -471,8 +494,17 @@ def solve_schur_cm(
         )
         return (new_poses, new_lm), chi2, cost_new, dx_norm
 
+    def _on_accept(state, lam, n_accepted):
+        if checkpoint_path is not None and n_accepted % checkpoint_every == 0:
+            np.savez(
+                checkpoint_path.removesuffix(".npz"),
+                poses=np.asarray(state[0]),
+                landmarks=np.asarray(state[1])[sb.lm_perm],
+                lam=lam,
+            )
+
     (poses, lm_slab), history, _info = host_lm_loop(
-        lm_step, (sb.poses, sb.lm_slab), options
+        lm_step, (poses0, lm0), opts, on_accept=_on_accept
     )
 
     lm_full = np.asarray(lm_slab)[sb.lm_perm]

@@ -168,15 +168,18 @@ class Problem:
         self._graph = graph
 
     # ------------------------------------------------------------ solving
-    def solve(self) -> dict:
+    def solve(self, mesh=None) -> dict:
         """Optimize all free parameters; returns the updated param_dict
         (reference Problem.solve).  Dispatches to the structure-appropriate
-        linear-algebra path (dense / block-sparse PCG / Schur) — the
-        reference always pays scipy's generic spsolve."""
+        linear-algebra path (dense / block-sparse PCG / Schur / sharded) —
+        the reference always pays scipy's generic spsolve.  With ``mesh``
+        (a jax.sharding.Mesh) the solve also picks among the sharding
+        strategies by graph shape and per-device memory (solver.route_auto);
+        ``summary`` is then the cost history of the sharded host loop."""
         from .solver import solve_auto
 
         graph = self._build()
-        solved, info = solve_auto(graph, self.options)
+        solved, info = solve_auto(graph, self.options, mesh=mesh)
         self.summary = info
         self._writeback(solved)
         return self.param_dict

@@ -1,6 +1,8 @@
 """GN/LM solver core (TPU-native replacement of pyslam/problem.py solve
 machinery; SURVEY.md §3.1)."""
 
+import numpy as np
+
 from .assemble import assemble_dense, gradient_and_chi2
 from .linear import cholesky_solve, damp_marquardt, pcg_solve
 from .lm import (
@@ -32,6 +34,11 @@ from .schur import ba_assemble, solve_schur  # noqa: E402
 
 __all__ += ["ba_assemble", "solve_schur"]
 
+from .schur_sqrt import build_sqrt_plan, solve_schur_sqrt  # noqa: E402
+from .sparse_chol import build_chol_plan, solve_sparse_chol  # noqa: E402
+
+__all__ += ["build_sqrt_plan", "solve_schur_sqrt", "build_chol_plan", "solve_sparse_chol"]
+
 from .bcsr import EllDirect, assemble_ell, build_ell_direct, solve_ell, sym_block_inv  # noqa: E402
 from .covariance import (  # noqa: E402
     covariance_block,
@@ -61,14 +68,97 @@ __all__ += [
 ]
 
 
+# TPU HBM tile padding: a (d, d) block occupies one (8, 128) f32 tile in
+# HBM regardless of d (CLAUDE.md measurements) — memory gates must use the
+# padded footprint, not the logical one.
+_TILE_BYTES = 8 * 128 * 4
+
+
+def route_auto(
+    graph,
+    mesh=None,
+    dense_dof_limit: int = 12000,
+    dense_hpl_budget_bytes: int = 1 << 30,
+    device_hbm_budget_bytes: int = 10 << 30,
+    tiny_dof: int = 2000,
+):
+    """Name of the solve path ``solve_auto`` picks for this graph (+mesh).
+
+    Single-chip routes: ``dense`` / ``sparse_chol`` / ``ell`` /
+    ``schur_dense`` / ``schur_pcg`` / ``schur_large``.
+    Mesh routes (VERDICT r2 next #3 — the system, not the user, picks the
+    sharding strategy): ``factor_parallel`` (tiny graphs: replicating is
+    free, factor eval dominates), ``pose_sharded`` (single-block graphs
+    whose ELL store exceeds one chip's HBM budget — below that a replicated
+    single-chip solve_ell is strictly faster, measured ~45x at 1 device),
+    ``schur_reduce`` (camera+landmark), ``schur_cm`` (camera+landmark
+    whose per-device observation slab exceeds the block-layout budget —
+    the component-major layout is the only one that fits multi-M slabs).
+    """
+    blocks = graph.blocks
+    kinds = {name: b.kind for name, b in blocks.items()}
+    lie_blocks = [n for n, k in kinds.items() if k != "euclidean"]
+    euc_blocks = [n for n, k in kinds.items() if k == "euclidean"]
+    is_ba = len(blocks) == 2 and len(lie_blocks) == 1 and len(euc_blocks) == 1
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+
+    if mesh is not None and n_dev > 1:
+        if is_ba:
+            pose_name, lm_name = lie_blocks[0], euc_blocks[0]
+            binary = [fb for fb in graph.batches if fb.slots == (pose_name, lm_name)]
+            n_obs = sum(fb.n for fb in binary)
+            # per-device block-layout slab: ~3 padded tiles per observation
+            # (W + per-obs Hpp/Hll contributions)
+            slab_bytes = (n_obs // max(n_dev, 1)) * 3 * _TILE_BYTES
+            return "schur_cm" if slab_bytes > device_hbm_budget_bytes else "schur_reduce"
+        if len(blocks) == 1:
+            if graph.total_dof <= tiny_dof:
+                return "factor_parallel"
+            blk = next(iter(blocks.values()))
+            # symmetric ELL store: nb * K padded tiles; K ~ 1 + avg degree
+            n_edges = sum(
+                fb.n for fb in graph.batches if len(set(fb.slots)) == 1 and len(fb.slots) == 2
+            )
+            K_est = 1 + int(np.ceil(2 * n_edges / max(blk.n, 1))) * 2  # max deg ~ 2x avg
+            ell_bytes = blk.n * K_est * _TILE_BYTES
+            return "pose_sharded" if ell_bytes > device_hbm_budget_bytes else "ell"
+        return "factor_parallel" if graph.total_dof <= tiny_dof else "_single"
+
+    if is_ba:
+        pose_name, lm_name = lie_blocks[0], euc_blocks[0]
+        binary = [fb for fb in graph.batches if fb.slots == (pose_name, lm_name)]
+        others = [fb for fb in graph.batches if fb.slots != (pose_name, lm_name)]
+        n_obs = sum(fb.n for fb in binary)
+        if (
+            n_obs > 2_000_000
+            and len(binary) == 1
+            and all(
+                fb.slots in ((pose_name,), (pose_name, pose_name)) for fb in others
+            )
+        ):
+            return "schur_large"
+        pb, lb = blocks[pose_name], blocks[lm_name]
+        itemsize = pb.values.dtype.itemsize
+        hpl_bytes = pb.n * pb.dof * lb.n * lb.dof * itemsize
+        if pb.n * pb.dof <= 4096 and 2 * hpl_bytes <= dense_hpl_budget_bytes:
+            return "schur_dense"
+        return "schur_pcg"
+    if len(blocks) == 1 and graph.total_dof > dense_dof_limit:
+        return "ell"
+    return "dense"
+
+
 def solve_auto(
     graph,
     options=None,
+    mesh=None,
     dense_dof_limit: int = 12000,
     dense_hpl_budget_bytes: int = 1 << 30,
+    device_hbm_budget_bytes: int = 10 << 30,
 ):
     """Structure-dispatching solve: picks the right linear-algebra path.
 
+    Single-chip (mesh=None):
     * camera + landmark blocks (one lie + one euclidean block coupled by
       binary factors)  -> Schur complement (dense S for small camera counts,
       implicit PCG otherwise)
@@ -79,59 +169,73 @@ def solve_auto(
       ~10k dof, e.g. M3500)
     * single variable block, larger -> block-sparse ELL + PCG
 
+    With ``mesh``: dispatches among the four sharding strategies by graph
+    shape and per-device memory (see ``route_auto``).  Sharded paths run
+    the shared host LM loop; the returned info is their cost history.
+
     Returns (solved_graph, SolveInfo-or-history) matching the path's solver.
     """
     opts = options if options is not None else Options()
+    route = route_auto(
+        graph,
+        mesh=mesh,
+        dense_dof_limit=dense_dof_limit,
+        dense_hpl_budget_bytes=dense_hpl_budget_bytes,
+        device_hbm_budget_bytes=device_hbm_budget_bytes,
+    )
     blocks = graph.blocks
     kinds = {name: b.kind for name, b in blocks.items()}
     lie_blocks = [n for n, k in kinds.items() if k != "euclidean"]
     euc_blocks = [n for n, k in kinds.items() if k == "euclidean"]
-    if len(blocks) == 2 and len(lie_blocks) == 1 and len(euc_blocks) == 1:
-        pose_name, lm_name = lie_blocks[0], euc_blocks[0]
-        binary = [fb for fb in graph.batches if fb.slots == (pose_name, lm_name)]
-        others = [fb for fb in graph.batches if fb.slots != (pose_name, lm_name)]
-        n_obs = sum(fb.n for fb in binary)
-        if (
-            n_obs > 2_000_000
-            and len(binary) == 1
-            and all(
-                fb.slots in ((pose_name,), (pose_name, pose_name))
-                for fb in others
-            )
-        ):
-            # Block layouts tile to 21x their logical bytes in HBM; beyond
-            # ~2M observations only the component-major streamed path fits
-            # on a 16 GB chip (solver/schur_large.py).  schur_large supports
-            # one binary batch plus any pose-unary prior batches
-            # (schur_large.prepare_large_ba), so priors must NOT disqualify
-            # a Venice-scale graph from this route.
-            from .schur_large import solve_schur_large
 
-            solved, chi2, hist = solve_schur_large(
-                graph, opts, pose_name=pose_name, lm_name=lm_name
-            )
-            return solved, hist
-        pb, lb = blocks[pose_name], blocks[lm_name]
-        # Dense-S mode materializes Hpl and Ypl, each (C, dp, L, dl)
-        # (schur.schur_solve_dense) — gate on that footprint too, or a
-        # small-camera/many-landmark graph (BAL-Dubrovnik class) OOMs the
-        # chip despite passing the camera-dof gate.
-        itemsize = pb.values.dtype.itemsize
-        hpl_bytes = pb.n * pb.dof * lb.n * lb.dof * itemsize
-        mode = (
-            "dense"
-            if pb.n * pb.dof <= 4096 and 2 * hpl_bytes <= dense_hpl_budget_bytes
-            else "pcg"
+    if route == "factor_parallel":
+        from ..dist.factor_parallel import solve_factor_parallel
+
+        solved, _chi2, hist = solve_factor_parallel(graph, mesh, opts)
+        return solved, hist
+    if route == "pose_sharded":
+        from ..dist.pose_sharded import solve_pose_sharded
+
+        solved, _chi2, hist = solve_pose_sharded(graph, mesh, opts)
+        return solved, hist
+    if route == "schur_reduce":
+        from ..dist.schur_reduce import solve_schur_sharded
+
+        solved, _chi2, hist = solve_schur_sharded(
+            graph, mesh, opts, pose_name=lie_blocks[0], lm_name=euc_blocks[0]
         )
-        return solve_schur(graph, opts, mode=mode, pose_name=pose_name, lm_name=lm_name)
-    if len(blocks) == 1 and graph.total_dof > dense_dof_limit:
+        return solved, hist
+    if route == "schur_cm":
+        from ..dist.schur_cm import solve_schur_cm
+
+        solved, _chi2, hist = solve_schur_cm(
+            graph, mesh, opts, pose_name=lie_blocks[0], lm_name=euc_blocks[0]
+        )
+        return solved, hist
+
+    if route == "schur_large":
+        from .schur_large import solve_schur_large
+
+        solved, chi2, hist = solve_schur_large(
+            graph, opts, pose_name=lie_blocks[0], lm_name=euc_blocks[0]
+        )
+        return solved, hist
+    if route in ("schur_dense", "schur_pcg"):
+        return solve_schur(
+            graph,
+            opts,
+            mode=route.removeprefix("schur_"),
+            pose_name=lie_blocks[0],
+            lm_name=euc_blocks[0],
+        )
+    if route == "ell":
         from .bcsr import solve_ell as _solve_ell
 
         return _solve_ell(graph, opts)
     return solve(graph, opts)
 
 
-__all__ += ["solve_auto"]
+__all__ += ["solve_auto", "route_auto"]
 
 
 def solve_batched(graphs, options=None):

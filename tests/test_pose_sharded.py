@@ -151,3 +151,40 @@ class TestUnaryOnlyGraph:
         _, chi2_s, hist = solve_pose_sharded(g, mesh_p(8), opts, **COMMON)
         _, info = solve(g, opts)
         np.testing.assert_allclose(chi2_s, float(info.chi2), atol=1e-10)
+
+
+class TestElasticRecovery:
+    def test_kill_one_host_drill(self, tmp_path):
+        """Checkpoint mid-solve on 8 devices, lose one, resume on 7 (fresh
+        BFS partition + slabs), converge — chi2 must match the
+        uninterrupted 8-device solve (VERDICT r2 next #4: the schur_reduce
+        drill, mirrored onto the TP-analogue path)."""
+        g = se2_graph(n_poses=60, seed=11)
+        ck = str(tmp_path / "drill.npz")
+        opts_full = Options(method="lm", max_iters=12, min_cost_decrease=1.0 - 1e-15)
+        opts_half = Options(method="lm", max_iters=6, min_cost_decrease=1.0 - 1e-15)
+        _, chi2_full, _ = solve_pose_sharded(g, mesh_p(8), opts_full, **COMMON)
+        solve_pose_sharded(
+            g, mesh_p(8), opts_half, checkpoint_path=ck, checkpoint_every=3,
+            **COMMON,
+        )
+        _, chi2_rec, hist = solve_pose_sharded(
+            g, mesh_p(7), opts_half, checkpoint_path=ck, resume=True, **COMMON
+        )
+        assert hist[-1] <= hist[0]
+        np.testing.assert_allclose(chi2_rec, chi2_full, rtol=1e-6)
+
+    def test_checkpoint_suffix_normalized(self, tmp_path):
+        g = se2_graph(n_poses=40, seed=5)
+        ck = str(tmp_path / "state.ck")  # no .npz
+        opts = Options(method="lm", max_iters=4, min_cost_decrease=1.0 - 1e-15)
+        solve_pose_sharded(
+            g, mesh_p(4), opts, checkpoint_path=ck, checkpoint_every=2, **COMMON
+        )
+        import os
+
+        assert os.path.exists(ck + ".npz")
+        _, chi2_resumed, _ = solve_pose_sharded(
+            g, mesh_p(4), opts, checkpoint_path=ck, resume=True, **COMMON
+        )
+        assert np.isfinite(chi2_resumed)

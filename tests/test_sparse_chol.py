@@ -1,0 +1,123 @@
+"""Sparse direct multifrontal block Cholesky (solver/sparse_chol.py).
+
+The load-bearing claim is EXACTNESS: the multifrontal solve must equal the
+dense Cholesky solve (same dx, same converged chi2) while never forming a
+(D, D) matrix — the reference's spsolve-everywhere capability (SURVEY.md
+§2.1 Problem row, §2.2 spsolve->TPU table)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.graph import build
+from pyslam_tpu.io import synth
+from pyslam_tpu.solver import Options, solve
+from pyslam_tpu.solver.assemble import assemble_dense, unit_diag_where_dead
+from pyslam_tpu.solver.bcsr import assemble_ell
+from pyslam_tpu.solver.linear import cholesky_solve
+from pyslam_tpu.solver.sparse_chol import (
+    build_chol_plan,
+    solve_sparse_chol,
+    sparse_chol_solve,
+)
+
+
+def _linear_solve_check(g, leaf_size, lam=1e-3, rtol=1e-8):
+    """One damped linear solve: multifrontal dx == dense dx."""
+    plan = build_chol_plan(g, leaf_size=leaf_size)
+    He, gr, _ = assemble_ell(g, plan.ell)
+    opt = Options(method="lm")
+    dx = np.asarray(sparse_chol_solve(plan, He, gr, jnp.asarray(lam, He.dtype), opt))
+
+    H, gd, _ = assemble_dense(g)
+    H = unit_diag_where_dead(H)
+    d = np.asarray(jnp.einsum("ii->i", H))
+    Hd = np.asarray(H) + lam * np.diag(np.maximum(d, 1e-12))
+    dx_dense = np.linalg.solve(Hd, np.asarray(gd))
+    np.testing.assert_allclose(dx, dx_dense, rtol=rtol, atol=1e-9)
+
+
+class TestLinearSolveExactness:
+    def test_se2_loop_matches_dense(self):
+        data = synth.se2_loop(n_poses=60, n_loops=10, seed=3)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        _linear_solve_check(g, leaf_size=8)
+
+    def test_se3_sphere_matches_dense(self):
+        data = synth.se3_sphere(n_poses=150, seed=1)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        _linear_solve_check(g, leaf_size=16)
+
+    @pytest.mark.parametrize("leaf_size", [4, 32, 1000])
+    def test_leaf_size_invariance(self, leaf_size):
+        # leaf_size=1000 degenerates to one dense leaf; all must agree
+        data = synth.se2_loop(n_poses=40, n_loops=6, seed=9)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        _linear_solve_check(g, leaf_size=leaf_size)
+
+    def test_constant_poses_inert(self):
+        data = synth.se2_loop(n_poses=30, n_loops=4, seed=5)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        # pose_graph anchors pose 0 as constant: its dx rows must be 0
+        plan = build_chol_plan(g, leaf_size=8)
+        He, gr, _ = assemble_ell(g, plan.ell)
+        dx = np.asarray(
+            sparse_chol_solve(plan, He, gr, jnp.asarray(1e-3, He.dtype), Options(method="lm"))
+        )
+        const = np.asarray(g.blocks["poses"].const_mask)
+        assert const[0]
+        np.testing.assert_allclose(dx.reshape(-1, 3)[const], 0.0, atol=1e-14)
+
+
+class TestFullSolve:
+    def test_chi2_matches_dense_path(self):
+        data = synth.se2_loop(n_poses=80, n_loops=12, seed=2)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        opts = Options(method="lm", max_iters=30)
+        _, info_dense = solve(g, opts)
+        _, info_sp = solve_sparse_chol(g, opts, leaf_size=16)
+        np.testing.assert_allclose(
+            float(info_sp.chi2), float(info_dense.chi2), rtol=1e-8
+        )
+
+    def test_stiff_manhattan_exact_optimum(self):
+        """M3500-class stiff 2D graph: PCG stalls here (CLAUDE.md: 'exact
+        solves matter on stiff 2D graphs'); sparse direct must hit the dense
+        optimum exactly — without ever forming (D, D)."""
+        data = synth.se2_manhattan(n_poses=600, seed=4)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        opts = Options(method="lm", max_iters=40)
+        _, info_dense = solve(g, opts)
+        _, info_sp = solve_sparse_chol(g, opts, leaf_size=32)
+        np.testing.assert_allclose(
+            float(info_sp.chi2), float(info_dense.chi2), rtol=1e-9
+        )
+
+    def test_solve_is_deterministic_and_cache_reuses(self):
+        from pyslam_tpu.solver import sparse_chol as sc
+
+        data = synth.se2_loop(n_poses=30, n_loops=3, seed=7)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        opts = Options(method="lm", max_iters=10)
+        _, i1 = solve_sparse_chol(g, opts)
+        n = len(sc._CLOSURES)
+        _, i2 = solve_sparse_chol(g, opts)
+        assert len(sc._CLOSURES) == n
+        assert float(i1.chi2) == float(i2.chi2)
+
+
+class TestPlanStructure:
+    def test_root_boundary_empty_and_cols_partition(self):
+        data = synth.se3_sphere(n_poses=120, seed=6)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        plan = build_chol_plan(g, leaf_size=16)
+        seen = np.zeros(plan.nb, bool)
+        for kpad, bpad, N, cols_idx, bnd_idx, *_ in plan.waves:
+            real = cols_idx[cols_idx < plan.nb]
+            assert not seen[real].any(), "a variable eliminated twice"
+            seen[real] = True
+        assert seen.all(), "every variable must be eliminated exactly once"
+        # last wave is the root: its boundary must be all padding
+        *_, root_wave = plan.waves
+        assert (root_wave[4] == plan.nb).all()
