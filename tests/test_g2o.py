@@ -104,3 +104,22 @@ class TestG2OLegacyTags:
         b = g2o.read_g2o(p2)
         np.testing.assert_allclose(b.T_init, a.T_init, atol=1e-12)
         np.testing.assert_allclose(b.T_meas, a.T_meas, atol=1e-12)
+
+
+class TestParityHarness:
+    def test_selftest_runs_end_to_end(self, tmp_path):
+        """bench/parity.py --selftest contract (VERDICT r2 next #8): write
+        real-format dataset files through the io writers, load them back,
+        run stand-in + TPU solver, pass every parity gate."""
+        import sys, pathlib
+
+        root = pathlib.Path(__file__).resolve().parents[1]
+        sys.path.insert(0, str(root / "bench"))
+        try:
+            import parity
+
+            rows = parity.selftest(str(tmp_path / "ds"))
+        finally:
+            sys.path.pop(0)
+        assert len(rows) == 3
+        assert all(r["parity"] for r in rows)
