@@ -162,3 +162,50 @@ class TestSolveAutoMesh:
         prob2.set_parameters_constant(names[0])
         prob2.solve()
         np.testing.assert_allclose(cost_sharded, prob2.eval_cost(), rtol=1e-5)
+
+
+class TestConditioningRoute:
+    """VERDICT r2 weak #3: f32 mono low-parallax BA graphs must route to
+    the square-root (QR) elimination; everywhere else the normal-equation
+    Schur paths are equal and faster (docs/PERFORMANCE.md measurements)."""
+
+    def _mono(self, cam_cluster):
+        from pyslam_tpu.io import bal
+
+        return build.bal_graph(
+            bal.perturbed(
+                bal.synthetic_bal(n_cams=6, n_pts=50, seed=0, cam_cluster=cam_cluster)
+            ),
+            dtype=jnp.float32,
+        )
+
+    def test_clustered_mono_routes_sqrt(self):
+        assert route_auto(self._mono(cam_cluster=0.05)) == "schur_sqrt"
+
+    def test_ring_mono_routes_normal_schur(self):
+        assert route_auto(self._mono(cam_cluster=None)) == "schur_dense"
+
+    def test_stereo_never_routes_sqrt(self):
+        # stereo observations carry depth: conditioning never bites
+        g = build.ba_graph(
+            synth.ba_synthetic(n_cams=6, n_pts=40, obs_per_pt=4, seed=8,
+                               cam_cluster=0.05),
+            dtype=jnp.float32,
+        )
+        assert route_auto(g) in ("schur_dense", "schur_pcg")
+
+    def test_f64_never_routes_sqrt(self):
+        from pyslam_tpu.io import bal
+
+        g = build.bal_graph(
+            bal.perturbed(
+                bal.synthetic_bal(n_cams=6, n_pts=50, seed=0, cam_cluster=0.05)
+            ),
+            dtype=jnp.float64,
+        )
+        assert route_auto(g) == "schur_dense"
+
+    def test_sqrt_route_solves_end_to_end(self):
+        g = self._mono(cam_cluster=0.05)
+        solved, info = solve_auto(g, Options(method="lm", max_iters=10))
+        assert float(info.chi2) < float(g.chi2())
