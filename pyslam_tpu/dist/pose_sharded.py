@@ -180,10 +180,25 @@ def shard_pose_graph(
             out[dest] = src[cf]
             return jnp.asarray(out)
 
+        def put_rep(src):
+            """Pad with a REPLICATED valid row, never zeros (ADVICE r2): a
+            zero T_obs/sqrt_info row would NaN any future kernel with a
+            division or normalization, and NaN * zero-mask still poisons
+            the psum'd chi2 (0 * inf).  Same safe-fill convention as
+            schur_reduce/schur_cm's lm_vals[:, -1] = 1.0."""
+            src = np.asarray(src)
+            if len(cf) == 0 or len(src) == 0:
+                return put(src)
+            out = np.broadcast_to(
+                src[cf[0]], (n * Fb,) + src.shape[1:]
+            ).copy()
+            out[dest] = src[cf]
+            return jnp.asarray(out)
+
         arrs = {}
         for s in range(S):
-            arrs[f"sidx{s}"] = put(sidx[s].astype(np.int32))
-            arrs[f"grow{s}"] = put((sidx[s] % Pb).astype(np.int32))
+            arrs[f"sidx{s}"] = put_rep(sidx[s].astype(np.int32))
+            arrs[f"grow{s}"] = put_rep((sidx[s] % Pb).astype(np.int32))
             # gradient mask: this copy's device must own the slot's endpoint
             m = np.zeros(n * Fb, vals.dtype)
             m[dest] = (own[s][cf] == cd).astype(vals.dtype)
@@ -197,12 +212,12 @@ def shard_pose_graph(
         pair_labels = []
         for a in range(S):
             for b in range(a, S):
-                arrs[f"pos{a}{b}"] = put(ell_pos(sidx[a], sidx[b]))
+                arrs[f"pos{a}{b}"] = put_rep(ell_pos(sidx[a], sidx[b]))
                 m = np.zeros(n * Fb, vals.dtype)
                 m[dest] = (own[a][cf] == cd).astype(vals.dtype)
                 arrs[f"mask{a}{b}"] = jnp.asarray(m)
                 if a != b:
-                    arrs[f"pos{b}{a}"] = put(ell_pos(sidx[b], sidx[a]))
+                    arrs[f"pos{b}{a}"] = put_rep(ell_pos(sidx[b], sidx[a]))
                     mt = np.zeros(n * Fb, vals.dtype)
                     mt[dest] = (own[b][cf] == cd).astype(vals.dtype)
                     arrs[f"mask{b}{a}"] = jnp.asarray(mt)
@@ -211,7 +226,7 @@ def shard_pose_graph(
         static_data = {}
         for kk, vv in fb.data.items():
             if hasattr(vv, "ndim") and getattr(vv, "ndim", 0) >= 1 and vv.shape[0] == F:
-                arrs[f"data_{kk}"] = put(vv)
+                arrs[f"data_{kk}"] = put_rep(vv)
             else:
                 static_data[kk] = vv
         batch_arrays.append(arrs)

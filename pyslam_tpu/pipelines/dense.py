@@ -155,7 +155,16 @@ class _DensePipelineBase:
 
     # ---- core per-level solve ----
 
-    def _track_pyramid(self, im_track: np.ndarray) -> list[jnp.ndarray]:
+    def prefetch(self, im) -> "PrefetchedFrame":
+        """Start the async host->device upload of frame N+1 while frame N's
+        solve is still running (jax device transfers are asynchronous:
+        ``jnp.asarray`` returns before the bytes land).  Pass the handle to
+        ``track`` in place of the image.  Measured effect on this box's
+        tunnel: docs/PERFORMANCE.md, VO per-frame floor section."""
+        host = _track_input(im)
+        return PrefetchedFrame(host=host, dev=jnp.asarray(host))
+
+    def _track_pyramid(self, im_track) -> list[jnp.ndarray]:
         # device-side pyramid: one jitted dispatch, one host upload — the
         # host-numpy version cost ~80 ms/frame at VGA on this box's single
         # core (round-2 profile).  uint8 frames upload raw (4x less tunnel
@@ -298,6 +307,19 @@ def _track_input(im):
     return im.astype(np.float32, copy=False)
 
 
+class PrefetchedFrame:
+    """Handle from ``pipeline.prefetch(im)``: the device upload of a FUTURE
+    tracked frame, started asynchronously so it can overlap the current
+    frame's fused solve (double-buffering the ~40 ms tunnel latency).
+    Carries the host copy too — keyframe creation needs it."""
+
+    __slots__ = ("host", "dev")
+
+    def __init__(self, host, dev):
+        self.host = host
+        self.dev = dev
+
+
 class DenseStereoPipeline(_DensePipelineBase):
     """Dense stereo direct VO (reference DenseStereoPipeline).
 
@@ -314,14 +336,19 @@ class DenseStereoPipeline(_DensePipelineBase):
         self.matcher = matcher
 
     def track(self, im_left, im_right, guess=None, disp=None):
+        if isinstance(im_left, PrefetchedFrame):
+            host_left, track_in = im_left.host, im_left.dev
+        else:
+            host_left, track_in = im_left, _track_input(im_left)
+
         def make_keyframe():
             return DenseStereoKeyframe(
-                _host_float01(im_left), _host_float01(im_right), self.camera,
+                _host_float01(host_left), _host_float01(im_right), self.camera,
                 self.pyrlevels, self.min_grad,
                 disp=disp, matcher=self.matcher, pixel_budget=self.pixel_budget,
             )
 
-        return self._track_common(make_keyframe, _track_input(im_left), guess)
+        return self._track_common(make_keyframe, track_in, guess)
 
 
 class DenseRGBDPipeline(_DensePipelineBase):
@@ -330,13 +357,18 @@ class DenseRGBDPipeline(_DensePipelineBase):
     ``track(im, depth, guess=None)``."""
 
     def track(self, im, depth, guess=None):
+        if isinstance(im, PrefetchedFrame):
+            host_im, track_in = im.host, im.dev
+        else:
+            host_im, track_in = im, _track_input(im)
+
         def make_keyframe():
             return DenseRGBDKeyframe(
-                _host_float01(im), depth, self.camera, self.pyrlevels,
+                _host_float01(host_im), depth, self.camera, self.pyrlevels,
                 self.min_grad, pixel_budget=self.pixel_budget,
             )
 
-        return self._track_common(make_keyframe, _track_input(im), guess)
+        return self._track_common(make_keyframe, track_in, guess)
 
 
-__all__ = ["DenseStereoPipeline", "DenseRGBDPipeline"]
+__all__ = ["DenseStereoPipeline", "DenseRGBDPipeline", "PrefetchedFrame"]
