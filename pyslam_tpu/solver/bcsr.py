@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -614,12 +615,29 @@ def solve_ell_cm(
     return _lm.solve(graph, options, assemble_fn=assemble_fn, solve_fn=solve_fn)
 
 
+def _coarse_groups(graph: FactorGraph, plan: EllDirect, coarse_size: int):
+    """(group (nb,), G): BFS aggregation of poses into ~coarse_size groups
+    for the two-level preconditioner (reuses the distributed partitioner)."""
+    from ..dist.partitioner import partition_poses_bfs
+
+    nb = plan.nb
+    valid = plan.valid[:, 1:] > 0
+    eu = np.repeat(np.arange(nb, dtype=np.int64), valid.sum(axis=1))
+    ev = plan.cols[:, 1:][valid].astype(np.int64)
+    und = eu < ev
+    G = max(1, -(-nb // coarse_size))
+    part = partition_poses_bfs(eu[und], ev[und], nb, G)
+    return part.part.astype(np.int32), G
+
+
 def solve_ell(
     graph: FactorGraph,
     options: _lm.Options = _lm.Options(),
     plan: EllDirect | None = None,
     pcg_rtol: float | None = None,
     pcg_max_iters: int | None = None,
+    precond: str = "bj",
+    coarse_size: int = 128,
 ):
     """GN/LM with direct-to-ELL assembly, slice-damping, closed-form
     block-Jacobi PCG — the fastest single-chip pose-graph path measured on
@@ -631,22 +649,41 @@ def solve_ell(
     at loose-config speed); at 50k poses rtol 1e-8 / 600 its converges in 8
     LM its / 13.3 s where the old 1e-4 / 75 default STALLED 7.4% above the
     optimum (cost-decrease stop fires on the tiny truncated-CG steps).
-    Explicit arguments override."""
+    Explicit arguments override.
+
+    ``precond``: "bj" (per-pose block-Jacobi, the measured default) or
+    "two_level" (additive two-level Schwarz: block-Jacobi + a BFS-aggregated
+    coarse-graph correction, A_c = P^T A P with piecewise-constant-per-group
+    prolongation, dense-factored once per linear solve).  The coarse level
+    targets the low-frequency error block-Jacobi cannot damp — the 50k-pose
+    regime where plain BJ needs 600 CG iterations."""
     if plan is None:
         plan = build_ell_direct(graph)
     if pcg_rtol is None:
         pcg_rtol = 3e-6 if plan.nb <= 10_000 else 1e-8
     if pcg_max_iters is None:
         pcg_max_iters = min(1000, max(120, plan.nb // 80))
-    key = ("ell_direct", content_key(plan), pcg_rtol, pcg_max_iters)
+    key = ("ell_direct", content_key(plan), pcg_rtol, pcg_max_iters, precond, coarse_size)
     if key not in _CLOSURES:
         nb, d, K = plan.nb, plan.d, plan.K
         cols = jnp.asarray(plan.cols)
+        if precond == "two_level":
+            group_np, G = _coarse_groups(graph, plan, coarse_size)
+            group = jnp.asarray(group_np)
+            # flat coarse destination of every ELL block: (g_row * G + g_col)
+            flat_gc = jnp.asarray(
+                group_np[:, None].astype(np.int64) * G + group_np[plan.cols]
+            ).reshape(-1)
+        else:
+            group = flat_gc = None
+            G = 0
 
         def assemble_fn(g):
             return assemble_ell(g, plan)
 
         def solve_fn(He, g, lam, opt):
+            from jax.scipy.linalg import cho_solve
+
             D = He[:, 0]
             if opt.method == "lm":
                 diag = jnp.maximum(jnp.einsum("nii->ni", D), 1e-12)
@@ -660,11 +697,32 @@ def solve_ell(
                 xg = x.reshape(nb, d)[cols]
                 return jnp.einsum("rkij,rkj->ri", He_d, xg).reshape(-1)
 
-            def precond(r):
-                return jnp.einsum("nij,nj->ni", Minv, r.reshape(nb, d)).reshape(-1)
+            if precond == "two_level":
+                # A_c = P^T A P: one segment-sum of the ELL blocks per
+                # linear solve (invalid ELL slots hold zero blocks -> no
+                # mask needed), dense Cholesky of (G*d, G*d)
+                Ac = jax.ops.segment_sum(
+                    He_d.reshape(nb * K, d, d), flat_gc, num_segments=G * G
+                )
+                Ac = jnp.transpose(Ac.reshape(G, G, d, d), (0, 2, 1, 3)).reshape(
+                    G * d, G * d
+                )
+                L_c = jnp.linalg.cholesky(Ac)
+
+                def precond_fn(r):
+                    rb = r.reshape(nb, d)
+                    fine = jnp.einsum("nij,nj->ni", Minv, rb)
+                    rc = jax.ops.segment_sum(rb, group, num_segments=G).reshape(-1)
+                    xc = cho_solve((L_c, True), rc).reshape(G, d)
+                    return (fine + xc[group]).reshape(-1)
+
+            else:
+
+                def precond_fn(r):
+                    return jnp.einsum("nij,nj->ni", Minv, r.reshape(nb, d)).reshape(-1)
 
             dx, _ = pcg_solve(
-                matvec, g, precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters
+                matvec, g, precond=precond_fn, rtol=pcg_rtol, max_iters=pcg_max_iters
             )
             return dx
 

@@ -198,3 +198,39 @@ class TestEllComponentMajor:
         _, i_dense = solve(g, opts)
         _, i_cm = solve_ell_cm(g, opts, pcg_rtol=1e-12, pcg_max_iters=500)
         assert abs(float(i_dense.chi2) - float(i_cm.chi2)) / float(i_dense.chi2) < 1e-6
+
+
+class TestTwoLevelPrecond:
+    """Additive two-level Schwarz preconditioner (VERDICT r2 next #10):
+    must converge to the same solution as block-Jacobi, in <= the CG
+    iterations on loopy graphs (the wall-clock comparison runs on the real
+    chip at 50k poses; correctness lives here)."""
+
+    def test_matches_bj_solution(self):
+        from pyslam_tpu.solver.bcsr import solve_ell
+
+        data = synth.se3_sphere(n_poses=300, seed=5)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        opts = Options(method="lm", max_iters=20)
+        _, i_bj = solve_ell(g, opts, pcg_rtol=1e-10, pcg_max_iters=500)
+        _, i_tl = solve_ell(
+            g, opts, pcg_rtol=1e-10, pcg_max_iters=500,
+            precond="two_level", coarse_size=32,
+        )
+        np.testing.assert_allclose(float(i_tl.chi2), float(i_bj.chi2), rtol=1e-8)
+
+    def test_single_linear_solve_exact(self):
+        from pyslam_tpu.solver.assemble import assemble_dense, unit_diag_where_dead
+        from pyslam_tpu.solver.bcsr import (
+            assemble_ell, build_ell_direct, solve_ell, _coarse_groups,
+        )
+        from pyslam_tpu.solver.linear import pcg_solve
+        import jax
+
+        data = synth.se2_loop(n_poses=60, n_loops=8, seed=2)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        plan = build_ell_direct(g)
+        group, G = _coarse_groups(g, plan, 16)
+        assert group.shape == (plan.nb,) and group.max() == G - 1
+        # every group nonempty (P full column rank -> A_c SPD)
+        assert (np.bincount(group, minlength=G) > 0).all()
