@@ -196,6 +196,15 @@ def route_auto(
             return "schur_dense"
         return "schur_pcg"
     if len(blocks) == 1 and graph.total_dof > dense_dof_limit:
+        blk = next(iter(blocks.values()))
+        # Stiff 2D graphs need EXACT solves (PCG stalls in a worse basin:
+        # M3500 668 vs 622, docs/PERFORMANCE.md) — beyond the dense
+        # ceiling, the multifrontal sparse Cholesky is the exact option.
+        # 2D dissection separators stay narrow, so the fill is cheap there;
+        # 3D-ish SE(3) graphs keep the measured-fast ELL PCG default
+        # (sphere separators are wide — see PERFORMANCE.md round-3 notes).
+        if blk.dof == 3 and blk.kind in ("se2", "euclidean"):
+            return "sparse_chol"
         return "ell"
     return "dense"
 
@@ -272,6 +281,10 @@ def solve_auto(
             graph, opts, pose_name=lie_blocks[0], lm_name=euc_blocks[0]
         )
         return solved, hist
+    if route == "sparse_chol":
+        from .sparse_chol import solve_sparse_chol
+
+        return solve_sparse_chol(graph, opts)
     if route == "schur_sqrt":
         from .schur_sqrt import solve_schur_sqrt
 

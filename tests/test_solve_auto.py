@@ -209,3 +209,25 @@ class TestConditioningRoute:
         g = self._mono(cam_cluster=0.05)
         solved, info = solve_auto(g, Options(method="lm", max_iters=10))
         assert float(info.chi2) < float(g.chi2())
+
+
+class TestSparseCholRoute:
+    def test_large_2d_graph_routes_sparse_chol(self):
+        # beyond the dense ceiling, stiff 2D graphs get the exact
+        # multifrontal path (PCG stalls in a worse basin there)
+        g = fake_pose_graph(20_000, d=3)
+        assert route_auto(g) == "sparse_chol"
+
+    def test_large_3d_graph_keeps_ell(self):
+        assert route_auto(fake_pose_graph(50_000, d=6)) == "ell"
+
+    def test_sparse_chol_route_end_to_end(self):
+        # a real (small-but-forced) dispatch: shrink the dense limit
+        data = synth.se2_loop(n_poses=60, n_loops=8, seed=1)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        assert route_auto(g, dense_dof_limit=100) == "sparse_chol"
+        solved, info = solve_auto(
+            g, Options(method="lm", max_iters=20), dense_dof_limit=100
+        )
+        _, info_ref = solve_auto(g, Options(method="lm", max_iters=20))
+        np.testing.assert_allclose(float(info.chi2), float(info_ref.chi2), rtol=1e-8)
