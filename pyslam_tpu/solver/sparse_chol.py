@@ -403,6 +403,31 @@ def build_chol_plan(
 # --------------------------------------------------------------------------
 
 
+def _device_waves(plan: CholPlan):
+    """Per-wave arrays as DEVICE arrays, converted once per plan and cached
+    ON the plan object (an attribute, not an id-keyed registry).
+
+    Critical at scale: `jnp.asarray(numpy_table)` INSIDE a traced function
+    embeds the table as an HLO constant — at 50k poses the gather tables
+    are hundreds of MB, and the resulting constant-bloated program takes
+    unboundedly long on the remote compile service.  Closed-over device
+    arrays lower as executable parameters instead, keeping the HLO small."""
+    cached = getattr(plan, "_dev_waves", None)
+    if cached is not None:
+        return cached
+    dev = tuple(
+        (
+            kpad, bpad, N,
+            jnp.asarray(cols_idx), jnp.asarray(bnd_idx), jnp.asarray(col_pad),
+            jnp.asarray(tbl_orig), jnp.asarray(tbl_l), jnp.asarray(tbl_r),
+        )
+        for kpad, bpad, N, cols_idx, bnd_idx, col_pad, tbl_orig, tbl_l, tbl_r
+        in plan.waves
+    )
+    object.__setattr__(plan, "_dev_waves", dev)
+    return dev
+
+
 def _factorize(plan: CholPlan, He):
     """Numeric multifrontal factorization of the (already damped) ELL store.
     Returns per-wave (L11, L21) factors (leaf wave first)."""
@@ -416,14 +441,14 @@ def _factorize(plan: CholPlan, He):
     # static pool_base offset (a dynamic-update-slice, not a scatter)
     pool = jnp.zeros((1 + plan.pool_total, d, d), dtype)
     base = 1
-    for kpad, bpad, N, cols_idx, bnd_idx, col_pad, tbl_orig, tbl_l, tbl_r in plan.waves:
+    for kpad, bpad, N, cols_idx, bnd_idx, col_pad, tbl_orig, tbl_l, tbl_r in _device_waves(plan):
         f = kpad + bpad
-        F = src[jnp.asarray(tbl_orig)]  # (N, f, f, d, d)
-        F = F + pool[jnp.asarray(tbl_l)]
-        F = F + pool[jnp.asarray(tbl_r)]
+        F = src[tbl_orig]  # (N, f, f, d, d)
+        F = F + pool[tbl_l]
+        F = F + pool[tbl_r]
         F = jnp.transpose(F, (0, 1, 3, 2, 4)).reshape(N, f * d, f * d)
         k = kpad * d
-        pad_diag = jnp.repeat(jnp.asarray(col_pad, dtype), d, axis=1)  # (N, k)
+        pad_diag = jnp.repeat(col_pad.astype(dtype), d, axis=1)  # (N, k)
         F11 = F[:, :k, :k] + jax.vmap(jnp.diag)(pad_diag)
         L11 = jnp.linalg.cholesky(F11)
         F21 = F[:, k:, :k]
@@ -447,20 +472,17 @@ def _solve_factored(plan: CholPlan, factors, g):
     dtype = g.dtype
     bvec = jnp.concatenate([g.reshape(nb, d), jnp.zeros((1, d), dtype)], axis=0)
     ys = []
-    for (kpad, bpad, N, cols_idx, bnd_idx, *_), (L11, L21) in zip(plan.waves, factors):
-        ci = jnp.asarray(cols_idx)
-        bi = jnp.asarray(bnd_idx)
+    dev_waves = _device_waves(plan)
+    for (kpad, bpad, N, ci, bi, *_), (L11, L21) in zip(dev_waves, factors):
         bc = bvec[ci].reshape(N, kpad * d)
         y = solve_triangular(L11, bc[..., None], lower=True)[..., 0]
         ys.append(y)
         upd = jnp.einsum("nik,nk->ni", L21, y).reshape(N * bpad, d)
         bvec = bvec.at[bi.reshape(-1)].add(-upd)
     xvec = jnp.zeros((nb + 1, d), dtype)
-    for (kpad, bpad, N, cols_idx, bnd_idx, *_), (L11, L21), y in zip(
-        reversed(plan.waves), reversed(factors), reversed(ys)
+    for (kpad, bpad, N, ci, bi, *_), (L11, L21), y in zip(
+        reversed(dev_waves), reversed(factors), reversed(ys)
     ):
-        ci = jnp.asarray(cols_idx)
-        bi = jnp.asarray(bnd_idx)
         xb = xvec[bi].reshape(N, bpad * d)
         rhs = y - jnp.einsum("nki,nk->ni", L21, xb)
         xc = solve_triangular(
