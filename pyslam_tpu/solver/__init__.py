@@ -46,6 +46,7 @@ from .covariance import (  # noqa: E402
     landmark_covariance_block,
     landmark_marginal_covariances,
     marginal_covariances,
+    marginal_covariances_direct,
     pose_covariance_block,
     pose_landmark_covariance_block,
     pose_marginal_covariances,
@@ -59,6 +60,7 @@ __all__ += [
     "sym_block_inv",
     "full_covariance",
     "marginal_covariances",
+    "marginal_covariances_direct",
     "covariance_block",
     "pose_covariance_block",
     "pose_marginal_covariances",

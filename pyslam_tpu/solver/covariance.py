@@ -130,6 +130,51 @@ def covariance_block(
     return jnp.swapaxes(X.reshape(d, nb, d)[:, i, :], 0, 1)  # rows i -> (d, d)
 
 
+def marginal_covariances_direct(
+    graph: FactorGraph,
+    block_name: str | None = None,
+    indices=None,
+    plan=None,
+    leaf_size: int = 32,
+):
+    """(k, dof, dof) marginal covariance blocks via the multifrontal sparse
+    direct factorization (solver/sparse_chol.py): factor H once, then each
+    tangent column of H^-1 is two level-scheduled triangular solves — EXACT
+    (no PCG tolerance) and O(fill) memory.  The right choice whenever a
+    CholPlan is affordable (stiff/mid-size graphs; the same regimes
+    solve_auto routes to sparse_chol)."""
+    from .sparse_chol import _factorize, _solve_factored, build_chol_plan
+
+    if block_name is None:
+        (block_name,) = graph.blocks.keys()
+    blk = graph.blocks[block_name]
+    d = blk.dof
+    if indices is None:
+        indices = np.arange(blk.n)
+    indices = np.asarray(indices)
+    if plan is None:
+        plan = build_chol_plan(graph, block_name, leaf_size=leaf_size)
+    He, _, _ = assemble_ell(graph, plan.ell)
+    factors = _factorize(plan, He)
+    off = graph.offsets()[block_name]
+    D = plan.nb * d
+
+    def solve_col(col_idx):
+        e = jnp.zeros(D, He.dtype).at[col_idx].set(1.0)
+        return _solve_factored(plan, factors, e)
+
+    col_ids = (off + indices[:, None] * d + np.arange(d)[None, :]).reshape(-1)
+    chunk = max(d, 128 - 128 % d)
+    col_ids = jnp.asarray(col_ids, jnp.int32)
+    pieces = []
+    for s in range(0, len(col_ids), chunk):
+        pieces.append(jax.vmap(solve_col)(col_ids[s : s + chunk]))
+    X = jnp.concatenate(pieces, axis=0).reshape(len(indices), d, plan.nb, d)
+    rows = jnp.asarray(indices, jnp.int32)
+    out = X[jnp.arange(len(indices)), :, rows, :]
+    return 0.5 * (out + jnp.swapaxes(out, -1, -2))
+
+
 def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
     """Selective-solve closures over the REDUCED camera system S = Hpp -
     W Hll^-1 W^T.  By the block-inverse identity, (H^-1)_pose-pose == S^-1,
@@ -334,6 +379,7 @@ def pose_landmark_covariance_block(
 __all__ = [
     "full_covariance",
     "marginal_covariances",
+    "marginal_covariances_direct",
     "covariance_block",
     "pose_marginal_covariances",
     "pose_covariance_block",

@@ -337,3 +337,29 @@ class TestFullSlamCovariance:
             cov[offp + 3 * dp : offp + 4 * dp, s : s + 3],
             rtol=1e-4, atol=1e-10,
         )
+
+
+class TestDirectCovariance:
+    """Multifrontal selective solves (round 3): exact marginals through the
+    sparse direct factorization — no PCG tolerance anywhere."""
+
+    def test_matches_dense_inverse(self):
+        from pyslam_tpu.solver import marginal_covariances_direct
+
+        g = solved_graph()
+        cov = np.asarray(full_covariance(g))
+        d = g.blocks["poses"].dof
+        idx = [1, 7, 20]
+        marg = np.asarray(marginal_covariances_direct(g, "poses", idx, leaf_size=8))
+        for k, i in enumerate(idx):
+            np.testing.assert_allclose(
+                marg[k], cov[i * d : (i + 1) * d, i * d : (i + 1) * d],
+                rtol=1e-7, atol=1e-12,
+            )
+
+    def test_anchor_unit_block(self):
+        from pyslam_tpu.solver import marginal_covariances_direct
+
+        g = solved_graph()
+        marg = np.asarray(marginal_covariances_direct(g, "poses", [0]))
+        np.testing.assert_allclose(marg[0], np.eye(3), atol=1e-10)
