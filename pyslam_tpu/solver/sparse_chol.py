@@ -296,10 +296,30 @@ def build_chol_plan(
         if ch:
             height[nid] = 1 + max(height[c] for c in ch)
     n_waves = int(height.max()) + 1
-    waves_nodes = [
-        [nid for nid in range(n_nodes) if height[nid] == w] for w in range(n_waves)
-    ]
-    # slot of node within its wave
+
+    # Within-wave SIZE BUCKETS: a wave's nodes vary widely in (k, b) —
+    # padding every node to the wave max inflated the 50k-sphere frontal
+    # gathers to GB scale (measured r3).  Nodes are sub-grouped by
+    # geometrically-padded (k, b) classes; groups stay in wave order, so
+    # every child group still precedes its parent's group.
+    def _pad_up(x):
+        if x <= 1:
+            return 1
+        p = 1
+        while p < x:
+            p = max(p + 1, int(p * 1.5))
+        return p
+
+    waves_nodes = []
+    for w in range(n_waves):
+        wn = [nid for nid in range(n_nodes) if height[nid] == w]
+        buckets: dict = {}
+        for nid in wn:
+            key = (_pad_up(len(nodes[nid]["cols"])), _pad_up(len(bnds[nid])))
+            buckets.setdefault(key, []).append(nid)
+        for key in sorted(buckets):
+            waves_nodes.append(buckets[key])
+    # slot of node within its group
     slot_of = np.zeros(n_nodes, np.int64)
     wave_idx = np.zeros(n_nodes, np.int64)
     for wi, wn in enumerate(waves_nodes):
