@@ -63,7 +63,7 @@ def main():
         from pyslam_tpu.solver.sparse_chol import build_chol_plan, solve_sparse_chol
 
         cplan = build_chol_plan(g, leaf_size=48)
-        pool_gb = cplan.pool_total * 36 / 1e9
+        pool_gb = cplan.pool_total * 36 * 4 / 1e9  # 36 f32 per 6x6 block
         print(f"sparse_chol plan: {len(cplan.waves)} waves, pool {pool_gb:.2f} GB", flush=True)
         if pool_gb > 6.0:
             return None, dict(skipped=f"update pool {pool_gb:.1f} GB exceeds HBM budget")
