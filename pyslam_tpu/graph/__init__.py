@@ -2,6 +2,7 @@
 
 from . import factor_defs  # noqa: F401  (registers factor kernels)
 from .core import FactorBatch, FactorGraph, VariableBlock, MANIFOLDS, manifold_dof, retract
+from .initialize import chordal_init, spanning_tree_init
 
 __all__ = [
     "FactorBatch",
@@ -10,4 +11,6 @@ __all__ = [
     "MANIFOLDS",
     "manifold_dof",
     "retract",
+    "chordal_init",
+    "spanning_tree_init",
 ]

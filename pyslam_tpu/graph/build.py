@@ -26,11 +26,27 @@ def pose_graph(
 
     ``anchor_first`` freezes pose 0 (gauge fixing — the reference's
     set_parameters_constant pattern).  ``init`` selects 'odometry'
-    (integrated measurements, the standard benchmark init) or 'gt'.
+    (integrated measurements, the standard benchmark init), 'gt',
+    'spanning_tree' (BFS measurement integration — for datasets with no
+    vertex estimates), or 'chordal' (two-stage linear relaxation,
+    graph/initialize.py — closest to the optimum's basin; costs two linear
+    solves).
     """
     loss = loss if loss is not None else L2Loss()
     kind = "se2" if data.dim == 2 else "se3"
-    T0 = data.T_init if init == "odometry" else data.T_gt
+    n_poses = data.T_init.shape[0]
+    if init == "chordal":
+        from .initialize import chordal_init
+
+        T0 = chordal_init(data.edges_i, data.edges_j, data.T_meas, n_poses)
+    elif init == "spanning_tree":
+        from .initialize import spanning_tree_init
+
+        T0 = spanning_tree_init(data.edges_i, data.edges_j, data.T_meas, n_poses)
+    elif init == "gt":
+        T0 = data.T_gt
+    else:
+        T0 = data.T_init
     n = T0.shape[0]
     const = np.zeros(n, bool)
     if anchor_first:

@@ -202,3 +202,49 @@ def prior_euclidean(data, x, compute_jacobians=True):
     if not compute_jacobians:
         return r, None
     return r, (data["sqrt_info"],)
+
+
+# --------------------------------------------------------------------------
+# Chordal-relaxation factors (pose-graph initialization, graph/initialize.py)
+#
+# Both are LINEAR in their euclidean variables, so one exact GN step solves
+# the relaxation; they exist to route the chordal linear systems through the
+# standard assembly/solver stack (dense / ELL PCG / sparse Cholesky) instead
+# of a bespoke sparse solve.
+# --------------------------------------------------------------------------
+
+
+@register_factor("chordal_rot")
+def chordal_rot(data, x1, x2, compute_jacobians=True):
+    """Rotation-relaxation factor: columns of R_j should equal R_meas @
+    (columns of R_i), with each rotation stored column-stacked as a d*d
+    euclidean variable x = vec(R^T) (x.reshape(d, d)[c] = column c of R).
+
+    r[c*d + a] = x2[c*d + a] - (R_meas @ x1[c*d : c*d+d])[a]
+    """
+    R = data["R_meas"]  # (F, d, d)
+    d = R.shape[-1]
+    F = x1.shape[0]
+    X1 = x1.reshape(F, d, d)  # rows = columns of R_i
+    X2 = x2.reshape(F, d, d)
+    r = (X2 - _bmm(X1, jnp.swapaxes(R, -1, -2))).reshape(F, d * d)
+    if not compute_jacobians:
+        return r, None
+    eye = jnp.eye(d, dtype=R.dtype)
+    # J1[f, c*d+a, c'*d+b] = -delta_cc' * R[f, a, b]
+    J1 = -jnp.einsum("ck,fab->fcakb", eye, R).reshape(F, d * d, d * d)
+    J2 = jnp.broadcast_to(jnp.eye(d * d, dtype=R.dtype), (F, d * d, d * d))
+    return r, (J1, J2)
+
+
+@register_factor("chordal_trans")
+def chordal_trans(data, t1, t2, compute_jacobians=True):
+    """Translation-recovery factor with rotations held fixed:
+    r = t_j - R_meas @ t_i - t_meas (linear in the d-dof translations)."""
+    R = data["R_meas"]
+    r = t2 - _bmv(R, t1) - data["t_meas"]
+    if not compute_jacobians:
+        return r, None
+    F, d = r.shape
+    J2 = jnp.broadcast_to(jnp.eye(d, dtype=R.dtype), (F, d, d))
+    return r, (-R, J2)
