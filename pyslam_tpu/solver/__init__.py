@@ -40,8 +40,9 @@ from .sparse_chol import build_chol_plan, solve_sparse_chol  # noqa: E402
 __all__ += ["build_sqrt_plan", "solve_schur_sqrt", "build_chol_plan", "solve_sparse_chol"]
 
 from .gnc import GNCInfo, solve_gnc  # noqa: E402
+from .fixed_lag import FixedLagSmoother  # noqa: E402
 
-__all__ += ["solve_gnc", "GNCInfo"]
+__all__ += ["solve_gnc", "GNCInfo", "FixedLagSmoother"]
 
 from .bcsr import EllDirect, assemble_ell, build_ell_direct, solve_ell, sym_block_inv  # noqa: E402
 from .covariance import (  # noqa: E402

@@ -1,0 +1,164 @@
+"""Fixed-lag smoother tests (solver/fixed_lag.py).
+
+Ground-truth ladder: (1) with a window covering everything and no
+marginalization the smoother IS batch GN — exact agreement; (2) pure
+odometry through a sliding window must reproduce dead reckoning exactly
+(marginalization of chain factors is information-lossless); (3) with loop
+closures and marginalization the window estimate approximates the batch
+solve over the SAME consumed factors to marginalization-approximation
+level (the only approximation is the frozen linearization of consumed
+factors)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.graph import build
+from pyslam_tpu.io import synth
+from pyslam_tpu.solver import Options, solve_auto
+from pyslam_tpu.solver.fixed_lag import FixedLagSmoother
+
+
+def _edges(data):
+    return list(zip(map(int, data.edges_i), map(int, data.edges_j)))
+
+
+def _drive(sm, data, n, add_loops=True):
+    """Feed odometry + every loop closure that fits in the window; returns
+    the factor row ids consumed (for the same-factor batch comparison)."""
+    edges = _edges(data)
+    chain = {(i, j): k for k, (i, j) in enumerate(edges)}
+    sm.add_pose(data.T_init[0])
+    used = []
+    for t in range(1, n):
+        k = chain[(t - 1, t)]
+        sm.add_odometry(data.T_meas[k], data.sqrt_info[k])
+        used.append(k)
+        if add_loops:
+            for k2, (i, j) in enumerate(edges):
+                if j == t and i != t - 1 and i >= sm.first_id:
+                    sm.add_factor(i, j, data.T_meas[k2], data.sqrt_info[k2])
+                    used.append(k2)
+        sm.update()
+    return sorted(set(used))
+
+
+class TestNoMarginalization:
+    def test_equals_batch_gn(self):
+        n = 12
+        data = synth.se2_loop(n_poses=n, n_loops=4, seed=0)
+        sm = FixedLagSmoother(
+            window=n, kind="se2", gn_iters=8, dtype=jnp.float64, anchor_sqrt_info=1e6
+        )
+        _drive(sm, data, n)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        s, _ = solve_auto(g, Options(method="gn", max_iters=20, min_cost_decrease=0.9999))
+        np.testing.assert_allclose(
+            sm.poses(), np.asarray(s.blocks["poses"].values), atol=5e-7
+        )
+
+
+class TestMarginalization:
+    def test_pure_odometry_is_dead_reckoning(self):
+        # chain-only: the posterior IS the integrated odometry; sliding the
+        # window must not perturb it
+        n = 20
+        data = synth.se2_loop(n_poses=n, n_loops=0, seed=2)
+        sm = FixedLagSmoother(window=5, kind="se2", gn_iters=4, dtype=jnp.float64)
+        _drive(sm, data, n, add_loops=False)
+        ids = list(sm.window_ids())
+        np.testing.assert_allclose(sm.poses(), data.T_init[ids], atol=1e-9)
+
+    def test_tracks_same_factor_batch(self):
+        n = 60
+        data = synth.se2_loop(n_poses=n, n_loops=30, seed=2)
+        sm = FixedLagSmoother(
+            window=10, kind="se2", gn_iters=4, dtype=jnp.float64, anchor_sqrt_info=1e5
+        )
+        used = np.asarray(_drive(sm, data, n))
+        sub = dataclasses.replace(
+            data,
+            edges_i=data.edges_i[used],
+            edges_j=data.edges_j[used],
+            T_meas=data.T_meas[used],
+            sqrt_info=data.sqrt_info[used],
+        )
+        g = build.pose_graph(sub, dtype=jnp.float64)
+        s, _ = solve_auto(g, Options(method="gn", max_iters=40, min_cost_decrease=0.9999))
+        T_b = np.asarray(s.blocks["poses"].values)
+        ids = list(sm.window_ids())
+        pos_err = np.linalg.norm(
+            sm.poses()[:, :2, 2] - T_b[ids][:, :2, 2], axis=1
+        ).max()
+        # marginalization-approximation level (measured 0.0026 on this
+        # sequence), far below both odometry drift (~0.4) and the map scale
+        assert pos_err < 0.02
+
+    def test_deterministic(self):
+        # regression for the numpy<->device buffer-aliasing bug: two
+        # identical runs must agree exactly (the bug showed nondeterministic
+        # metre-scale jumps from mutated in-flight buffers)
+        n = 40
+        data = synth.se2_loop(n_poses=n, n_loops=20, seed=5)
+
+        def run():
+            sm = FixedLagSmoother(window=8, kind="se2", gn_iters=3, dtype=jnp.float64)
+            _drive(sm, data, n)
+            return sm.poses()
+
+        np.testing.assert_array_equal(run(), run())
+
+    def test_one_compile_per_structure(self):
+        n = 30
+        data = synth.se2_loop(n_poses=n, n_loops=10, seed=1)
+        sm = FixedLagSmoother(window=6, kind="se2", gn_iters=2, dtype=jnp.float64)
+        _drive(sm, data, n)
+        assert sm._update_jit._cache_size() == 1
+        assert sm._marg_jit._cache_size() == 1
+
+
+class TestSE3:
+    def test_se3_window_tracks_batch(self):
+        n = 30
+        data = synth.se3_sphere(n_poses=n, n_loops=8, seed=3)
+        sm = FixedLagSmoother(
+            window=8, kind="se3", gn_iters=4, dtype=jnp.float64, anchor_sqrt_info=1e4
+        )
+        used = np.asarray(_drive(sm, data, n))
+        sub = dataclasses.replace(
+            data,
+            edges_i=data.edges_i[used],
+            edges_j=data.edges_j[used],
+            T_meas=data.T_meas[used],
+            sqrt_info=data.sqrt_info[used],
+        )
+        g = build.pose_graph(sub, dtype=jnp.float64)
+        s, _ = solve_auto(g, Options(method="gn", max_iters=40, min_cost_decrease=0.9999))
+        T_b = np.asarray(s.blocks["poses"].values)
+        ids = list(sm.window_ids())
+        pos_err = np.linalg.norm(
+            sm.poses()[:, :3, 3] - T_b[ids][:, :3, 3], axis=1
+        ).max()
+        assert pos_err < 0.05
+
+
+class TestAPI:
+    def test_out_of_window_factor_raises(self):
+        data = synth.se2_loop(n_poses=20, n_loops=0, seed=0)
+        sm = FixedLagSmoother(window=4, kind="se2", dtype=jnp.float64)
+        _drive(sm, data, 10, add_loops=False)
+        with pytest.raises(KeyError):
+            sm.add_factor(0, 9, np.eye(3), np.eye(3))
+        with pytest.raises(KeyError):
+            sm.pose(0)
+        assert sm.pose(9).shape == (3, 3)
+
+    def test_capacity_exhaustion_raises(self):
+        sm = FixedLagSmoother(window=4, kind="se2", capacity=2, dtype=jnp.float64)
+        sm.add_pose(np.eye(3))
+        sm.add_odometry(np.eye(3), np.eye(3))
+        sm.add_odometry(np.eye(3), np.eye(3))
+        with pytest.raises(RuntimeError):
+            sm.add_odometry(np.eye(3), np.eye(3))
