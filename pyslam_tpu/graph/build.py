@@ -65,6 +65,34 @@ def pose_graph(
     return FactorGraph(blocks, [batch])
 
 
+def sim3_pose_graph(
+    data, loss=None, anchor_first: bool = True, dtype=jnp.float32, init: str = "odometry"
+) -> FactorGraph:
+    """Build a Sim(3) pose-graph FactorGraph (scale-drift-aware monocular
+    loop closure — beyond-reference; see lie/sim3.py and synth.sim3_loop).
+
+    ``data`` is PoseGraphData whose (N, 4, 4) matrices are Sim(3)
+    ``[[s*R, t], [0, 1]]`` and whose sqrt_info is (E, 7, 7)."""
+    loss = loss if loss is not None else L2Loss()
+    T0 = data.T_gt if init == "gt" else data.T_init
+    n = T0.shape[0]
+    const = np.zeros(n, bool)
+    if anchor_first:
+        const[0] = True
+    blocks = {"poses": VariableBlock.create("sim3", jnp.asarray(T0, dtype), const)}
+    batch = FactorBatch.create(
+        kind="between_sim3",
+        slots=("poses", "poses"),
+        indices=(data.edges_i, data.edges_j),
+        data={
+            "T_obs": jnp.asarray(data.T_meas, dtype),
+            "sqrt_info": jnp.asarray(data.sqrt_info, dtype),
+        },
+        loss=loss,
+    )
+    return FactorGraph(blocks, [batch])
+
+
 def ba_graph(data, loss=None, dtype=jnp.float32, init: str = "noisy") -> FactorGraph:
     """Build a bundle-adjustment FactorGraph from BAData: SE(3) camera poses
     + Euclidean landmarks + stereo reprojection factors."""

@@ -30,7 +30,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from ..lie import se2, se3, so2, so3
+from ..lie import se2, se3, sim3, so2, so3
 
 # --------------------------------------------------------------------------
 # Manifolds
@@ -48,6 +48,7 @@ MANIFOLDS: dict[str, dict[str, Any]] = {
     "se2": dict(dof=3, retract=lambda T, dx: se2.perturb(T, dx), shape=(3, 3)),
     "so3": dict(dof=3, retract=lambda R, dx: so3.perturb(R, dx), shape=(3, 3)),
     "so2": dict(dof=1, retract=lambda R, dx: so2.perturb(R, dx[..., 0]), shape=(2, 2)),
+    "sim3": dict(dof=7, retract=lambda S, dx: sim3.perturb(S, dx), shape=(4, 4)),
 }
 
 

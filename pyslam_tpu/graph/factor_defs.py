@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..lie import se2, se3
+from ..lie import se2, se3, sim3
 from .core import register_factor
 
 
@@ -59,6 +59,13 @@ def prior_se2(data, T, compute_jacobians=True):
     return _prior(se2, data, T, compute_jacobians)
 
 
+@register_factor("prior_sim3")
+def prior_sim3(data, S, compute_jacobians=True):
+    """Unary Sim(3) prior — beyond-reference (monocular scale-drift graphs,
+    lie/sim3.py); same residual shape as PoseResidual with 7-dof tangent."""
+    return _prior(sim3, data, S, compute_jacobians)
+
+
 # --------------------------------------------------------------------------
 # Pose-to-pose (odometry / loop closure):
 #   r = sqrt_info * log(T_2_0 * T_1_0^-1 * T_obs^-1)
@@ -89,6 +96,15 @@ def between_se3(data, T1, T2, compute_jacobians=True):
 def between_se2(data, T1, T2, compute_jacobians=True):
     """SE(2) relative-pose factor (reference PoseToPoseResidual)."""
     return _between(se2, data, T1, T2, compute_jacobians)
+
+
+@register_factor("between_sim3")
+def between_sim3(data, S1, S2, compute_jacobians=True):
+    """Sim(3) relative-similarity factor — the scale-drift-aware loop
+    closure of monocular SLAM (Strasdat RSS 2010; beyond-reference).  The
+    7th residual component is the log scale ratio, so a loop closure with a
+    known metric scale pulls accumulated drift out of the whole chain."""
+    return _between(sim3, data, S1, S2, compute_jacobians)
 
 
 # --------------------------------------------------------------------------

@@ -327,3 +327,98 @@ def ba_synthetic(
         np.asarray(obs),
         cam,
     )
+
+
+def _sim3_inv(S):
+    """Numpy Sim(3) inverse [[sR, t], [0, 1]]^-1 (f64 host math)."""
+    sR, t = S[:3, :3], S[:3, 3]
+    s2 = float(sR[0] @ sR[0])
+    out = np.eye(4)
+    out[:3, :3] = sR.T / s2
+    out[:3, 3] = -(sR.T / s2) @ t
+    return out
+
+
+def _sim3_noise(rng, trans_std, rot_std, scale_std, scale_bias=0.0):
+    """Random Sim(3) group element near identity: [[e^d * R_n, t_n], [0, 1]].
+    ``scale_bias`` injects systematic per-edge scale drift (monocular VO)."""
+    S = np.eye(4)
+    d = scale_bias + (rng.normal(0, scale_std) if scale_std > 0 else 0.0)
+    S[:3, :3] = np.exp(d) * _so3_noise(rng, rot_std)
+    S[:3, 3] = rng.normal(0, trans_std, 3)
+    return S
+
+
+def sim3_loop(
+    n_poses=120,
+    n_loops=6,
+    odo_trans_std=0.02,
+    odo_rot_std=0.01,
+    odo_scale_std=0.005,
+    scale_drift=0.0,
+    gt_scale_std=0.0,
+    seed=0,
+):
+    """Sim(3) pose graph: circular monocular trajectory with per-edge scale
+    drift and drift-free loop closures (the Strasdat RSS 2010 scenario —
+    beyond-reference; the reference's liegroups dep stops at SE(3)).
+
+    ``scale_drift`` is the systematic log-scale error per odometry edge: the
+    integrated init's scale is off by e^{scale_drift * n} at the loop end,
+    and only the Sim(3) loop closures can pull it back.  ``gt_scale_std``
+    gives ground-truth poses themselves random scales (for pure recovery
+    tests).  Returns PoseGraphData with dim=3 whose matrices are Sim(3);
+    build.sim3_pose_graph consumes it.
+    """
+    rng = np.random.default_rng(seed)
+    radius = 8.0
+    ang = 2 * np.pi * np.arange(n_poses) / n_poses
+    S_gt = np.zeros((n_poses, 4, 4))
+    for i in range(n_poses):
+        c, s = np.cos(ang[i]), np.sin(ang[i])
+        R = np.array([[-s, 0.0, c], [c, 0.0, s], [0.0, 1.0, 0.0]]).T  # heading along tangent
+        sc = np.exp(rng.normal(0, gt_scale_std)) if gt_scale_std > 0 else 1.0
+        S_gt[i] = np.eye(4)
+        S_gt[i][:3, :3] = sc * R
+        S_gt[i][:3, 3] = radius * np.array([c, s, 0.0])
+
+    edges_i = list(range(n_poses - 1))
+    edges_j = list(range(1, n_poses))
+    span = n_poses // (n_loops + 1)
+    for k in range(n_loops):
+        i = k * span
+        j = min(i + n_poses // 2, n_poses - 1)  # diametrically-opposed closure
+        edges_i.append(i)
+        edges_j.append(j)
+    # the loop-closing edge back to the start (the scale-drift corrector)
+    edges_i.append(n_poses - 1)
+    edges_j.append(0)
+    edges_i = np.asarray(edges_i)
+    edges_j = np.asarray(edges_j)
+
+    n_odo = n_poses - 1
+    S_meas = np.stack(
+        [
+            _sim3_noise(
+                rng,
+                odo_trans_std,
+                odo_rot_std,
+                odo_scale_std,
+                scale_bias=(scale_drift if e < n_odo else 0.0),
+            )
+            @ S_gt[j]
+            @ _sim3_inv(S_gt[i])
+            for e, (i, j) in enumerate(zip(edges_i, edges_j))
+        ]
+    )
+    info = np.zeros((len(edges_i), 7, 7))
+    info[:] = np.diag(
+        [1.0 / odo_trans_std] * 3
+        + [1.0 / odo_rot_std] * 3
+        + [1.0 / max(odo_scale_std, 1e-3)]
+    )
+
+    S_init = [S_gt[0]]
+    for k in range(n_odo):
+        S_init.append(S_meas[k] @ S_init[-1])
+    return PoseGraphData(3, S_gt, np.stack(S_init), edges_i, edges_j, S_meas, info)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import se2, se3, so2, so3
+from . import se2, se3, sim3, so2, so3
 
 
 class _LieGroupBase:
@@ -141,7 +141,31 @@ class SE3(_RigidBase):
     dof = 6
 
 
-for _cls in (SO2, SO3, SE2, SE3):
+class Sim3(_LieGroupBase):
+    """Similarity transforms [[s*R, t], [0, 1]] — beyond-reference (the
+    liegroups dep stops at SE3); see lie/sim3.py."""
+
+    _ops = sim3
+    dim = 4
+    dof = 7
+
+    def adjoint(self):
+        return self._ops.adjoint(self.mat)
+
+    @property
+    def rot(self):
+        return SO3(self._ops.rot(self.mat))
+
+    @property
+    def trans(self):
+        return self.mat[..., :3, 3]
+
+    @property
+    def scale(self):
+        return self._ops.scale(self.mat)
+
+
+for _cls in (SO2, SO3, SE2, SE3, Sim3):
     jax.tree_util.register_pytree_node(
         _cls, _cls.tree_flatten, _cls.tree_unflatten
     )

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .graph.core import FactorBatch, FactorGraph, VariableBlock
-from .lie.groups import SE2, SE3, SO2, SO3, _LieGroupBase
+from .lie.groups import SE2, SE3, SO2, SO3, Sim3, _LieGroupBase
 from .losses import L2Loss
 from .solver import lm
 from .solver.assemble import assemble_dense
@@ -30,8 +30,8 @@ from .solver.linear import cholesky_solve
 # Re-export the solver Options under the reference's name.
 Options = lm.Options
 
-_WRAPPERS = {"se2": SE2, "se3": SE3, "so2": SO2, "so3": SO3}
-_KIND_OF = {SE2: "se2", SE3: "se3", SO2: "so2", SO3: "so3"}
+_WRAPPERS = {"se2": SE2, "se3": SE3, "so2": SO2, "so3": SO3, "sim3": Sim3}
+_KIND_OF = {SE2: "se2", SE3: "se3", SO2: "so2", SO3: "so3", Sim3: "sim3"}
 
 
 def _param_kind(value):

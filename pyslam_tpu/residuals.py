@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .graph.core import FACTOR_KERNELS
-from .lie.groups import SE2, SE3, _LieGroupBase
+from .lie.groups import SE2, SE3, Sim3, _LieGroupBase
 
 
 def _as_matrix(T):
@@ -89,11 +89,13 @@ class PoseResidual(_ResidualBase):
     (reference PoseResidual).  Works for SE2 and SE3."""
 
     def __init__(self, T_obs, stiffness):
+        is_sim3 = isinstance(T_obs, Sim3)
         self.T_obs = _as_matrix(T_obs)
         dim = self.T_obs.shape[-1]
-        self.dof = 3 if dim == 3 else 6
-        self.factor_kind = "prior_se2" if dim == 3 else "prior_se3"
-        self.param_kinds = ("se2" if dim == 3 else "se3",)
+        kind = "sim3" if is_sim3 else ("se2" if dim == 3 else "se3")
+        self.dof = {"se2": 3, "se3": 6, "sim3": 7}[kind]
+        self.factor_kind = f"prior_{kind}"
+        self.param_kinds = (kind,)
         self.sqrt_info = _stiffness_matrix(stiffness, self.dof, self.T_obs.dtype)
 
     def batch_data(self):
@@ -106,11 +108,12 @@ class PoseToPoseResidual(_ResidualBase):
     (reference PoseToPoseResidual).  Works for SE2 and SE3."""
 
     def __init__(self, T_2_1_obs, stiffness):
+        is_sim3 = isinstance(T_2_1_obs, Sim3)
         self.T_obs = _as_matrix(T_2_1_obs)
         dim = self.T_obs.shape[-1]
-        self.dof = 3 if dim == 3 else 6
-        self.factor_kind = "between_se2" if dim == 3 else "between_se3"
-        kind = "se2" if dim == 3 else "se3"
+        kind = "sim3" if is_sim3 else ("se2" if dim == 3 else "se3")
+        self.dof = {"se2": 3, "se3": 6, "sim3": 7}[kind]
+        self.factor_kind = f"between_{kind}"
         self.param_kinds = (kind, kind)
         self.sqrt_info = _stiffness_matrix(stiffness, self.dof, self.T_obs.dtype)
 
