@@ -60,13 +60,17 @@ class Options:
     allow_nondecreasing_steps: bool = False
     max_nondecreasing_steps: int = 3
     # --- TPU-solver extensions ---
-    method: str = "lm"  # 'gn' (reference behavior) | 'lm' (trust region)
+    method: str = "lm"  # 'gn' (reference) | 'lm' (damping) | 'dogleg' (trust region)
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.1
     lambda_min: float = 1e-12
     lambda_max: float = 1e8
     gn_diag_floor: float = 0.0  # tiny diagonal added in GN mode if gauge-free
+    # --- dogleg trust-region knobs (method='dogleg') ---
+    trust_radius_init: float = 1.0
+    trust_radius_max: float = 1e6
+    trust_radius_min: float = 1e-12
 
 
 class SolveInfo(NamedTuple):
@@ -89,29 +93,41 @@ def solve(
     options: Options = Options(),
     assemble_fn=None,
     solve_fn=None,
+    matvec_fn=None,
 ):
-    """Run GN/LM to convergence.  Returns (solved_graph, SolveInfo).
+    """Run GN/LM/dogleg to convergence.  Returns (solved_graph, SolveInfo).
 
     ``assemble_fn(graph) -> (H, g, chi2)`` and ``solve_fn(H, g, lam,
     options) -> dx`` default to the dense path; the block-sparse and Schur
-    paths pass their own (same contract, static closures).
+    paths pass their own (same contract, static closures).  ``matvec_fn(H,
+    v) -> Hv`` (default dense ``H @ v``) is required only by the dogleg
+    method, which evaluates the quadratic model at the composite step.
     """
     if assemble_fn is None:
         assemble_fn = assemble_dense
     if solve_fn is None:
         solve_fn = _dense_solve
+    if matvec_fn is None:
+        if options.method == "dogleg" and (
+            assemble_fn is not assemble_dense or solve_fn is not _dense_solve
+        ):
+            raise ValueError(
+                "method='dogleg' with a custom linear path needs matvec_fn(H, v)"
+            )
+        matvec_fn = lambda H, v: H @ v
     opt = options
     batches = graph.batches
     dtype = next(iter(graph.blocks.values())).values.dtype
     K = opt.max_iters
 
     init_cost = graph.chi2()
+    lam0 = opt.trust_radius_init if opt.method == "dogleg" else opt.lambda_init
     state = dict(
         blocks=graph.blocks,
         best_blocks=graph.blocks,
         cost=init_cost,
         best_cost=init_cost,
-        lam=jnp.asarray(opt.lambda_init, dtype),
+        lam=jnp.asarray(lam0, dtype),
         it=jnp.zeros((), jnp.int32),
         nondec=jnp.zeros((), jnp.int32),
         status=jnp.asarray(RUNNING, jnp.int32),
@@ -132,6 +148,38 @@ def solve(
             H, g, cost_lin = assemble_fn(g_cur)
         with jax.named_scope("linear_solve"):
             dx = solve_fn(H, g, s["lam"], opt)
+        if opt.method == "dogleg":
+            # Powell's dogleg: blend the (undamped) GN step with the Cauchy
+            # point inside the trust region of radius Delta (carried in
+            # s['lam']).  All three cases are evaluated and selected with
+            # jnp.where — no data-dependent branching under jit.  g is the
+            # NEGATIVE gradient (rhs of H dx = g), so it is the descent
+            # direction.
+            delta = s["lam"]
+            tiny = jnp.asarray(1e-30, dtype)
+            gg = jnp.dot(g, g)
+            gHg = jnp.dot(g, matvec_fn(H, g))
+            alpha = gg / jnp.maximum(gHg, tiny)
+            dx_sd = alpha * g
+            n_gn = jnp.linalg.norm(dx)
+            n_sd = jnp.linalg.norm(dx_sd)
+            d = dx - dx_sd
+            a2 = jnp.maximum(jnp.dot(d, d), tiny)
+            b2 = jnp.dot(dx_sd, d)
+            c2 = jnp.dot(dx_sd, dx_sd) - delta * delta
+            disc = jnp.sqrt(jnp.maximum(b2 * b2 - a2 * c2, 0.0))
+            beta = (-b2 + disc) / a2
+            dx_interp = dx_sd + beta * d
+            dx_sd_clamped = (delta / jnp.maximum(n_sd, tiny)) * dx_sd
+            # NaN-safety: a singular H gives NaN dx (GN) — both n_gn
+            # comparisons are then False, so the finite steepest-descent
+            # branch is still reachable once Delta shrinks below ||dx_sd||.
+            interior = n_gn <= delta  # full GN step fits the trust region
+            dx = jnp.where(
+                interior,
+                dx,
+                jnp.where(n_sd >= delta, dx_sd_clamped, dx_interp),
+            )
         update_norm = jnp.linalg.norm(dx)
         with jax.named_scope("retract_and_cost"):
             trial_blocks = g_cur.retract_all(dx).blocks
@@ -144,6 +192,17 @@ def solve(
                 jnp.maximum(s["lam"] * opt.lambda_down, opt.lambda_min),
                 jnp.minimum(s["lam"] * opt.lambda_up, opt.lambda_max),
             )
+        elif opt.method == "dogleg":
+            # gain ratio rho = actual / predicted decrease of the quadratic
+            # model m(dx) = cost - g.dx + 0.5 dx.H.dx
+            pred = jnp.dot(g, dx) - 0.5 * jnp.dot(dx, matvec_fn(H, dx))
+            rho = (cost_lin - cost_new) / jnp.maximum(pred, tiny)
+            accept = (cost_new < cost_lin) & (pred > 0)  # False on NaN
+            delta = s["lam"]
+            grow = (rho > 0.75) & (update_norm > 0.8 * delta)
+            shrink = ~accept | (rho < 0.25)
+            lam = jnp.where(grow, 2.0 * delta, jnp.where(shrink, 0.25 * delta, delta))
+            lam = jnp.clip(lam, opt.trust_radius_min, opt.trust_radius_max)
         else:  # 'gn': unconditional step, reference behavior
             accept = jnp.asarray(True)
             lam = s["lam"]
@@ -180,10 +239,17 @@ def solve(
                 status,
             )
         else:
-            # LM: 'converged' when an accepted step yields a tiny relative
-            # decrease; rejected steps just raise lambda and continue.
+            # LM/dogleg: 'converged' when an accepted step yields a tiny
+            # relative decrease; rejected steps just shrink the region and
+            # continue.  Dogleg additionally requires the step to have been
+            # INTERIOR (full GN step inside the radius) — a radius-limited
+            # step with small decrease means the region is still growing,
+            # not that the optimum is reached.
+            conv = accept & ~decrease_ok
+            if opt.method == "dogleg":
+                conv = conv & interior
             status = jnp.where(
-                (status == RUNNING) & accept & ~decrease_ok,
+                (status == RUNNING) & conv,
                 CONVERGED_COST_DECREASE,
                 status,
             )

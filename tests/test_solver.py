@@ -405,3 +405,54 @@ class TestSpanningTreeInit:
             np.linalg.inv(data.T_meas), 10, T_root=data.T_gt[0],
         )
         np.testing.assert_allclose(T0, data.T_init, atol=1e-9)
+
+
+class TestDogleg:
+    """Powell dogleg trust region (Options.method='dogleg'): must reach the
+    same optimum as LM on the standard families, with monotone accepted
+    costs and a working trust-radius rejection path."""
+
+    def test_matches_lm_se2(self):
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+        _, i_lm = solve(g, Options(method="lm", max_iters=40))
+        _, i_dl = solve(g, Options(method="dogleg", max_iters=40))
+        np.testing.assert_allclose(float(i_dl.chi2), float(i_lm.chi2), rtol=1e-6)
+
+    def test_matches_lm_se3(self):
+        data = synth.se3_sphere(n_poses=80, n_loops=20, seed=2)
+        g = build.pose_graph(data, dtype=F64)
+        _, i_lm = solve(g, Options(method="lm", max_iters=40))
+        _, i_dl = solve(g, Options(method="dogleg", max_iters=40))
+        np.testing.assert_allclose(float(i_dl.chi2), float(i_lm.chi2), rtol=1e-6)
+
+    def test_accepted_costs_monotone(self):
+        data = synth.se3_sphere(n_poses=80, n_loops=20, seed=2)
+        g = build.pose_graph(data, dtype=F64)
+        _, info = solve(g, Options(method="dogleg", max_iters=40))
+        hist = np.asarray(info.cost_history)
+        hist = hist[~np.isnan(hist)]
+        assert np.all(np.diff(hist) <= 1e-9)
+
+    def test_tiny_trust_radius_still_converges(self):
+        # start with a radius far below the natural step: the radius must
+        # grow via the gain-ratio rule and still reach the optimum
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+        _, i_lm = solve(g, Options(method="lm", max_iters=60))
+        _, i_dl = solve(
+            g, Options(method="dogleg", max_iters=60, trust_radius_init=1e-4)
+        )
+        np.testing.assert_allclose(float(i_dl.chi2), float(i_lm.chi2), rtol=1e-5)
+
+    def test_custom_path_requires_matvec(self):
+        from pyslam_tpu.solver import lm as _lm
+
+        data = small_se2()
+        g = build.pose_graph(data, dtype=F64)
+
+        def fake_assemble(graph):
+            raise AssertionError("should not be called")
+
+        with pytest.raises(ValueError, match="matvec_fn"):
+            _lm.solve(g, Options(method="dogleg"), assemble_fn=fake_assemble)
