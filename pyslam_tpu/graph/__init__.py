@@ -3,6 +3,7 @@
 from . import factor_defs  # noqa: F401  (registers factor kernels)
 from .core import FactorBatch, FactorGraph, VariableBlock, MANIFOLDS, manifold_dof, retract
 from .initialize import chordal_init, spanning_tree_init
+from .marginalize import marginalize
 
 __all__ = [
     "FactorBatch",
@@ -13,4 +14,5 @@ __all__ = [
     "retract",
     "chordal_init",
     "spanning_tree_init",
+    "marginalize",
 ]

@@ -1,0 +1,163 @@
+"""Marginalization tests (graph/marginalize.py): the dense-prior Schur
+transfer must preserve the solution and the covariance of the kept
+variables — the defining properties of marginalization vs dropping."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.graph import FactorBatch, FactorGraph, VariableBlock, build
+from pyslam_tpu.graph.marginalize import marginalize
+from pyslam_tpu.io import synth
+from pyslam_tpu.lie import se2, se3
+from pyslam_tpu.losses import L2Loss
+from pyslam_tpu.solver import Options, solve
+
+F64 = jnp.float64
+
+
+def _solved_se2(n=30, n_loops=6, seed=1):
+    data = synth.se2_loop(n_poses=n, n_loops=n_loops, seed=seed)
+    g = build.pose_graph(data, dtype=F64)
+    g_opt, info = solve(g, Options(method="lm", max_iters=50))
+    return g_opt, info
+
+
+class TestSolutionPreservation:
+    def test_kept_poses_stay_at_optimum_se2(self):
+        g_opt, _ = _solved_se2()
+        targets = [5, 6, 12]
+        g2 = marginalize(g_opt, {"poses": targets})
+        assert g2.blocks["poses"].n == 27
+        g3, _ = solve(g2, Options(method="lm", max_iters=30))
+        keep = np.setdiff1d(np.arange(30), targets)
+        full = jnp.asarray(np.asarray(g_opt.blocks["poses"].values)[keep])
+        red = g3.blocks["poses"].values
+        err = jnp.abs(se2.log(full @ se2.inv(red)))
+        assert float(jnp.max(err)) < 1e-4
+
+    def test_kept_poses_stay_at_optimum_se3(self):
+        data = synth.se3_sphere(n_poses=25, n_loops=8, seed=3)
+        g = build.pose_graph(data, dtype=F64)
+        g_opt, _ = solve(g, Options(method="lm", max_iters=50))
+        targets = [7, 8]
+        g2 = marginalize(g_opt, {"poses": targets})
+        g3, _ = solve(g2, Options(method="lm", max_iters=30))
+        keep = np.setdiff1d(np.arange(25), targets)
+        full = jnp.asarray(np.asarray(g_opt.blocks["poses"].values)[keep])
+        err = jnp.abs(se3.log(full @ se3.inv(g3.blocks["poses"].values)))
+        assert float(jnp.max(err)) < 1e-4
+
+    def test_chi2_preserved_at_linearization(self):
+        # the prior reproduces the consumed subgraph's cost at the
+        # linearization point (up to the truncated model constant)
+        g_opt, info = _solved_se2()
+        g2 = marginalize(g_opt, {"poses": [5, 6, 12]})
+        np.testing.assert_allclose(float(g2.chi2()), float(info.chi2), rtol=1e-6)
+
+    def test_odometry_chain_composition(self):
+        # marginalizing the interior of a pure odometry chain must leave
+        # the endpoints exactly on their dead-reckoned estimates
+        data = synth.se2_loop(n_poses=10, n_loops=0, seed=2)
+        g = build.pose_graph(data, dtype=F64)  # init = integrated odometry
+        g2 = marginalize(g, {"poses": list(range(1, 9))})
+        assert g2.blocks["poses"].n == 2
+        g3, _ = solve(g2, Options(method="lm", max_iters=20))
+        np.testing.assert_allclose(
+            np.asarray(g3.blocks["poses"].values[1]),
+            data.T_init[9],
+            atol=1e-8,
+        )
+
+
+class TestCovariancePreservation:
+    def test_covariance_matches_full_graph(self):
+        from pyslam_tpu.solver.covariance import full_covariance
+
+        g_opt, _ = _solved_se2()
+        targets = [5, 6, 12]
+        g2 = marginalize(g_opt, {"poses": targets})
+        g3, _ = solve(g2, Options(method="lm", max_iters=30))
+        keep = np.setdiff1d(np.arange(30), targets)
+        C_full = np.asarray(full_covariance(g_opt))
+        C_red = np.asarray(full_covariance(g3))
+        kf = np.concatenate([np.arange(3 * i, 3 * i + 3) for i in keep])
+        np.testing.assert_allclose(C_full[np.ix_(kf, kf)], C_red, atol=1e-6)
+
+
+class TestBundleAdjustment:
+    def test_cull_landmarks(self):
+        data = synth.ba_synthetic(n_cams=6, n_pts=40, seed=0)
+        g = build.ba_graph(data, dtype=F64)
+        g_opt, _ = solve(g, Options(method="lm", max_iters=40))
+        g2 = marginalize(g_opt, {"landmarks": [3, 11, 25]})
+        assert g2.blocks["landmarks"].n == 37
+        # blanket prior couples the observing cameras
+        prior = [fb for fb in g2.batches if fb.kind.startswith("dense_prior")]
+        assert len(prior) == 1 and all(s == "poses" for s in prior[0].slots)
+        g3, _ = solve(g2, Options(method="lm", max_iters=30))
+        err = jnp.abs(
+            se3.log(g_opt.blocks["poses"].values @ se3.inv(g3.blocks["poses"].values))
+        )
+        assert float(jnp.max(err)) < 1e-4
+
+
+class TestValidation:
+    def test_constant_target_raises(self):
+        g_opt, _ = _solved_se2()
+        with pytest.raises(ValueError, match="constant"):
+            marginalize(g_opt, {"poses": [0]})  # the gauge anchor
+
+    def test_unknown_block_raises(self):
+        g_opt, _ = _solved_se2()
+        with pytest.raises(ValueError, match="unknown block"):
+            marginalize(g_opt, {"nope": [0]})
+
+    def test_underconstrained_target_raises(self):
+        # target pose whose ONLY factor has a rank-deficient sqrt_info
+        # (a 1-of-3-dof measurement): H_mm is rank 1 -> must raise, not
+        # emit a garbage prior over the blanket
+        blocks = {
+            "poses": VariableBlock.create(
+                "se2", jnp.broadcast_to(jnp.eye(3, dtype=F64), (2, 3, 3))
+            ),
+        }
+        sqrt_info = jnp.zeros((1, 3, 3), F64).at[0, 0, 0].set(1.0)
+        batch = FactorBatch.create(
+            "between_se2",
+            slots=("poses", "poses"),
+            indices=(np.array([0], np.int32), np.array([1], np.int32)),
+            data={"T_obs": jnp.eye(3, dtype=F64)[None], "sqrt_info": sqrt_info},
+            loss=L2Loss(),
+        )
+        g = FactorGraph(blocks, [batch])
+        with pytest.raises(ValueError, match="constrained"):
+            marginalize(g, {"poses": [0]})
+
+    def test_isolated_variable_just_dropped(self):
+        # no factors touch pose 29 after removing its edges: marginalizing
+        # an unconstrained-but-isolated variable simply removes it
+        data = synth.se2_loop(n_poses=5, n_loops=0, seed=4)
+        g = build.pose_graph(data, dtype=F64)
+        g2 = marginalize(g, {"poses": [4]})  # chain end: blanket = pose 3
+        assert g2.blocks["poses"].n == 4
+        g3 = marginalize(g2, {"poses": [3]})
+        assert g3.blocks["poses"].n == 3
+
+
+class TestRepeatedMarginalization:
+    def test_sequential_equals_joint(self):
+        # marginalizing {5} then {6} == marginalizing {5, 6} (FEJ at the
+        # same optimum): kept solutions agree
+        g_opt, _ = _solved_se2()
+        g_seq = marginalize(marginalize(g_opt, {"poses": [5]}), {"poses": [5]})
+        # after removing 5, old index 6 is the new index 5
+        g_joint = marginalize(g_opt, {"poses": [5, 6]})
+        s1, _ = solve(g_seq, Options(method="lm", max_iters=30))
+        s2, _ = solve(g_joint, Options(method="lm", max_iters=30))
+        err = jnp.abs(
+            se2.log(
+                s1.blocks["poses"].values @ se2.inv(s2.blocks["poses"].values)
+            )
+        )
+        assert float(jnp.max(err)) < 1e-5

@@ -271,6 +271,26 @@ class TestSim3PoseGraph:
         ate_opt = np.linalg.norm(t_est - data.T_gt[:, :3, 3], axis=-1)
         assert ate_opt.mean() < ate_init.mean() / 5.0
 
+    def test_ell_path_matches_dense(self, rng):
+        # the block-sparse ELL PCG path is dof-generic: 7-dof Sim(3)
+        # blocks go through build_ell_direct/solve_ell unchanged
+        from pyslam_tpu.solver.bcsr import build_ell_direct, solve_ell
+
+        data = synth.sim3_loop(n_poses=80, n_loops=6, scale_drift=0.005, seed=2)
+        g = build.sim3_pose_graph(data, dtype=jnp.float64)
+        _, i_d = solve(g, Options(method="lm", max_iters=40))
+        _, i_e = solve_ell(
+            g, Options(method="lm", max_iters=40), plan=build_ell_direct(g)
+        )
+        np.testing.assert_allclose(float(i_e.chi2), float(i_d.chi2), rtol=1e-3)
+
+    def test_route_auto_large_sim3(self, rng):
+        from pyslam_tpu.solver import route_auto
+
+        data = synth.sim3_loop(n_poses=2500, n_loops=40, scale_drift=0.002, seed=1)
+        g = build.sim3_pose_graph(data, dtype=jnp.float32)
+        assert route_auto(g) == "ell"
+
     def test_gauge_anchoring(self, rng):
         data = synth.sim3_loop(n_poses=30, n_loops=2, seed=1)
         g = build.sim3_pose_graph(data, dtype=jnp.float64)
