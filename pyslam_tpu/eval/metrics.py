@@ -133,6 +133,52 @@ class TrajectoryMetrics:
         rot = jnp.sqrt(jnp.mean(rot_err**2))
         return self._select(trans, rot, error_type)
 
+    # ---- trajectory alignment (evo-style; beyond-reference) ----
+
+    def align(self, method: str = "se3") -> "TrajectoryMetrics":
+        """Return a new TrajectoryMetrics with the estimate aligned to the
+        ground truth by the closed-form Umeyama transform over positions:
+        'se3'/'se2' = rigid (rotation + translation), 'sim3'/'sim2' = full
+        similarity (+ scale — the standard for monocular trajectories,
+        whose global scale is unobservable).  The reference computes errors
+        in the given frames only; alignment-before-ATE is the evo/TUM
+        benchmark convention and is required for fair monocular numbers.
+        """
+        method = method.lower()
+        if method in ("none",):
+            return self
+        with_scale = method in ("sim3", "sim2")
+        if method not in ("se3", "se2", "sim3", "sim2"):
+            raise ValueError(f"unknown alignment {method!r}")
+        d = self.dim
+        P = self.positions_gt  # (N, d) target
+        Q = self.positions_est  # (N, d) source
+        mu_p = jnp.mean(P, axis=0)
+        mu_q = jnp.mean(Q, axis=0)
+        Pc, Qc = P - mu_p, Q - mu_q
+        Sigma = (Pc.T @ Qc) / self.num_poses  # (d, d)
+        U, D, Vt = jnp.linalg.svd(Sigma)
+        s = jnp.ones(d, Sigma.dtype).at[-1].set(
+            jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+        )
+        R = (U * s[None, :]) @ Vt
+        var_q = jnp.mean(jnp.sum(Qc * Qc, axis=-1))
+        c = jnp.where(
+            jnp.asarray(with_scale), jnp.sum(D * s) / var_q, jnp.asarray(1.0, D.dtype)
+        )
+        t = mu_p - c * (R @ mu_q)
+        # apply: positions p -> c R p + t, rotations -> R R_est (unscaled)
+        R_est = self.Twv_est[:, :d, :d]
+        p_est = self.Twv_est[:, :d, -1]
+        Twv_new = jnp.zeros_like(self.Twv_est).at[:, -1, -1].set(1.0)
+        Twv_new = Twv_new.at[:, :d, :d].set(R[None] @ R_est)
+        Twv_new = Twv_new.at[:, :d, -1].set(
+            c * jnp.einsum("ij,nj->ni", R, p_est) + t
+        )
+        out = TrajectoryMetrics(self.Twv_gt, Twv_new)
+        out.alignment = dict(method=method, rotation=R, translation=t, scale=c)
+        return out
+
     # ---- KITTI-style segment errors ----
 
     def segment_errors(self, segment_lengths, rot_unit: str = "rad"):

@@ -98,6 +98,40 @@ class TestTrajectoryMetrics:
         expect = np.asarray(se2.log(se2.inv(T_gt) @ T_est))
         np.testing.assert_allclose(xi, expect, atol=1e-12)
 
+    def test_align_rigid(self):
+        # est = rigid transform of gt (+ nothing): se3 alignment zeroes ATE
+        rng = np.random.default_rng(5)
+        T = np.array(se3.exp(rng.normal(0, 0.3, (40, 6))))
+        T[:, :3, 3] += np.cumsum(rng.normal(0, 1.0, (40, 3)), axis=0)
+        A = np.asarray(se3.exp(np.array([3.0, -1.0, 2.0, 0.4, 0.2, -0.3])))
+        tm = TrajectoryMetrics(T, A[None] @ T)
+        assert float(tm.armse("trans")) > 1.0
+        tm_a = tm.align("se3")
+        assert float(tm_a.armse("trans")) < 1e-5
+        assert abs(float(tm_a.alignment["scale"]) - 1.0) < 1e-12
+
+    def test_align_similarity_recovers_scale(self):
+        # est = scaled+rigid transform (monocular scale ambiguity):
+        # se3 alignment cannot zero the error, sim3 can and finds the scale
+        rng = np.random.default_rng(6)
+        T = straight_traj(40)
+        T[:, :3, 3] += rng.normal(0, 0.5, (40, 3))
+        scale = 2.5
+        T_est = T.copy()
+        T_est[:, :3, 3] *= scale
+        tm = TrajectoryMetrics(T, T_est)
+        assert float(tm.align("se3").armse("trans")) > 1.0
+        tm_a = tm.align("sim3")
+        assert float(tm_a.armse("trans")) < 1e-6
+        np.testing.assert_allclose(float(tm_a.alignment["scale"]), 1 / scale, rtol=1e-9)
+
+    def test_align_none_and_unknown(self):
+        T = straight_traj(10)
+        tm = TrajectoryMetrics(T, T.copy())
+        assert tm.align("none") is tm
+        with pytest.raises(ValueError, match="unknown alignment"):
+            tm.align("procrustes")
+
     @pytest.mark.parametrize("ext", ["pkl", "mat"])
     def test_save_load(self, tmp_path, ext):
         T = straight_traj(10)
