@@ -29,8 +29,8 @@ import jax as _jax
 # jax.config.update("jax_default_matmul_precision", ...) if desired.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from . import eval, graph, io, lie, losses, pipelines, residuals, sensors, solver, utils  # noqa: F401
-from .lie import SE2, SE3, SO2, SO3  # noqa: F401
+from . import eval, graph, imu, io, lie, losses, pipelines, residuals, sensors, solver, utils  # noqa: F401
+from .lie import SE2, SE3, SO2, SO3, Sim3  # noqa: F401
 from .problem import Options, Problem  # noqa: F401
 from .residuals import (  # noqa: F401
     PoseResidual,

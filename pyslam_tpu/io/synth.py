@@ -422,3 +422,80 @@ def sim3_loop(
     for k in range(n_odo):
         S_init.append(S_meas[k] @ S_init[-1])
     return PoseGraphData(3, S_gt, np.stack(S_init), edges_i, edges_j, S_meas, info)
+
+
+@dataclasses.dataclass
+class ImuData:
+    """A visual-inertial trajectory: keyframe ground truth + the raw IMU
+    samples between consecutive keyframes (for pyslam_tpu.imu)."""
+
+    T_gt: np.ndarray  # (N, 4, 4) keyframe poses, T_b_w (world -> body)
+    v_gt: np.ndarray  # (N, 3) world-frame velocities
+    b_gyro: np.ndarray  # (3,) true (constant) gyro bias
+    b_accel: np.ndarray  # (3,) true accel bias
+    omega: np.ndarray  # (N-1, K, 3) body angular rate samples per interval
+    accel: np.ndarray  # (N-1, K, 3) body specific-force samples
+    dts: np.ndarray  # (N-1, K) sample intervals
+    gravity: np.ndarray  # (3,)
+
+
+def imu_circle(
+    n_keyframes=6,
+    kf_dt=0.5,
+    imu_rate=200.0,
+    radius=5.0,
+    omega_z=0.4,
+    gyro_noise=0.0,
+    accel_noise=0.0,
+    b_gyro=(0.0, 0.0, 0.0),
+    b_accel=(0.0, 0.0, 0.0),
+    seed=0,
+):
+    """Constant-rate circular trajectory with analytically exact IMU
+    signals: p(t) = r[cos wt, sin wt, 0], yaw tracking the motion, so the
+    body rate is constant [0, 0, w] and the specific force is constant in
+    the body frame — integration error isolates the preintegrator's
+    discretization, not the generator's.
+
+    Measured samples include the given constant biases and white noise.
+    Poses are returned in the solver's T_b_w convention.
+    """
+    rng = np.random.default_rng(seed)
+    g = np.array([0.0, 0.0, -9.81])
+    b_g = np.asarray(b_gyro, float)
+    b_a = np.asarray(b_accel, float)
+    K = max(1, int(round(kf_dt * imu_rate)))
+    dt = kf_dt / K
+
+    def state(t):
+        th = omega_z * t
+        c, s = np.cos(th), np.sin(th)
+        p = radius * np.array([c, s, 0.0])
+        v = radius * omega_z * np.array([-s, c, 0.0])
+        a_w = -radius * omega_z**2 * np.array([c, s, 0.0])
+        R_wb = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])  # yaw = th
+        return p, v, a_w, R_wb
+
+    N = n_keyframes
+    T_gt = np.zeros((N, 4, 4))
+    v_gt = np.zeros((N, 3))
+    omega = np.zeros((N - 1, K, 3))
+    accel = np.zeros((N - 1, K, 3))
+    dts = np.full((N - 1, K), dt)
+    for i in range(N):
+        p, v, _, R_wb = state(i * kf_dt)
+        T_gt[i] = np.eye(4)
+        T_gt[i][:3, :3] = R_wb.T  # T_b_w
+        T_gt[i][:3, 3] = -R_wb.T @ p
+        v_gt[i] = v
+    for i in range(N - 1):
+        for k in range(K):
+            t = i * kf_dt + (k + 0.5) * dt  # midpoint sampling
+            _, _, a_w, R_wb = state(t)
+            omega[i, k] = np.array([0.0, 0.0, omega_z]) + b_g
+            accel[i, k] = R_wb.T @ (a_w - g) + b_a
+            if gyro_noise > 0:
+                omega[i, k] += rng.normal(0, gyro_noise, 3)
+            if accel_noise > 0:
+                accel[i, k] += rng.normal(0, accel_noise, 3)
+    return ImuData(T_gt, v_gt, b_g, b_a, omega, accel, dts, g)
