@@ -192,10 +192,43 @@ def _reproj_motion_only_flat(data, T, compute_jacobians=True):
     return r.reshape(F, 3 * N), (J.reshape(F, 3 * N, 6),)
 
 
+class ImuResidual(_ResidualBase):
+    """Preintegrated inertial factor (pyslam_tpu/imu.py — beyond-reference;
+    Forster on-manifold preintegration).  Parameters:
+    [T_i (SE3, T_b_w), T_j (SE3), v_i (3,), v_j (3,), b_i (6,)].
+
+    ``pim`` is a PreintegratedImu from ``imu.preintegrate``; the sqrt
+    information defaults to the preintegrated covariance's inverse
+    Cholesky factor."""
+
+    factor_kind = "imu_preintegrated"
+    param_kinds = ("se3", "se3", "euclidean", "euclidean", "euclidean")
+
+    _PIM_KEYS = (
+        "dR", "dv", "dp", "J_Rg", "J_vg", "J_va", "J_pg", "J_pa", "b_lin", "dt",
+    )
+
+    def __init__(self, pim, gravity=(0.0, 0.0, -9.81), sqrt_info=None):
+        from .imu import sqrt_info_of
+
+        self.pim = pim
+        self.sqrt_info = jnp.asarray(
+            sqrt_info if sqrt_info is not None else sqrt_info_of(pim)
+        )
+        self.gravity = jnp.asarray(gravity, self.sqrt_info.dtype)
+
+    def batch_data(self):
+        data = {k: jnp.asarray(getattr(self.pim, k)) for k in self._PIM_KEYS}
+        data["sqrt_info"] = self.sqrt_info
+        data["gravity"] = self.gravity
+        return data
+
+
 __all__ = [
     "QuadraticResidual",
     "PoseResidual",
     "PoseToPoseResidual",
     "ReprojectionResidual",
     "ReprojectionMotionOnlyBatchResidual",
+    "ImuResidual",
 ]

@@ -215,3 +215,40 @@ class TestVioSmoothing:
             se3.log(g2.blocks["poses"].values @ se3.inv(jnp.asarray(d.T_gt)))
         )
         assert float(jnp.max(err)) < 5e-3
+
+
+class TestImuObjectApi:
+    def test_problem_api_vio(self):
+        # two keyframes through the Ceres-style Problem API with the
+        # ImuResidual wrapper: velocities recovered from poses + IMU
+        from pyslam_tpu.problem import Options as POptions
+        from pyslam_tpu.problem import Problem
+        from pyslam_tpu.residuals import ImuResidual, PoseResidual
+        from pyslam_tpu.lie import SE3
+
+        d = synth.imu_circle(n_keyframes=2, kf_dt=0.5, imu_rate=200)
+        pim = M.preintegrate(
+            d.omega[0], d.accel[0], d.dts[0], np.zeros(3), np.zeros(3)
+        )
+        prob = Problem(POptions(method="lm", max_iters=40))
+        prob.add_residual_block(
+            ImuResidual(pim, gravity=d.gravity), ["T0", "T1", "v0", "v1", "b0"]
+        )
+        S = np.diag([1e4] * 6)
+        prob.add_residual_block(PoseResidual(SE3(d.T_gt[0]), S), ["T0"])
+        prob.add_residual_block(PoseResidual(SE3(d.T_gt[1]), S), ["T1"])
+        from pyslam_tpu.residuals import _ResidualBase  # noqa: F401
+
+        prob.initialize_params(
+            {
+                "T0": SE3(d.T_gt[0]),
+                "T1": SE3(d.T_gt[1]),
+                "v0": np.zeros(3),
+                "v1": np.zeros(3),
+                "b0": np.zeros(6),
+            }
+        )
+        prob.set_parameters_constant(["b0"])
+        out = prob.solve()
+        np.testing.assert_allclose(np.asarray(out["v0"]), d.v_gt[0], atol=5e-3)
+        np.testing.assert_allclose(np.asarray(out["v1"]), d.v_gt[1], atol=5e-3)
