@@ -35,13 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.core import FactorBatch, FactorGraph, VariableBlock
-from ..lie import se2, se3
+from ..lie import se2, se3, sim3
 from ..losses import L2Loss
 from .assemble import assemble_dense
 
-_OPS = {"se3": se3, "se2": se2}
-_DOF = {"se3": 6, "se2": 3}
-_MAT = {"se3": 4, "se2": 3}
+_OPS = {"se3": se3, "se2": se2, "sim3": sim3}
+_DOF = {"se3": 6, "se2": 3, "sim3": 7}
+_MAT = {"se3": 4, "se2": 3, "sim3": 4}
 
 
 class FixedLagSmoother:
@@ -49,7 +49,7 @@ class FixedLagSmoother:
 
     window:    number of poses kept live.
     capacity:  max factors simultaneously in the window (default 6/pose).
-    kind:      'se3' | 'se2'.
+    kind:      'se3' | 'se2' | 'sim3' (scale-drift-aware windows).
     gn_iters:  GN iterations per ``update`` call (static; one dispatch).
     anchor_sqrt_info: the world frame is fixed by a strong unary prior on
         the first pose folded into the marginalization prior (a constant

@@ -162,3 +162,40 @@ class TestAPI:
         sm.add_odometry(np.eye(3), np.eye(3))
         with pytest.raises(RuntimeError):
             sm.add_odometry(np.eye(3), np.eye(3))
+
+
+class TestFixedLagSim3:
+    def test_sim3_window_tracks_batch(self):
+        # scale-drifting monocular odometry + sim3 loop factors through the
+        # sliding window: window-covers-all must equal batch GN (as se3)
+        from pyslam_tpu.io import synth
+        from pyslam_tpu.lie import sim3
+        from pyslam_tpu.solver.fixed_lag import FixedLagSmoother
+
+        data = synth.sim3_loop(
+            n_poses=12, n_loops=2, scale_drift=0.01, odo_scale_std=0.005, seed=3
+        )
+        fl = FixedLagSmoother(window=12, kind="sim3", gn_iters=3)
+        fl.add_pose(data.T_init[0])
+        n_odo = 11
+        for k in range(n_odo):
+            fl.add_odometry(data.T_meas[k], data.sqrt_info[k])
+        for e in range(n_odo, len(data.edges_i)):
+            fl.add_factor(
+                int(data.edges_i[e]), int(data.edges_j[e]),
+                data.T_meas[e], data.sqrt_info[e],
+            )
+        for _ in range(6):
+            fl.update()
+        # compare against the batch solver over the same factors
+        from pyslam_tpu.graph import build
+        from pyslam_tpu.solver import Options, solve
+
+        g = build.sim3_pose_graph(data, dtype=jnp.float64)
+        g2, _ = solve(g, Options(method="lm", max_iters=40))
+        T_batch = np.asarray(g2.blocks["poses"].values)
+        T_win = fl.poses()
+        err = np.abs(
+            np.asarray(sim3.log(jnp.asarray(T_batch) @ sim3.inv(jnp.asarray(T_win))))
+        )
+        assert err.max() < 0.05
