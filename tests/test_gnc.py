@@ -152,3 +152,39 @@ class TestGNCse3:
         (mask,) = info.inlier_masks
         assert mask[out_ids].sum() <= 1
         assert np.isfinite(info.chi2)
+
+
+class TestGNCSim3:
+    def test_rejects_wrong_scale_loop_closures(self):
+        # monocular scale-drift graph where 2 of the loop closures are
+        # corrupted (wrong pose AND wrong scale ratio) — the classic
+        # wrong-loop-closure failure; TLS-GNC must zero them out
+        from pyslam_tpu.lie import sim3
+
+        data = synth.sim3_loop(
+            n_poses=80, n_loops=6, scale_drift=0.005, odo_scale_std=0.005, seed=5
+        )
+        n_odo = 79
+        bad = np.array([n_odo + 1, n_odo + 3])  # two mid-trajectory closures
+        T_bad = data.T_meas.copy()
+        rng = np.random.default_rng(7)
+        for e in bad:
+            xi = rng.normal(size=7)
+            xi[6] = 0.8  # ~2.2x wrong scale ratio
+            T_bad[e] = np.asarray(sim3.exp(jnp.asarray(xi)))
+        data.T_meas = T_bad
+
+        opts = Options(method="lm", max_iters=30, min_cost_decrease=0.999)
+        g = build.sim3_pose_graph(data, dtype=jnp.float64)
+        s_l2, _ = solve_auto(g, opts)
+        s_gnc, info = solve_gnc(
+            build.sim3_pose_graph(data, dtype=jnp.float64), opts
+        )
+        (mask,) = info.inlier_masks
+        assert not mask[bad].any()  # planted closures classified outlier
+        # scales stay near 1 under GNC; plain L2 is dragged off by the
+        # wrong scale ratios
+        sc_gnc = np.asarray(sim3.scale(s_gnc.blocks["poses"].values))
+        sc_l2 = np.asarray(sim3.scale(s_l2.blocks["poses"].values))
+        assert np.abs(np.log(sc_gnc)).max() < 0.2
+        assert np.abs(np.log(sc_gnc)).max() < np.abs(np.log(sc_l2)).max()
