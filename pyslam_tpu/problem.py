@@ -23,6 +23,7 @@ import numpy as np
 from .graph.core import FactorBatch, FactorGraph, VariableBlock
 from .lie.groups import SE2, SE3, SO2, SO3, Sim3, _LieGroupBase
 from .losses import L2Loss
+from .residuals import DensePriorResidual as _DensePriorResidual
 from .solver import lm
 from .solver.assemble import assemble_dense
 from .solver.linear import cholesky_solve
@@ -191,6 +192,58 @@ class Problem:
         solved, dx, _ = lm.solve_one_iter(graph, self.options)
         self._writeback(solved)
         return float(jnp.linalg.norm(dx))
+
+    def marginalize_parameters(self, param_keys):
+        """Remove parameters, folding the information of every residual
+        block that touches them into a dense Gaussian prior over their
+        Markov blanket (graph/marginalize.py — keyframe/landmark culling
+        for long-term problems; beyond-reference).
+
+        The prior becomes an ordinary residual block, so the Problem stays
+        fully rebuildable: more blocks/params can be added afterwards and
+        solve/covariance work unchanged."""
+        from .graph.marginalize import marginalize as _marginalize
+
+        if isinstance(param_keys, str):
+            param_keys = [param_keys]
+        graph = self._build()
+        targets: dict = {}
+        for k in param_keys:
+            slot = self._slots[k]
+            targets.setdefault(slot.block, []).append(slot.index)
+        g2 = _marginalize(graph, targets)
+
+        # inverse index remap (marginalize drops rows and shifts indices)
+        inv_remap = {}
+        for bname, blk in graph.blocks.items():
+            drop = set(targets.get(bname, []))
+            new_i = 0
+            for old_i in range(blk.n):
+                if old_i in drop:
+                    continue
+                inv_remap[(bname, new_i)] = old_i
+                new_i += 1
+        name_of = {(s.block, s.index): n for n, s in self._slots.items()}
+
+        priors = [fb for fb in g2.batches if fb.kind.startswith("dense_prior__")]
+        removed = set(param_keys)
+        self.residual_blocks = [
+            rb for rb in self.residual_blocks if not (set(rb[1]) & removed)
+        ]
+        for fb in priors:
+            blanket_names = [
+                name_of[(bn, inv_remap[(bn, int(ix[0]))])]
+                for bn, ix in zip(fb.slots, fb.indices)
+            ]
+            kinds = tuple(self._slots[n].kind for n in blanket_names)
+            data = {k: v[0] for k, v in fb.data.items()}
+            self.residual_blocks.append(
+                (_DensePriorResidual(fb.kind, kinds, data), blanket_names, L2Loss())
+            )
+        for k in param_keys:
+            del self.param_dict[k]
+            self.constant_param_keys.discard(k)
+        self._graph = None
 
     def eval_cost(self, param_dict: dict | None = None) -> float:
         """Robustified total cost at the current (or given) params

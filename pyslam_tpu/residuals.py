@@ -224,6 +224,22 @@ class ImuResidual(_ResidualBase):
         return data
 
 
+class DensePriorResidual(_ResidualBase):
+    """The dense Gaussian prior produced by marginalization
+    (graph/marginalize.py): r = A @ eta(x) - c over the Markov blanket of
+    the removed variables, eta the per-slot left tangent from the frozen
+    linearization points.  Constructed by ``Problem.marginalize_parameters``
+    (the kernel name is the dynamically registered blanket signature)."""
+
+    def __init__(self, factor_kind, param_kinds, data):
+        self.factor_kind = factor_kind
+        self.param_kinds = tuple(param_kinds)
+        self._data = dict(data)
+
+    def batch_data(self):
+        return self._data
+
+
 __all__ = [
     "QuadraticResidual",
     "PoseResidual",
@@ -231,4 +247,5 @@ __all__ = [
     "ReprojectionResidual",
     "ReprojectionMotionOnlyBatchResidual",
     "ImuResidual",
+    "DensePriorResidual",
 ]

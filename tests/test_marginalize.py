@@ -161,3 +161,50 @@ class TestRepeatedMarginalization:
             )
         )
         assert float(jnp.max(err)) < 1e-5
+
+
+class TestProblemMarginalize:
+    def test_marginalize_parameters_api(self):
+        from pyslam_tpu.lie import SE3
+        from pyslam_tpu.problem import Options as POptions
+        from pyslam_tpu.problem import Problem
+        from pyslam_tpu.residuals import PoseResidual, PoseToPoseResidual
+
+        rng = np.random.default_rng(3)
+        T_ab = SE3.exp(jnp.asarray(rng.normal(size=6) * 0.3))
+        T_bc = SE3.exp(jnp.asarray(rng.normal(size=6) * 0.3))
+        prob = Problem(POptions(method="lm", max_iters=40))
+        prob.add_residual_block(PoseResidual(SE3.exp(jnp.zeros(6)), 10.0), ["a"])
+        prob.add_residual_block(PoseToPoseResidual(T_ab, 5.0), ["a", "b"])
+        prob.add_residual_block(PoseToPoseResidual(T_bc, 5.0), ["b", "c"])
+        # a direct (noisier) a-c measurement keeps c constrained after b
+        # leaves AND makes b's information genuinely matter for c
+        T_ac = SE3(T_bc.mat @ T_ab.mat)
+        prob.add_residual_block(PoseToPoseResidual(T_ac, 2.0), ["a", "c"])
+        prob.initialize_params(
+            {k: SE3.exp(jnp.asarray(rng.normal(size=6) * 0.05)) for k in "abc"}
+        )
+        out = prob.solve()
+        a0 = np.array(out["a"].mat)
+        c0 = np.array(out["c"].mat)
+        prob.compute_covariance()
+        cov_c0 = np.asarray(prob.get_covariance_block("c", "c"))
+
+        prob.marginalize_parameters("b")
+        assert "b" not in prob.param_dict
+        out2 = prob.solve()
+        # the kept solution and its covariance survive the marginalization
+        np.testing.assert_allclose(np.array(out2["a"].mat), a0, atol=1e-8)
+        np.testing.assert_allclose(np.array(out2["c"].mat), c0, atol=1e-8)
+        prob.compute_covariance()
+        cov_c1 = np.asarray(prob.get_covariance_block("c", "c"))
+        np.testing.assert_allclose(cov_c1, cov_c0, atol=1e-6)
+
+        # the Problem stays extendable after marginalization
+        T_cd = SE3.exp(jnp.asarray(rng.normal(size=6) * 0.2))
+        prob.add_residual_block(PoseToPoseResidual(T_cd, 5.0), ["c", "d"])
+        prob.initialize_params({"d": SE3.exp(jnp.zeros(6))})
+        out3 = prob.solve()
+        np.testing.assert_allclose(
+            np.array(out3["d"].mat), np.array(T_cd.mat @ out3["c"].mat), atol=1e-6
+        )
