@@ -123,44 +123,40 @@ def marginalize(graph: FactorGraph, targets: dict, rank_tol: float = 1e-10):
             )
     tset = {(b, int(i)) for b, idxs in targets.items() for i in idxs}
 
-    # ---- split every batch into consumed rows (touch a target) and kept rows
-    consumed_batches, kept_batches = [], []
+    # ---- split every batch into consumed rows (touch a target) and kept
+    # rows.  The split is done with WEIGHT masks, never by slicing the data
+    # arrays: per-factor vs batch-shared data (an unbatched sqrt_info, a
+    # camera pytree) is not distinguishable from shapes alone, and weight-0
+    # rows are provably inert in every solver path (the padding convention,
+    # SURVEY.md §7).  The kept batch therefore retains dead rows; their
+    # slot indices (which point at removed variables) are clamped to 0.
+    consumed_batches, kept_parts = [], []
     blanket = set()
     for fb in graph.batches:
         idx_np = [np.asarray(ix) for ix in fb.indices]
+        w_np = np.asarray(fb.weight)
         touch = np.zeros(fb.n, bool)
         for s, bname in enumerate(fb.slots):
             if bname in targets:
                 touch |= np.isin(idx_np[s], targets[bname])
         if not touch.any():
-            kept_batches.append(fb)
+            kept_parts.append((fb, None))
             continue
-        rows = np.nonzero(touch)[0]
-        keep_rows = np.nonzero(~touch)[0]
-        n_rows = fb.n
-
-        def _slice(v, rows):
-            # factor-axis arrays are sliced; anything else (e.g. a camera
-            # pytree shared by the whole batch) passes through untouched
-            if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == n_rows:
-                return jnp.asarray(np.asarray(v)[rows])
-            return v
-
-        def take(fb, rows):
-            return FactorBatch(
+        consumed_batches.append(
+            FactorBatch(
                 fb.kind,
                 fb.slots,
-                tuple(jnp.asarray(ix[rows]) for ix in idx_np),
-                {k: _slice(v, rows) for k, v in fb.data.items()},
+                fb.indices,
+                fb.data,
                 fb.loss,
-                jnp.asarray(np.asarray(fb.weight)[rows]),
+                jnp.asarray(w_np * touch),
             )
-
-        consumed_batches.append(take(fb, rows))
-        if len(keep_rows):
-            kept_batches.append(take(fb, keep_rows))
+        )
+        if (~touch & (w_np > 0)).any():
+            kept_parts.append((fb, touch))
+        live = touch & (w_np > 0)
         for s, bname in enumerate(fb.slots):
-            for i in idx_np[s][rows]:
+            for i in idx_np[s][live]:
                 key = (bname, int(i))
                 if key not in tset and not bool(
                     np.asarray(graph.blocks[bname].const_mask)[int(i)]
@@ -180,15 +176,18 @@ def marginalize(graph: FactorGraph, targets: dict, rank_tol: float = 1e-10):
         )
         Hmm = H[np.ix_(M, M)]
         # unconstrained targets -> singular Hmm; detect before inverting
+        # (checked even with an empty blanket: silently discarding the
+        # consumed information of an underconstrained target would violate
+        # this function's contract)
+        try:
+            np.linalg.cholesky(Hmm)
+        except np.linalg.LinAlgError:
+            raise ValueError(
+                "marginalization targets are not fully constrained by "
+                "their adjacent factors (singular H_mm)"
+            )
         if blanket:
             K = np.concatenate([_dof_span(graph, bn, i) for bn, i in blanket])
-            try:
-                np.linalg.cholesky(Hmm)  # SPD check before inverting
-            except np.linalg.LinAlgError:
-                raise ValueError(
-                    "marginalization targets are not fully constrained by "
-                    "their adjacent factors (singular H_mm)"
-                )
             HmmI_B = np.linalg.solve(Hmm, H[np.ix_(M, K)])
             Hp = H[np.ix_(K, K)] - H[np.ix_(K, M)] @ HmmI_B
             bp = b[K] - H[np.ix_(K, M)] @ np.linalg.solve(Hmm, b[M])
@@ -225,22 +224,25 @@ def marginalize(graph: FactorGraph, targets: dict, rank_tol: float = 1e-10):
             )
 
     out_batches = []
-    for fb in kept_batches:
+    for fb, touch in kept_parts:
         need = any(bn in targets for bn in fb.slots)
-        if not need:
+        if not need and touch is None:
             out_batches.append(fb)
             continue
+        new_indices = []
+        for bn, ix in zip(fb.slots, fb.indices):
+            ni = remap[bn][np.asarray(ix)] if bn in targets else np.asarray(ix)
+            if touch is not None:
+                # consumed rows stay in the batch with weight 0 (inert);
+                # their indices may point at removed variables -> clamp
+                ni = np.where(touch, 0, ni)
+            new_indices.append(jnp.asarray(ni, jnp.int32))
+        weight = fb.weight if touch is None else jnp.asarray(
+            np.asarray(fb.weight) * ~touch
+        )
         out_batches.append(
             FactorBatch(
-                fb.kind,
-                fb.slots,
-                tuple(
-                    jnp.asarray(remap[bn][np.asarray(ix)], jnp.int32)
-                    for bn, ix in zip(fb.slots, fb.indices)
-                ),
-                fb.data,
-                fb.loss,
-                fb.weight,
+                fb.kind, fb.slots, tuple(new_indices), fb.data, fb.loss, weight
             )
         )
 

@@ -162,8 +162,9 @@ def preintegrate(omega, accel, dts, b_gyro, b_accel, sigma_gyro=1.7e-4, sigma_ac
 
 
 def sqrt_info_of(pim: PreintegratedImu, jitter: float = 1e-12):
-    """(9, 9) upper-triangular sqrt information from the preintegrated
-    covariance: chol(cov)^-1 via host f64 (a one-time per-factor setup)."""
+    """(9, 9) LOWER-triangular sqrt information from the preintegrated
+    covariance: L^-1 with cov = L L^T, so (L^-1)^T (L^-1) = cov^-1 — via
+    host f64 (a one-time per-factor setup)."""
     cov = np.asarray(pim.cov, np.float64)
     # jitter RELATIVE to the covariance scale (preintegration covariances
     # are ~1e-8 in SI units; an absolute floor would dominate them)

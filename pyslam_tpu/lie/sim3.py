@@ -229,9 +229,11 @@ _JL_TERMS = 26  # entire series; first dropped term ||ad||^27/28! < 1e-11 at ||a
 def left_jacobian(xi):
     """Sim(3) left Jacobian J_l(xi) = sum_n ad(xi)^n / (n+1)!  (..., 7, 7).
 
-    The series is entire (factorial convergence), so a fixed 18-term Horner
-    sum is exact to f64 roundoff at any argument the solver sees; each term
-    is one batched 7x7 matmul (MXU-friendly, no data-dependent loop)."""
+    The series is entire (factorial convergence), so the fixed
+    ``_JL_TERMS``-term Horner sum (26 terms: first dropped term is below
+    1e-11 at ||ad|| = 4.5) is exact to f64 roundoff at any argument the
+    solver sees; each term is one batched 7x7 matmul (MXU-friendly, no
+    data-dependent loop)."""
     xi = jnp.asarray(xi)
     A = _ad(xi)
     eye = jnp.broadcast_to(jnp.eye(7, dtype=xi.dtype), A.shape)

@@ -227,19 +227,34 @@ class Problem:
 
         priors = [fb for fb in g2.batches if fb.kind.startswith("dense_prior__")]
         removed = set(param_keys)
+        # g2's dense-prior batches are the CANONICAL set: pre-existing
+        # priors pass through marginalize() (possibly merged/consumed), so
+        # every existing DensePriorResidual is dropped here and rebuilt
+        # from g2 — keeping them too would double-count their information
+        # on every disjoint marginalization.
         self.residual_blocks = [
-            rb for rb in self.residual_blocks if not (set(rb[1]) & removed)
+            rb
+            for rb in self.residual_blocks
+            if not (set(rb[1]) & removed)
+            and not isinstance(rb[0], _DensePriorResidual)
         ]
         for fb in priors:
-            blanket_names = [
-                name_of[(bn, inv_remap[(bn, int(ix[0]))])]
-                for bn, ix in zip(fb.slots, fb.indices)
-            ]
-            kinds = tuple(self._slots[n].kind for n in blanket_names)
-            data = {k: v[0] for k, v in fb.data.items()}
-            self.residual_blocks.append(
-                (_DensePriorResidual(fb.kind, kinds, data), blanket_names, L2Loss())
-            )
+            for f in range(fb.n):  # _build stacks same-kind priors: F >= 1
+                if float(fb.weight[f]) == 0.0:
+                    continue
+                blanket_names = [
+                    name_of[(bn, inv_remap[(bn, int(ix[f]))])]
+                    for bn, ix in zip(fb.slots, fb.indices)
+                ]
+                kinds = tuple(self._slots[n].kind for n in blanket_names)
+                data = {k: v[f] for k, v in fb.data.items()}
+                self.residual_blocks.append(
+                    (
+                        _DensePriorResidual(fb.kind, kinds, data),
+                        blanket_names,
+                        L2Loss(),
+                    )
+                )
         for k in param_keys:
             del self.param_dict[k]
             self.constant_param_keys.discard(k)

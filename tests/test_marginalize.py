@@ -208,3 +208,108 @@ class TestProblemMarginalize:
         np.testing.assert_allclose(
             np.array(out3["d"].mat), np.array(T_cd.mat @ out3["c"].mat), atol=1e-6
         )
+
+
+class TestReviewRegressions:
+    def test_repeated_disjoint_marginalization_no_double_count(self):
+        # a-b-c-d-e chain; marginalize b, then e (disjoint): the surviving
+        # (a, c) prior must appear exactly ONCE (was double-counted)
+        from pyslam_tpu.lie import SE3
+        from pyslam_tpu.problem import Options as POptions
+        from pyslam_tpu.problem import Problem
+        from pyslam_tpu.residuals import (
+            DensePriorResidual,
+            PoseResidual,
+            PoseToPoseResidual,
+        )
+
+        rng = np.random.default_rng(11)
+        names = list("abcde")
+        prob = Problem(POptions(method="lm", max_iters=40))
+        prob.add_residual_block(PoseResidual(SE3.exp(jnp.zeros(6)), 10.0), ["a"])
+        for x, y in zip(names, names[1:]):
+            prob.add_residual_block(
+                PoseToPoseResidual(SE3.exp(jnp.asarray(rng.normal(size=6) * 0.2)), 5.0),
+                [x, y],
+            )
+        # extra a-c edge so c stays constrained when b leaves
+        prob.add_residual_block(
+            PoseToPoseResidual(SE3.exp(jnp.asarray(rng.normal(size=6) * 0.2)), 2.0),
+            ["a", "c"],
+        )
+        prob.initialize_params({k: SE3.exp(jnp.zeros(6)) for k in names})
+        prob.solve()
+        prob.compute_covariance()
+        cov_c0 = np.asarray(prob.get_covariance_block("c", "c"))
+
+        prob.marginalize_parameters("b")
+        n_priors_1 = sum(
+            isinstance(rb[0], DensePriorResidual) for rb in prob.residual_blocks
+        )
+        prob.marginalize_parameters("e")
+        n_priors_2 = sum(
+            isinstance(rb[0], DensePriorResidual) for rb in prob.residual_blocks
+        )
+        assert n_priors_1 == 1 and n_priors_2 == 2  # (a,c) prior NOT duplicated
+        prob.solve()
+        prob.compute_covariance()
+        cov_c1 = np.asarray(prob.get_covariance_block("c", "c"))
+        # double-counted information would roughly HALVE the covariance;
+        # the only acceptable deviation is the tiny FEJ linearization-point
+        # effect (measured ~6e-4 relative)
+        np.testing.assert_allclose(cov_c1, cov_c0, rtol=5e-3)
+
+    def test_underconstrained_with_empty_blanket_raises(self):
+        # marginalize BOTH endpoints of a rank-deficient factor: consumed
+        # info is non-empty, blanket empty, H_mm singular -> must raise
+        # (was silently discarded)
+        blocks = {
+            "poses": VariableBlock.create(
+                "se2", jnp.broadcast_to(jnp.eye(3, dtype=F64), (2, 3, 3))
+            ),
+        }
+        sqrt_info = jnp.zeros((1, 3, 3), F64).at[0, 0, 0].set(1.0)
+        batch = FactorBatch.create(
+            "between_se2",
+            slots=("poses", "poses"),
+            indices=(np.array([0], np.int32), np.array([1], np.int32)),
+            data={"T_obs": jnp.eye(3, dtype=F64)[None], "sqrt_info": sqrt_info},
+            loss=L2Loss(),
+        )
+        g = FactorGraph(blocks, [batch])
+        with pytest.raises(ValueError, match="constrained"):
+            marginalize(g, {"poses": [0, 1]})
+
+    def test_shared_unbatched_data_survives(self):
+        # BA batches carry an UNBATCHED (3, 3) sqrt_info broadcast over all
+        # factors; with exactly F=3 factors a shape heuristic would have
+        # sliced it. The weight-mask split must leave it untouched.
+        data = synth.ba_synthetic(n_cams=2, n_pts=3, seed=1)
+        g = build.ba_graph(data, dtype=F64)
+        # keep only 3 observations so the factor axis length == 3
+        fb = g.batches[0]
+        sel = np.arange(3)
+        g = FactorGraph(
+            g.blocks,
+            [
+                FactorBatch(
+                    fb.kind,
+                    fb.slots,
+                    tuple(jnp.asarray(np.asarray(ix)[sel]) for ix in fb.indices),
+                    {
+                        k: (jnp.asarray(np.asarray(v)[sel]) if k == "obs" else v)
+                        for k, v in fb.data.items()
+                    },
+                    fb.loss,
+                    jnp.asarray(np.asarray(fb.weight)[sel]),
+                )
+            ],
+        )
+        lm_id = int(np.asarray(g.batches[0].indices[1])[0])
+        g2 = marginalize(g, {"landmarks": [lm_id]})
+        kept = [fb2 for fb2 in g2.batches if fb2.kind == fb.kind]
+        assert kept and np.asarray(kept[0].data["sqrt_info"]).shape == (3, 3)
+        np.testing.assert_allclose(
+            np.asarray(kept[0].data["sqrt_info"]),
+            np.asarray(fb.data["sqrt_info"]),
+        )
