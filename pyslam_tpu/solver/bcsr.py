@@ -726,9 +726,17 @@ def solve_ell(
             )
             return dx
 
-        _CLOSURES[key] = (assemble_fn, solve_fn)
-    assemble_fn, solve_fn = _CLOSURES[key]
-    return _lm.solve(graph, options, assemble_fn=assemble_fn, solve_fn=solve_fn)
+        def matvec_fn(He, x):
+            # undamped H @ x on the assembled ELL store (dogleg's model
+            # evaluation; solve_fn applies its own damping separately)
+            xg = x.reshape(nb, d)[cols]
+            return jnp.einsum("rkij,rkj->ri", He, xg).reshape(-1)
+
+        _CLOSURES[key] = (assemble_fn, solve_fn, matvec_fn)
+    assemble_fn, solve_fn, matvec_fn = _CLOSURES[key]
+    return _lm.solve(
+        graph, options, assemble_fn=assemble_fn, solve_fn=solve_fn, matvec_fn=matvec_fn
+    )
 
 
 # Closure cache so repeated solves on one pattern reuse the jitted LM loop

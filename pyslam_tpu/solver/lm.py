@@ -87,7 +87,7 @@ def _select_tree(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-@partial(jax.jit, static_argnames=("options", "assemble_fn", "solve_fn"))
+@partial(jax.jit, static_argnames=("options", "assemble_fn", "solve_fn", "matvec_fn"))
 def solve(
     graph: FactorGraph,
     options: Options = Options(),

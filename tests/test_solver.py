@@ -456,3 +456,14 @@ class TestDogleg:
 
         with pytest.raises(ValueError, match="matvec_fn"):
             _lm.solve(g, Options(method="dogleg"), assemble_fn=fake_assemble)
+
+    def test_dogleg_on_ell_path(self):
+        # dogleg rides the block-sparse ELL path through its matvec closure
+        from pyslam_tpu.solver.bcsr import build_ell_direct, solve_ell
+
+        data = synth.se3_sphere(n_poses=120, n_loops=30, seed=3)
+        g = build.pose_graph(data, dtype=F64)
+        plan = build_ell_direct(g)
+        _, i_lm = solve_ell(g, Options(method="lm", max_iters=40), plan=plan)
+        _, i_dl = solve_ell(g, Options(method="dogleg", max_iters=40), plan=plan)
+        np.testing.assert_allclose(float(i_dl.chi2), float(i_lm.chi2), rtol=1e-4)
