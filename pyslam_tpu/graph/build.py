@@ -33,6 +33,13 @@ def pose_graph(
     solves).
     """
     loss = loss if loss is not None else L2Loss()
+    if data.dim == 3 and data.sqrt_info.shape[-1] == 7:
+        # Sim(3) graphs (7-dof edges, e.g. EDGE_SIM3:QUAT files) route to
+        # the similarity builder; 'chordal'/'spanning_tree' inits are
+        # rotation-only constructions and do not apply
+        return sim3_pose_graph(
+            data, loss=loss, anchor_first=anchor_first, dtype=dtype, init=init
+        )
     kind = "se2" if data.dim == 2 else "se3"
     n_poses = data.T_init.shape[0]
     if init == "chordal":

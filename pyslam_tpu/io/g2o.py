@@ -6,6 +6,8 @@ Supported records:
   EDGE_SE2 i j dx dy dtheta  <6 upper-tri info entries>
   VERTEX_SE3:QUAT id x y z qx qy qz qw
   EDGE_SE3:QUAT i j dx dy dz qx qy qz qw  <21 upper-tri info entries>
+  VERTEX_SIM3:QUAT id x y z qx qy qz qw s           (ORB-SLAM convention)
+  EDGE_SIM3:QUAT i j dx dy dz qx qy qz qw s  <28 upper-tri info entries>
 
 Convention bridge: g2o vertices are body-to-world and the edge measurement is
 M_ij = T_i^-1 @ T_j.  This framework follows the reference's world-to-body
@@ -78,6 +80,7 @@ def read_g2o(path) -> PoseGraphData:
     verts: dict[int, np.ndarray] = {}
     edges = []
     dim = None
+    sim3 = False
     with open(path) as f:
         for line in f:
             tok = line.split()
@@ -88,6 +91,7 @@ def read_g2o(path) -> PoseGraphData:
             tag = {"VERTEX2": "VERTEX_SE2", "EDGE2": "EDGE_SE2",
                    "VERTEX3": "VERTEX_SE3:QUAT", "EDGE3": "EDGE_SE3:QUAT",
                    "VERTEX_SE3": "VERTEX_SE3:QUAT", "EDGE_SE3": "EDGE_SE3:QUAT",
+                   "VERTEX_SIM3": "VERTEX_SIM3:QUAT", "EDGE_SIM3": "EDGE_SIM3:QUAT",
                    }.get(tag, tag)
             if tag == "VERTEX_SE2":
                 dim = dim or 2
@@ -123,10 +127,28 @@ def read_g2o(path) -> PoseGraphData:
                 M[:3, 3] = v[0:3]
                 info = _unpack_upper(list(map(float, tok[10:31])), 6)
                 edges.append((i, j, M, info))
+            elif tag == "VERTEX_SIM3:QUAT":
+                dim = dim or 3
+                sim3 = True
+                i = int(tok[1])
+                v = list(map(float, tok[2:10]))
+                T = np.eye(4)
+                T[:3, :3] = v[7] * _quat_to_mat(v[3:7])
+                T[:3, 3] = v[0:3]
+                verts[i] = T
+            elif tag == "EDGE_SIM3:QUAT":
+                sim3 = True
+                i, j = int(tok[1]), int(tok[2])
+                v = list(map(float, tok[3:11]))
+                M = np.eye(4)
+                M[:3, :3] = v[7] * _quat_to_mat(v[3:7])
+                M[:3, 3] = v[0:3]
+                info = _unpack_upper(list(map(float, tok[11:39])), 7)
+                edges.append((i, j, M, info))
 
     n = max(verts) + 1
     d = 3 if dim == 2 else 4
-    dof = 3 if dim == 2 else 6
+    dof = 3 if dim == 2 else (7 if sim3 else 6)
     T_bw = np.stack([np.linalg.inv(verts[i]) for i in range(n)])  # world-to-body
     E = len(edges)
     edges_i = np.zeros(E, np.int64)
@@ -166,29 +188,24 @@ def write_g2o(path, data: PoseGraphData, use_init: bool = True):
                     + "\n"
                 )
         else:
+            is_sim3 = data.sqrt_info.shape[-1] == 7
+            dof = 7 if is_sim3 else 6
+
+            def _split(A):
+                """(4,4) (possibly scaled) -> (t, q, s)."""
+                s = float(np.cbrt(np.linalg.det(A[:3, :3]))) if is_sim3 else 1.0
+                return A[:3, 3], _mat_to_quat(A[:3, :3] / s), s
+
+            vtag = "VERTEX_SIM3:QUAT" if is_sim3 else "VERTEX_SE3:QUAT"
+            etag = "EDGE_SIM3:QUAT" if is_sim3 else "EDGE_SE3:QUAT"
             for i, P in enumerate(T):
-                V = np.linalg.inv(P)
-                q = _mat_to_quat(V[:3, :3])
-                t = V[:3, 3]
-                f.write(
-                    f"VERTEX_SE3:QUAT {i} "
-                    + " ".join(f"{v:.9g}" for v in t)
-                    + " "
-                    + " ".join(f"{v:.9g}" for v in q)
-                    + "\n"
-                )
+                t, q, s = _split(np.linalg.inv(P))
+                row = list(t) + list(q) + ([s] if is_sim3 else [])
+                f.write(f"{vtag} {i} " + " ".join(f"{v:.9g}" for v in row) + "\n")
             for k in range(len(data.edges_i)):
                 gj, gi = int(data.edges_i[k]), int(data.edges_j[k])
-                M = data.T_meas[k]
-                q = _mat_to_quat(M[:3, :3])
+                t, q, s = _split(data.T_meas[k])
                 info = data.sqrt_info[k].T @ data.sqrt_info[k]
-                up = [info[a, b] for a in range(6) for b in range(a, 6)]
-                f.write(
-                    f"EDGE_SE3:QUAT {gi} {gj} "
-                    + " ".join(f"{v:.9g}" for v in M[:3, 3])
-                    + " "
-                    + " ".join(f"{v:.9g}" for v in q)
-                    + " "
-                    + " ".join(f"{v:.9g}" for v in up)
-                    + "\n"
-                )
+                up = [info[a, b] for a in range(dof) for b in range(a, dof)]
+                row = list(t) + list(q) + ([s] if is_sim3 else []) + up
+                f.write(f"{etag} {gi} {gj} " + " ".join(f"{v:.9g}" for v in row) + "\n")

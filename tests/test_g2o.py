@@ -123,3 +123,32 @@ class TestParityHarness:
             sys.path.pop(0)
         assert len(rows) == 3
         assert all(r["parity"] for r in rows)
+
+
+class TestSim3G2o:
+    def test_roundtrip_and_solve(self, tmp_path):
+        from pyslam_tpu.graph import build
+        from pyslam_tpu.io import synth
+        from pyslam_tpu.io.g2o import read_g2o, write_g2o
+        from pyslam_tpu.lie import sim3
+        from pyslam_tpu.solver import Options, solve
+
+        data = synth.sim3_loop(
+            n_poses=40, n_loops=3, scale_drift=0.01, odo_scale_std=0.005, seed=2
+        )
+        path = str(tmp_path / "sim3.g2o")
+        write_g2o(path, data)
+        back = read_g2o(path)
+        assert back.sqrt_info.shape[-1] == 7
+        # geometry round-trips (vertices stored body-to-world in the file)
+        np.testing.assert_allclose(back.T_init, data.T_init, atol=1e-6)
+        np.testing.assert_allclose(back.T_meas, data.T_meas, atol=1e-6)
+        info0 = np.einsum("eij,eik->ejk", data.sqrt_info, data.sqrt_info)
+        info1 = np.einsum("eij,eik->ejk", back.sqrt_info, back.sqrt_info)
+        np.testing.assert_allclose(info1, info0, atol=1e-4)
+        # pose_graph auto-routes 7-dof data to the sim3 builder and solves
+        g = build.pose_graph(back, dtype=jnp.float64)
+        g2, info = solve(g, Options(method="lm", max_iters=50))
+        scales = np.asarray(sim3.scale(g2.blocks["poses"].values))
+        assert float(info.chi2) < float(g.chi2()) * 1e-2
+        assert scales.max() < 1.6  # drift corrected after loading from file
