@@ -16,11 +16,17 @@ import scipy.sparse
 import scipy.sparse.linalg
 
 
-def _logvee(T):
-    """SE(n) matrix log -> tangent [rho, phi] via scipy.linalg.logm."""
+def _logvee(T, dof=None):
+    """SE(n)/Sim(3) matrix log -> tangent via scipy.linalg.logm
+    ([rho, phi] for SE; [rho, phi, sigma] for Sim(3) with dof=7)."""
     X = np.real(scipy.linalg.logm(T))
     if T.shape[0] == 3:  # SE(2)
         return np.array([X[0, 2], X[1, 2], X[1, 0]])
+    if dof == 7:  # Sim(3): upper-left block is sigma*I + phi^
+        sig = np.trace(X[:3, :3]) / 3.0
+        return np.array(
+            [X[0, 3], X[1, 3], X[2, 3], X[2, 1] , X[0, 2], X[1, 0], sig]
+        )
     return np.array([X[0, 3], X[1, 3], X[2, 3], X[2, 1], X[0, 2], X[1, 0]])
 
 
@@ -35,11 +41,14 @@ def _expwedge(xi):
         X[2, 1], X[1, 2] = xi[3], -xi[3]
         X[0, 2], X[2, 0] = xi[4], -xi[4]
         X[1, 0], X[0, 1] = xi[5], -xi[5]
+        if len(xi) == 7:  # Sim(3) log-scale on the rotation block diagonal
+            X[0, 0] = X[1, 1] = X[2, 2] = xi[6]
     return scipy.linalg.expm(X)
 
 
 def _residual(Ti, Tj, T_meas, sqrt_info):
-    return sqrt_info @ _logvee(Tj @ np.linalg.inv(Ti) @ np.linalg.inv(T_meas))
+    dof = sqrt_info.shape[0]
+    return sqrt_info @ _logvee(Tj @ np.linalg.inv(Ti) @ np.linalg.inv(T_meas), dof)
 
 
 def solve_pose_graph(data, max_iters=50, tol=1e-9, weight_fn=None):
@@ -52,7 +61,7 @@ def solve_pose_graph(data, max_iters=50, tol=1e-9, weight_fn=None):
     T = data.T_gt[0:1].copy()  # anchor
     T = np.concatenate([T, data.T_init[1:].copy()])
     n = T.shape[0]
-    dof = 3 if data.dim == 2 else 6
+    dof = 3 if data.dim == 2 else data.sqrt_info.shape[-1]
     E = len(data.edges_i)
     eps = 1e-6
 

@@ -298,3 +298,19 @@ class TestSim3PoseGraph:
         np.testing.assert_allclose(
             np.asarray(g2.blocks["poses"].values[0]), data.T_init[0], atol=1e-12
         )
+
+
+class TestSim3ScipyParity:
+    def test_chi2_matches_independent_scipy_solver(self):
+        # the independent scipy GN harness (logm/expm + finite differences
+        # + spsolve; shares no code with the framework) must converge to
+        # the same chi2 on a sim3 graph — SURVEY.md §4.3 extended to Sim(3)
+        import scipy_ref
+
+        data = synth.sim3_loop(
+            n_poses=25, n_loops=3, scale_drift=0.01, odo_scale_std=0.005, seed=4
+        )
+        g = build.sim3_pose_graph(data, dtype=jnp.float64)
+        g2, info = solve(g, Options(method="lm", max_iters=50))
+        _, chi2_ref, _ = scipy_ref.solve_pose_graph(data, max_iters=60)
+        np.testing.assert_allclose(float(info.chi2), chi2_ref, rtol=1e-5)
