@@ -314,3 +314,18 @@ class TestSim3ScipyParity:
         g2, info = solve(g, Options(method="lm", max_iters=50))
         _, chi2_ref, _ = scipy_ref.solve_pose_graph(data, max_iters=60)
         np.testing.assert_allclose(float(info.chi2), chi2_ref, rtol=1e-5)
+
+
+class TestSim3Covariance:
+    def test_marginals_vs_dense_inverse(self):
+        from pyslam_tpu.solver.covariance import full_covariance, marginal_covariances
+
+        data = synth.sim3_loop(n_poses=15, n_loops=2, seed=6)
+        g = build.sim3_pose_graph(data, dtype=jnp.float64)
+        g2, _ = solve(g, Options(method="lm", max_iters=30))
+        C = np.asarray(full_covariance(g2))
+        margs = np.asarray(marginal_covariances(g2, pcg_rtol=1e-10))
+        for i in range(1, 15):  # pose 0 anchored
+            np.testing.assert_allclose(
+                margs[i], C[7 * i : 7 * i + 7, 7 * i : 7 * i + 7], atol=1e-6
+            )
