@@ -46,10 +46,43 @@ def measure_baseline(data, force=False):
     return result
 
 
+def _init_watchdog(timeout_s=900):
+    """The axon TPU tunnel has been observed to hang backend init
+    indefinitely when the remote service is down (r3: >20 min without
+    returning).  If init does not complete within the timeout, emit an
+    honest zero-result JSON line and exit nonzero so the driver records a
+    failed bench instead of hanging the round."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "sphere2500_time_to_chi2_speedup_vs_pyslam_cpu_standin",
+                        "value": 0.0,
+                        "unit": "x",
+                        "vs_baseline": 0.0,
+                        "error": f"tpu backend init exceeded {timeout_s}s (tunnel down)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.pyslam_tpu_jax_cache"))
+    wd = _init_watchdog()
+    jax.devices()  # force backend init under the watchdog
+    wd.set()
 
     from pyslam_tpu.graph import build
     from pyslam_tpu.io import synth
