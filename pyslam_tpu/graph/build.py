@@ -131,9 +131,22 @@ def ba_graph(data, loss=None, dtype=jnp.float32, init: str = "noisy") -> FactorG
     return FactorGraph(blocks, [batch])
 
 
-def bal_graph(data, loss=None, pixel_std=1.0, anchor_first=True, dtype=jnp.float32) -> FactorGraph:
+def bal_graph(
+    data,
+    loss=None,
+    pixel_std=1.0,
+    anchor_first=True,
+    dtype=jnp.float32,
+    optimize_intrinsics: bool = False,
+) -> FactorGraph:
     """Build a monocular BA FactorGraph from io.bal.BALData (Snavely camera
-    model, fixed per-camera intrinsics — BASELINE.json configs #4/#5)."""
+    model — BASELINE.json configs #4/#5).
+
+    ``optimize_intrinsics=False`` (default) holds [f, k1, k2] fixed at the
+    file values (the benchmark configs).  ``True`` builds the REAL BAL
+    problem: 9-dof cameras with intrinsics optimized jointly, as one
+    bal_cam9 product-manifold block so every Schur path applies
+    (graph/core.py _retract_bal_cam9)."""
     loss = loss if loss is not None else L2Loss()
     n_cams = data.T.shape[0]
     const = np.zeros(n_cams, bool)
@@ -141,22 +154,37 @@ def bal_graph(data, loss=None, pixel_std=1.0, anchor_first=True, dtype=jnp.float
         const[0] = True
     m = len(data.cam_idx)
     sqrt_info = jnp.eye(2, dtype=dtype) / pixel_std
-    intr = jnp.asarray(data.intrinsics, dtype)[data.cam_idx]
     blocks = {
-        "poses": VariableBlock.create("se3", jnp.asarray(data.T, dtype), const),
         "landmarks": VariableBlock.create("euclidean", jnp.asarray(data.pts, dtype)),
     }
-    batch = FactorBatch.create(
-        kind="reprojection_bal",
-        slots=("poses", "landmarks"),
-        indices=(data.cam_idx, data.pt_idx),
-        data={
-            "obs": jnp.asarray(data.obs, dtype),
-            "sqrt_info": sqrt_info,
-            "f": intr[:, 0],
-            "k1": intr[:, 1],
-            "k2": intr[:, 2],
-        },
-        loss=loss,
-    )
+    if optimize_intrinsics:
+        packed = np.concatenate(
+            [data.T.reshape(n_cams, 16), np.asarray(data.intrinsics)], axis=1
+        )
+        blocks["poses"] = VariableBlock.create(
+            "bal_cam9", jnp.asarray(packed, dtype), const
+        )
+        batch = FactorBatch.create(
+            kind="reprojection_bal9",
+            slots=("poses", "landmarks"),
+            indices=(data.cam_idx, data.pt_idx),
+            data={"obs": jnp.asarray(data.obs, dtype), "sqrt_info": sqrt_info},
+            loss=loss,
+        )
+    else:
+        intr = jnp.asarray(data.intrinsics, dtype)[data.cam_idx]
+        blocks["poses"] = VariableBlock.create("se3", jnp.asarray(data.T, dtype), const)
+        batch = FactorBatch.create(
+            kind="reprojection_bal",
+            slots=("poses", "landmarks"),
+            indices=(data.cam_idx, data.pt_idx),
+            data={
+                "obs": jnp.asarray(data.obs, dtype),
+                "sqrt_info": sqrt_info,
+                "f": intr[:, 0],
+                "k1": intr[:, 1],
+                "k2": intr[:, 2],
+            },
+            loss=loss,
+        )
     return FactorGraph(blocks, [batch])

@@ -52,6 +52,21 @@ MANIFOLDS: dict[str, dict[str, Any]] = {
 }
 
 
+def _retract_bal_cam9(v, dx):
+    """Product manifold SE(3) x R^3 for the full BAL camera (pose + [f, k1,
+    k2] intrinsics), stored flat as (..., 19) = [vec(T) (16), f, k1, k2].
+    Keeping pose and intrinsics in ONE 9-dof block preserves the two-block
+    camera/landmark structure every Schur path assumes (solver/schur.py is
+    dof-generic), instead of introducing a third block kind."""
+    T = v[..., :16].reshape(v.shape[:-1] + (4, 4))
+    T = se3.perturb(T, dx[..., :6])
+    intr = v[..., 16:] + dx[..., 6:]
+    return jnp.concatenate([T.reshape(v.shape[:-1] + (16,)), intr], axis=-1)
+
+
+MANIFOLDS["bal_cam9"] = dict(dof=9, retract=_retract_bal_cam9, shape=(19,))
+
+
 def manifold_dof(kind: str, element_shape) -> int:
     if kind == _EUCLIDEAN:
         size = 1

@@ -190,6 +190,54 @@ def reprojection_bal(data, T, pt, compute_jacobians=True):
     return r, (J_T, J_pt)
 
 
+@register_factor("reprojection_bal9")
+def reprojection_bal9(data, cam, pt, compute_jacobians=True):
+    """Full BAL camera: monocular radial-distortion reprojection with the
+    intrinsics [f, k1, k2] OPTIMIZED jointly with the pose — the real BAL
+    problem's 9-dof camera (the fixed-intrinsics variant is
+    ``reprojection_bal``).  ``cam`` is the (F, 19) bal_cam9 product-manifold
+    storage [vec(T), f, k1, k2] (graph/core.py _retract_bal_cam9)."""
+    T = cam[..., :16].reshape(cam.shape[:-1] + (4, 4))
+    f, k1, k2 = cam[..., 16], cam[..., 17], cam[..., 18]
+    p = se3.act(T, pt)
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    inv_z = 1.0 / z
+    pn = -p[..., :2] * inv_z[..., None]
+    r2 = jnp.sum(pn * pn, axis=-1)
+    d = 1.0 + r2 * (k1 + k2 * r2)
+    pred = (f * d)[..., None] * pn
+    r = _bmv(data["sqrt_info"], pred - data["obs"])
+    if not compute_jacobians:
+        return r, None
+    zeros = jnp.zeros_like(x)
+    J_pn = jnp.stack(
+        [
+            jnp.stack([-inv_z, zeros, x * inv_z * inv_z], axis=-1),
+            jnp.stack([zeros, -inv_z, y * inv_z * inv_z], axis=-1),
+        ],
+        axis=-2,
+    )
+    dd = (2.0 * (k1 + 2.0 * k2 * r2))[..., None] * pn
+    eye2 = jnp.eye(2, dtype=pred.dtype)
+    J_pred = f[..., None, None] * (
+        d[..., None, None] * eye2 + pn[..., :, None] * dd[..., None, :]
+    )
+    S = _bmm(_bmm(data["sqrt_info"], J_pred), J_pn)  # (F, 2, 3)
+    J_T = _bmm(S, se3.odot(p))
+    J_pt = _bmm(S, T[..., :3, :3])
+    # intrinsics columns: d pred/df = d*pn; /dk1 = f r^2 pn; /dk2 = f r^4 pn
+    J_intr = jnp.stack(
+        [
+            d[..., None] * pn,
+            (f * r2)[..., None] * pn,
+            (f * r2 * r2)[..., None] * pn,
+        ],
+        axis=-1,
+    )  # (F, 2, 3)
+    J_cam = jnp.concatenate([J_T, _bmm(data["sqrt_info"], J_intr)], axis=-1)
+    return r, (J_cam, J_pt)
+
+
 # --------------------------------------------------------------------------
 # Quadratic curve-fit demo: r = stiffness * (p0 x^2 + p1 x + p2 - y)
 # --------------------------------------------------------------------------

@@ -206,3 +206,81 @@ class TestFullSlamGraph:
         g = self._slam_graph()
         solved, info = solve_auto(g, Options(method="lm", max_iters=15))
         assert float(info.chi2) < float(g.chi2())
+
+
+class TestBal9Cameras:
+    """Full BAL cameras: intrinsics [f, k1, k2] optimized jointly with the
+    pose as one 9-dof bal_cam9 product-manifold block (the real BAL
+    problem; the benchmark configs hold intrinsics fixed)."""
+
+    def test_kernel_jacobians_vs_autodiff(self, rng):
+        import jax
+
+        from pyslam_tpu.graph.core import FACTOR_KERNELS
+        from pyslam_tpu.lie import se3
+
+        T = se3.exp(jnp.asarray(rng.normal(size=(4, 6)) * 0.2))
+        T = T.at[:, 2, 3].add(4.0)  # points in front (negative-z convention ok)
+        intr = jnp.asarray(
+            np.stack([[700.0, -1e-3, 1e-5]] * 4) * (1 + rng.normal(size=(4, 3)) * 0.05)
+        )
+        cam = jnp.concatenate([T.reshape(4, 16), intr], axis=1)
+        pt = jnp.asarray(rng.normal(size=(4, 3)))
+        data = {
+            "obs": jnp.asarray(rng.normal(size=(4, 2)) * 5),
+            "sqrt_info": jnp.broadcast_to(jnp.eye(2), (4, 2, 2)),
+        }
+        kern = FACTOR_KERNELS["reprojection_bal9"]
+        r, (J_cam, J_pt) = kern(data, cam, pt)
+
+        from pyslam_tpu.graph.core import MANIFOLDS
+
+        retract = MANIFOLDS["bal_cam9"]["retract"]
+
+        def f_cam(eps):
+            return kern(data, retract(cam, eps[None]), pt, False)[0]
+
+        def f_pt(eps):
+            return kern(data, cam, pt + eps[None], False)[0]
+
+        J_cam_auto = jax.jacfwd(f_cam)(jnp.zeros(9))
+        J_pt_auto = jax.jacfwd(f_pt)(jnp.zeros(3))
+        np.testing.assert_allclose(J_cam, J_cam_auto, atol=1e-6)
+        np.testing.assert_allclose(J_pt, J_pt_auto, atol=1e-6)
+
+    def test_recovers_perturbed_intrinsics(self):
+        # exact observations; init with wrong focal lengths/distortion:
+        # joint optimization must recover them where the fixed-intrinsics
+        # model cannot reach the optimum
+        data = bal.synthetic_bal(n_cams=6, n_pts=60, pixel_std=0.0, seed=3)
+        rng = np.random.default_rng(5)
+        wrong = data.intrinsics.copy()
+        # camera 0 is the gauge anchor (whole 9-dof block frozen), so its
+        # intrinsics must stay exact for an exact fit to exist
+        wrong[1:, 0] *= 1 + rng.normal(0, 0.05, len(wrong) - 1)
+        bad = bal.BALData(
+            data.T.copy(), wrong, data.pts.copy(), data.cam_idx, data.pt_idx, data.obs
+        )
+        g_fixed = build.bal_graph(bal.perturbed(bad), dtype=jnp.float64)
+        g_joint = build.bal_graph(
+            bal.perturbed(bad), dtype=jnp.float64, optimize_intrinsics=True
+        )
+        s_f, i_f = solve(g_fixed, Options(method="lm", max_iters=40))
+        s_j, i_j = solve(g_joint, Options(method="lm", max_iters=60))
+        assert float(i_j.chi2) < 1e-6  # exact data: joint model reaches 0
+        assert float(i_j.chi2) < float(i_f.chi2) * 1e-3  # fixed model cannot
+        est = np.asarray(s_j.blocks["poses"].values)[:, 16]
+        # anchored camera 0 keeps its (wrong) focal; free cameras recover
+        np.testing.assert_allclose(est[1:], data.intrinsics[1:, 0], rtol=1e-4)
+
+    def test_schur_matches_dense(self):
+        from pyslam_tpu.solver.schur import solve_schur
+
+        data = bal.perturbed(bal.synthetic_bal(n_cams=5, n_pts=40, seed=7))
+        g = build.bal_graph(data, dtype=jnp.float64, optimize_intrinsics=True)
+        opts = Options(method="lm", max_iters=30)
+        _, i_dense = solve(g, opts)
+        _, i_schur = solve_schur(g, opts, mode="dense")
+        np.testing.assert_allclose(
+            float(i_schur.chi2), float(i_dense.chi2), rtol=1e-6
+        )
