@@ -176,6 +176,10 @@ def route_auto(
         if (
             n_obs > 2_000_000
             and len(binary) == 1
+            # schur_large's component-major layout is specialized to
+            # (6, 3)-dof camera/landmark blocks ((18, M) W storage);
+            # 9-dof bal_cam9 graphs fall through to the generic Schur PCG
+            and blocks[pose_name].dof == 6
             and all(
                 fb.slots in ((pose_name,), (pose_name, pose_name)) for fb in others
             )
