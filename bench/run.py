@@ -315,7 +315,55 @@ def config_6():
     )
 
 
-CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5, 6: config_6}
+def config_7():
+    """Sim(3) scale-drift pose graph (beyond-reference; monocular loop
+    closure).  Baseline: the independent scipy GN harness (tests/scipy_ref
+    — logm/expm + finite differences + spsolve), the only other solver in
+    this environment that speaks Sim(3)."""
+    import jax.numpy as jnp
+
+    from pyslam_tpu.graph import build
+    from pyslam_tpu.io import synth
+    from pyslam_tpu.solver import Options, solve
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    import scipy_ref
+
+    data = synth.sim3_loop(
+        n_poses=400, n_loops=10, scale_drift=0.005, odo_scale_std=0.005, seed=0
+    )
+    key = "sim3_loop_400"
+    base = _cache().get(key)
+    if base is None:
+        t0 = time.perf_counter()
+        _, chi2_b, _ = scipy_ref.solve_pose_graph(data, max_iters=60)
+        base = {"chi2": float(chi2_b), "wall_s": time.perf_counter() - t0,
+                "label": "scipy-ref GN (logm/expm + FD jacobians + spsolve)"}
+        _cache_put(key, base)
+    g = build.sim3_pose_graph(data)
+    opts = Options(method="lm", max_iters=50)
+
+    def run():
+        s2, info = solve(g, opts)
+        import jax
+
+        jax.block_until_ready(s2.blocks["poses"].values)
+        return info
+
+    info, wall = _timed(run)
+    return dict(
+        config="7_sim3_scale_drift_400",
+        wall_s=wall,
+        iters=int(info.iterations),
+        chi2=float(info.chi2),
+        baseline_wall_s=base["wall_s"],
+        baseline_chi2=base["chi2"],
+        parity=float(info.chi2) <= base["chi2"] * 1.01,
+        speedup=base["wall_s"] / wall,
+    )
+
+
+CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5, 6: config_6, 7: config_7}
 
 
 def main():
