@@ -142,6 +142,48 @@ def register_factor(kind: str):
     return deco
 
 
+def register_autodiff_factor(kind: str, residual_fn: Callable, manifolds: tuple):
+    """Register a factor kind whose Jacobians come from jax autodiff — the
+    Ceres AutoDiffCostFunction ergonomic (the reference is 'modelled after
+    Ceres', SURVEY.md §0): users add factor types by writing ONLY the
+    batched residual.
+
+    ``residual_fn(data, *vals) -> (F, m)`` evaluates the residual batch;
+    ``manifolds`` names each slot's kind ('se3', 'sim3', 'euclidean', ...).
+    Jacobians are taken w.r.t. the SAME left-perturbation / retraction each
+    manifold's solver update uses (``retract``), so autodiff factors and
+    analytic factors are interchangeable in every solver path.  The trick:
+    one shared eps perturbs every row of a slot at once — each factor's
+    residual depends only on its own row, so ``jacfwd`` yields exactly the
+    per-factor (F, m, dof) blocks with no vmap.
+
+    Cost vs analytic kernels: one extra forward trace per slot at jit time
+    and jvp arithmetic at run time (typically ~2x the analytic kernel's
+    linearization flops) — measure before using on a hot path; for
+    prototyping and long-tail factor types it is the right trade.
+    """
+
+    def kernel(data, *vals, compute_jacobians=True):
+        r = residual_fn(data, *vals)
+        if not compute_jacobians:
+            return r, None
+        jacs = []
+        for i, kind_i in enumerate(manifolds):
+            dof = manifold_dof(kind_i, vals[i].shape[1:])
+
+            def f(eps, i=i, kind_i=kind_i, dof=dof):
+                vs = list(vals)
+                dx = jnp.broadcast_to(eps, (vs[i].shape[0], dof))
+                vs[i] = retract(kind_i, vs[i], dx)
+                return residual_fn(data, *vs)
+
+            jacs.append(jax.jacfwd(f)(jnp.zeros(dof, vals[i].dtype)))
+        return r, tuple(jacs)
+
+    FACTOR_KERNELS[kind] = kernel
+    return kernel
+
+
 def register_closed_kernel(kind: str, static_data: dict) -> str:
     """Register (or reuse) a kernel closing over non-factor-axis static data
     (e.g. an unbatched camera pytree) and return its registry name.
