@@ -36,7 +36,12 @@ def pose_graph(
     if data.dim == 3 and data.sqrt_info.shape[-1] == 7:
         # Sim(3) graphs (7-dof edges, e.g. EDGE_SIM3:QUAT files) route to
         # the similarity builder; 'chordal'/'spanning_tree' inits are
-        # rotation-only constructions and do not apply
+        # SE-only constructions — raise rather than silently downgrade
+        if init in ("chordal", "spanning_tree"):
+            raise ValueError(
+                f"init={init!r} is not implemented for Sim(3) graphs; use "
+                "'odometry' (default) or 'gt'"
+            )
         return sim3_pose_graph(
             data, loss=loss, anchor_first=anchor_first, dtype=dtype, init=init
         )
@@ -161,30 +166,47 @@ def bal_graph(
         packed = np.concatenate(
             [data.T.reshape(n_cams, 16), np.asarray(data.intrinsics)], axis=1
         )
-        blocks["poses"] = VariableBlock.create(
-            "bal_cam9", jnp.asarray(packed, dtype), const
-        )
-        batch = FactorBatch.create(
-            kind="reprojection_bal9",
-            slots=("poses", "landmarks"),
-            indices=(data.cam_idx, data.pt_idx),
-            data={"obs": jnp.asarray(data.obs, dtype), "sqrt_info": sqrt_info},
-            loss=loss,
-        )
-    else:
-        intr = jnp.asarray(data.intrinsics, dtype)[data.cam_idx]
-        blocks["poses"] = VariableBlock.create("se3", jnp.asarray(data.T, dtype), const)
-        batch = FactorBatch.create(
-            kind="reprojection_bal",
-            slots=("poses", "landmarks"),
-            indices=(data.cam_idx, data.pt_idx),
-            data={
-                "obs": jnp.asarray(data.obs, dtype),
-                "sqrt_info": sqrt_info,
-                "f": intr[:, 0],
-                "k1": intr[:, 1],
-                "k2": intr[:, 2],
-            },
-            loss=loss,
-        )
+        # gauge fixing must pin only the POSE dofs of camera 0: a const
+        # mask would freeze the whole 9-dof block and pin the anchor
+        # camera's intrinsics at their initial values — so the anchor is a
+        # stiff pose-only prior instead (prior_balcam_pose)
+        blocks["poses"] = VariableBlock.create("bal_cam9", jnp.asarray(packed, dtype))
+        batches = [
+            FactorBatch.create(
+                kind="reprojection_bal9",
+                slots=("poses", "landmarks"),
+                indices=(data.cam_idx, data.pt_idx),
+                data={"obs": jnp.asarray(data.obs, dtype), "sqrt_info": sqrt_info},
+                loss=loss,
+            )
+        ]
+        if anchor_first:
+            batches.append(
+                FactorBatch.create(
+                    kind="prior_balcam_pose",
+                    slots=("poses",),
+                    indices=(np.zeros(1, np.int32),),
+                    data={
+                        "T_obs": jnp.asarray(data.T[:1], dtype),
+                        "sqrt_info": jnp.asarray(np.eye(6)[None] * 1e6, dtype),
+                    },
+                    loss=L2Loss(),
+                )
+            )
+        return FactorGraph(blocks, batches)
+    intr = jnp.asarray(data.intrinsics, dtype)[data.cam_idx]
+    blocks["poses"] = VariableBlock.create("se3", jnp.asarray(data.T, dtype), const)
+    batch = FactorBatch.create(
+        kind="reprojection_bal",
+        slots=("poses", "landmarks"),
+        indices=(data.cam_idx, data.pt_idx),
+        data={
+            "obs": jnp.asarray(data.obs, dtype),
+            "sqrt_info": sqrt_info,
+            "f": intr[:, 0],
+            "k1": intr[:, 1],
+            "k2": intr[:, 2],
+        },
+        loss=loss,
+    )
     return FactorGraph(blocks, [batch])

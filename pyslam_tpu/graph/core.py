@@ -157,6 +157,14 @@ def register_autodiff_factor(kind: str, residual_fn: Callable, manifolds: tuple)
     residual depends only on its own row, so ``jacfwd`` yields exactly the
     per-factor (F, m, dof) blocks with no vmap.
 
+    RESTRICTION: row f of the residual must depend ONLY on row f of each
+    slot (the standard factor-graph contract).  A residual that couples
+    rows — e.g. normalizing by a batch statistic like
+    ``r / jnp.std(r)`` — silently folds every other row's derivative into
+    each block under the shared-eps trick.  ``check_autodiff_factor``
+    verifies the contract on concrete data; run it once in the factor's
+    test.
+
     Cost vs analytic kernels: one extra forward trace per slot at jit time
     and jvp arithmetic at run time (typically ~2x the analytic kernel's
     linearization flops) — measure before using on a hot path; for
@@ -182,6 +190,31 @@ def register_autodiff_factor(kind: str, residual_fn: Callable, manifolds: tuple)
 
     FACTOR_KERNELS[kind] = kernel
     return kernel
+
+
+def check_autodiff_factor(kind: str, data: dict, *vals, atol: float = 1e-6):
+    """Verify an autodiff-registered factor obeys the row-independence
+    contract: perturbing ONLY row 0 of each slot must change only row 0 of
+    the residual.  Raises ValueError on cross-row coupling (which would
+    make register_autodiff_factor's shared-eps Jacobians silently wrong).
+    Call once from the factor's test with representative data."""
+    import numpy as np
+
+    kernel = FACTOR_KERNELS[kind]
+    r0, _ = kernel(data, *vals, compute_jacobians=False)
+    for i, v in enumerate(vals):
+        eps = 1e-4 * (1.0 + jnp.arange(v[0].size, dtype=r0.dtype)).reshape(v.shape[1:])
+        v_pert = v.at[0].set(v[0] + eps.astype(v.dtype))
+        vs = list(vals)
+        vs[i] = v_pert
+        r1, _ = kernel(data, *vs, compute_jacobians=False)
+        other = np.abs(np.asarray(r1[1:] - r0[1:])).max() if r0.shape[0] > 1 else 0.0
+        if other > atol:
+            raise ValueError(
+                f"factor {kind!r} slot {i}: residual rows are coupled "
+                f"(perturbing row 0 moved other rows by {other:.2e}) — "
+                "register_autodiff_factor's Jacobians are invalid for it"
+            )
 
 
 def register_closed_kernel(kind: str, static_data: dict) -> str:

@@ -155,20 +155,21 @@ def reprojection_motion_only(data, T, compute_jacobians=True):
 # --------------------------------------------------------------------------
 
 
-@register_factor("reprojection_bal")
-def reprojection_bal(data, T, pt, compute_jacobians=True):
-    """Monocular BAL reprojection factor with radial distortion."""
+def _snavely(data, T, pt, f, k1, k2, compute_jacobians):
+    """Shared Snavely projection core for the fixed-intrinsics and 9-dof
+    BAL kernels: returns (r, S, p, pn, r2, d) with S = sqrt_info @
+    d pred/d p_cam (None when Jacobians are skipped) — one place for the
+    projection math, so the two kernels cannot drift apart."""
     p = se3.act(T, pt)
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     inv_z = 1.0 / z
     pn = -p[..., :2] * inv_z[..., None]
     r2 = jnp.sum(pn * pn, axis=-1)
-    f, k1, k2 = data["f"], data["k1"], data["k2"]
     d = 1.0 + r2 * (k1 + k2 * r2)
     pred = (f * d)[..., None] * pn
     r = _bmv(data["sqrt_info"], pred - data["obs"])
     if not compute_jacobians:
-        return r, None
+        return r, None, p, pn, r2, d
     # d pn / d p_cam  (F, 2, 3)
     zeros = jnp.zeros_like(x)
     J_pn = jnp.stack(
@@ -185,6 +186,17 @@ def reprojection_bal(data, T, pt, compute_jacobians=True):
         d[..., None, None] * eye2 + pn[..., :, None] * dd[..., None, :]
     )
     S = _bmm(_bmm(data["sqrt_info"], J_pred), J_pn)  # (F, 2, 3)
+    return r, S, p, pn, r2, d
+
+
+@register_factor("reprojection_bal")
+def reprojection_bal(data, T, pt, compute_jacobians=True):
+    """Monocular BAL reprojection factor with radial distortion."""
+    r, S, p, _, _, _ = _snavely(
+        data, T, pt, data["f"], data["k1"], data["k2"], compute_jacobians
+    )
+    if not compute_jacobians:
+        return r, None
     J_T = _bmm(S, se3.odot(p))
     J_pt = _bmm(S, T[..., :3, :3])
     return r, (J_T, J_pt)
@@ -195,34 +207,14 @@ def reprojection_bal9(data, cam, pt, compute_jacobians=True):
     """Full BAL camera: monocular radial-distortion reprojection with the
     intrinsics [f, k1, k2] OPTIMIZED jointly with the pose — the real BAL
     problem's 9-dof camera (the fixed-intrinsics variant is
-    ``reprojection_bal``).  ``cam`` is the (F, 19) bal_cam9 product-manifold
-    storage [vec(T), f, k1, k2] (graph/core.py _retract_bal_cam9)."""
+    ``reprojection_bal``; both share ``_snavely``).  ``cam`` is the (F, 19)
+    bal_cam9 product-manifold storage [vec(T), f, k1, k2] (graph/core.py
+    _retract_bal_cam9)."""
     T = cam[..., :16].reshape(cam.shape[:-1] + (4, 4))
     f, k1, k2 = cam[..., 16], cam[..., 17], cam[..., 18]
-    p = se3.act(T, pt)
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    inv_z = 1.0 / z
-    pn = -p[..., :2] * inv_z[..., None]
-    r2 = jnp.sum(pn * pn, axis=-1)
-    d = 1.0 + r2 * (k1 + k2 * r2)
-    pred = (f * d)[..., None] * pn
-    r = _bmv(data["sqrt_info"], pred - data["obs"])
+    r, S, p, pn, r2, d = _snavely(data, T, pt, f, k1, k2, compute_jacobians)
     if not compute_jacobians:
         return r, None
-    zeros = jnp.zeros_like(x)
-    J_pn = jnp.stack(
-        [
-            jnp.stack([-inv_z, zeros, x * inv_z * inv_z], axis=-1),
-            jnp.stack([zeros, -inv_z, y * inv_z * inv_z], axis=-1),
-        ],
-        axis=-2,
-    )
-    dd = (2.0 * (k1 + 2.0 * k2 * r2))[..., None] * pn
-    eye2 = jnp.eye(2, dtype=pred.dtype)
-    J_pred = f[..., None, None] * (
-        d[..., None, None] * eye2 + pn[..., :, None] * dd[..., None, :]
-    )
-    S = _bmm(_bmm(data["sqrt_info"], J_pred), J_pn)  # (F, 2, 3)
     J_T = _bmm(S, se3.odot(p))
     J_pt = _bmm(S, T[..., :3, :3])
     # intrinsics columns: d pred/df = d*pn; /dk1 = f r^2 pn; /dk2 = f r^4 pn
@@ -236,6 +228,22 @@ def reprojection_bal9(data, cam, pt, compute_jacobians=True):
     )  # (F, 2, 3)
     J_cam = jnp.concatenate([J_T, _bmm(data["sqrt_info"], J_intr)], axis=-1)
     return r, (J_cam, J_pt)
+
+@register_factor("prior_balcam_pose")
+def prior_balcam_pose(data, cam, compute_jacobians=True):
+    """Unary SE(3) prior on the POSE part of a bal_cam9 camera (the gauge
+    anchor for optimize_intrinsics graphs: freezing the whole 9-dof block
+    would pin the anchor camera's intrinsics at their initial values)."""
+    T = cam[..., :16].reshape(cam.shape[:-1] + (4, 4))
+    r_local = se3.log(T @ se3.inv(data["T_obs"]))
+    r = _bmv(data["sqrt_info"], r_local)
+    if not compute_jacobians:
+        return r, None
+    J_pose = _bmm(data["sqrt_info"], se3.inv_left_jacobian(r_local))
+    J = jnp.concatenate(
+        [J_pose, jnp.zeros(J_pose.shape[:-1] + (3,), J_pose.dtype)], axis=-1
+    )
+    return r, (J,)
 
 
 # --------------------------------------------------------------------------

@@ -152,9 +152,13 @@ def route_auto(
             binary = [fb for fb in graph.batches if fb.slots == (pose_name, lm_name)]
             n_obs = sum(fb.n for fb in binary)
             # per-device block-layout slab: ~3 padded tiles per observation
-            # (W + per-obs Hpp/Hll contributions)
+            # (W + per-obs Hpp/Hll contributions).  schur_cm's flat
+            # component-major layout hardcodes (6, 3)-dof blocks; 9-dof
+            # bal_cam9 graphs stay on the dof-generic schur_reduce.
             slab_bytes = (n_obs // max(n_dev, 1)) * 3 * _TILE_BYTES
-            return "schur_cm" if slab_bytes > device_hbm_budget_bytes else "schur_reduce"
+            if slab_bytes > device_hbm_budget_bytes and blocks[pose_name].dof == 6:
+                return "schur_cm"
+            return "schur_reduce"
         if len(blocks) == 1:
             if graph.total_dof <= tiny_dof:
                 return "factor_parallel"

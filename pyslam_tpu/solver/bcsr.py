@@ -681,6 +681,12 @@ def solve_ell(
         def assemble_fn(g):
             return assemble_ell(g, plan)
 
+        def matvec_fn(He, x):
+            # H @ x on an (optionally damped) ELL store — shared by the CG
+            # loop and dogleg's model evaluation so the two cannot drift
+            xg = x.reshape(nb, d)[cols]
+            return jnp.einsum("rkij,rkj->ri", He, xg).reshape(-1)
+
         def solve_fn(He, g, lam, opt):
             from jax.scipy.linalg import cho_solve
 
@@ -694,8 +700,7 @@ def solve_ell(
             Minv = sym_block_inv(D)
 
             def matvec(x):
-                xg = x.reshape(nb, d)[cols]
-                return jnp.einsum("rkij,rkj->ri", He_d, xg).reshape(-1)
+                return matvec_fn(He_d, x)
 
             if precond == "two_level":
                 # A_c = P^T A P: one segment-sum of the ELL blocks per
@@ -725,12 +730,6 @@ def solve_ell(
                 matvec, g, precond=precond_fn, rtol=pcg_rtol, max_iters=pcg_max_iters
             )
             return dx
-
-        def matvec_fn(He, x):
-            # undamped H @ x on the assembled ELL store (dogleg's model
-            # evaluation; solve_fn applies its own damping separately)
-            xg = x.reshape(nb, d)[cols]
-            return jnp.einsum("rkij,rkj->ri", He, xg).reshape(-1)
 
         _CLOSURES[key] = (assemble_fn, solve_fn, matvec_fn)
     assemble_fn, solve_fn, matvec_fn = _CLOSURES[key]

@@ -104,3 +104,31 @@ class TestCustomFactor:
         assert float(info.chi2) < 1e-12
         err = np.asarray(g2.blocks["beacons"].values) - np.asarray(beacons_gt)
         assert float(np.abs(err).max()) < 1e-6
+
+
+class TestRowIndependenceCheck:
+    def test_accepts_proper_factor(self, rng):
+        from pyslam_tpu.graph import check_autodiff_factor
+
+        T1 = se3.exp(jnp.asarray(rng.normal(size=(5, 6)) * 0.4))
+        T2 = se3.exp(jnp.asarray(rng.normal(size=(5, 6)) * 0.4))
+        data = {
+            "T_obs": se3.exp(jnp.asarray(rng.normal(size=(5, 6)) * 0.2)),
+            "sqrt_info": jnp.broadcast_to(jnp.eye(6), (5, 6, 6)),
+        }
+        check_autodiff_factor("between_se3_ad", data, T1, T2)
+
+    def test_rejects_row_coupled_residual(self, rng):
+        import pytest
+
+        from pyslam_tpu.graph import check_autodiff_factor, register_autodiff_factor
+
+        def coupled(data, x):
+            r = x - data["obs"]
+            return r / jnp.std(r)  # batch statistic couples the rows
+
+        register_autodiff_factor("coupled_demo", coupled, ("euclidean",))
+        x = jnp.asarray(rng.normal(size=(6, 3)))
+        data = {"obs": jnp.asarray(rng.normal(size=(6, 3)))}
+        with pytest.raises(ValueError, match="coupled"):
+            check_autodiff_factor("coupled_demo", data, x)

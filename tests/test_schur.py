@@ -255,9 +255,10 @@ class TestBal9Cameras:
         data = bal.synthetic_bal(n_cams=6, n_pts=60, pixel_std=0.0, seed=3)
         rng = np.random.default_rng(5)
         wrong = data.intrinsics.copy()
-        # camera 0 is the gauge anchor (whole 9-dof block frozen), so its
-        # intrinsics must stay exact for an exact fit to exist
-        wrong[1:, 0] *= 1 + rng.normal(0, 0.05, len(wrong) - 1)
+        # ALL intrinsics perturbed, including the anchor camera's: the
+        # gauge is a pose-only prior (prior_balcam_pose), so camera 0's
+        # intrinsics are free to recover too
+        wrong[:, 0] *= 1 + rng.normal(0, 0.05, len(wrong))
         bad = bal.BALData(
             data.T.copy(), wrong, data.pts.copy(), data.cam_idx, data.pt_idx, data.obs
         )
@@ -270,8 +271,8 @@ class TestBal9Cameras:
         assert float(i_j.chi2) < 1e-6  # exact data: joint model reaches 0
         assert float(i_j.chi2) < float(i_f.chi2) * 1e-3  # fixed model cannot
         est = np.asarray(s_j.blocks["poses"].values)[:, 16]
-        # anchored camera 0 keeps its (wrong) focal; free cameras recover
-        np.testing.assert_allclose(est[1:], data.intrinsics[1:, 0], rtol=1e-4)
+        # every camera's focal recovers, including the pose-anchored one
+        np.testing.assert_allclose(est, data.intrinsics[:, 0], rtol=1e-4)
 
     def test_schur_matches_dense(self):
         from pyslam_tpu.solver.schur import solve_schur
