@@ -285,3 +285,29 @@ class TestBal9Cameras:
         np.testing.assert_allclose(
             float(i_schur.chi2), float(i_dense.chi2), rtol=1e-6
         )
+
+    def test_anchor_prior_jacobian_vs_autodiff(self, rng):
+        import jax
+
+        from pyslam_tpu.graph.core import FACTOR_KERNELS, MANIFOLDS
+        from pyslam_tpu.lie import se3
+
+        T = se3.exp(jnp.asarray(rng.normal(size=(3, 6)) * 0.3))
+        intr = jnp.asarray(np.tile([700.0, -1e-3, 1e-5], (3, 1)))
+        cam = jnp.concatenate([T.reshape(3, 16), intr], axis=1)
+        data = {
+            "T_obs": se3.exp(jnp.asarray(rng.normal(size=(3, 6)) * 0.2)),
+            "sqrt_info": jnp.broadcast_to(jnp.eye(6), (3, 6, 6)),
+        }
+        kern = FACTOR_KERNELS["prior_balcam_pose"]
+        r, (J,) = kern(data, cam)
+        retract = MANIFOLDS["bal_cam9"]["retract"]
+
+        def f(eps):
+            return kern(data, retract(cam, jnp.broadcast_to(eps, (3, 9))), False)[0]
+
+        J_auto = jax.jacfwd(f)(jnp.zeros(9))
+        # jacfwd over the shared eps gives (3, 6, 9) per-factor blocks
+        np.testing.assert_allclose(J, J_auto, atol=1e-8)
+        # intrinsics columns are exactly zero (pose-only prior)
+        np.testing.assert_allclose(J[..., 6:], 0.0, atol=0)
