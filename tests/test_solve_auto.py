@@ -231,3 +231,26 @@ class TestSparseCholRoute:
         )
         _, info_ref = solve_auto(g, Options(method="lm", max_iters=20))
         np.testing.assert_allclose(float(info.chi2), float(info_ref.chi2), rtol=1e-8)
+
+
+class TestBal9Routes:
+    def test_small_bal9_routes_schur_dense_and_solves(self):
+        from pyslam_tpu.io import bal
+
+        data = bal.perturbed(bal.synthetic_bal(n_cams=6, n_pts=60, seed=2))
+        g = build.bal_graph(data, dtype=jnp.float64, optimize_intrinsics=True)
+        assert route_auto(g) == "schur_dense"
+        solved, info = solve_auto(g, Options(method="lm", max_iters=25))
+        assert float(info.chi2) < float(g.chi2()) * 0.01
+
+    def test_mesh_bal9_never_routes_schur_cm(self):
+        # schur_cm hardcodes (6, 3)-dof blocks; a 9-dof camera graph over
+        # a mesh must stay on the dof-generic schur_reduce even when the
+        # per-device slab exceeds the budget
+        from pyslam_tpu.dist import make_mesh
+        from pyslam_tpu.io import bal
+
+        data = bal.perturbed(bal.synthetic_bal(n_cams=6, n_pts=60, seed=2))
+        g = build.bal_graph(data, dtype=jnp.float32, optimize_intrinsics=True)
+        mesh = make_mesh(8)
+        assert route_auto(g, mesh=mesh, device_hbm_budget_bytes=1) == "schur_reduce"
