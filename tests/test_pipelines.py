@@ -308,3 +308,86 @@ class TestPrefetch:
         np.testing.assert_allclose(
             np.stack(pre.T_c_w), np.stack(plain.T_c_w), atol=1e-7
         )
+
+
+class TestPhotometricAffine:
+    """photometric_affine_se3: VarPro-eliminated gain/bias (PAPERS.md arXiv
+    2512.07969; DSO-style brightness transfer)."""
+
+    def _make_data(self, im_track):
+        im, depth = render_rgbd(np.zeros(3))
+        cam = RGBDCamera(**CAM)
+        res = PhotometricResidualSE3(cam, im, depth, im_track, stiffness=2.0)
+        return {
+            k: (v if k == "camera" else jnp.asarray(v)[None])
+            for k, v in res.batch_data().items()
+        }
+
+    def _solve(self, kern_name, data, T0=jnp.eye(4)):
+        from pyslam_tpu.graph import FactorBatch, FactorGraph, VariableBlock
+        from pyslam_tpu.losses import L2Loss
+        from pyslam_tpu.solver import Options, solve
+
+        g = FactorGraph(
+            {"pose": VariableBlock.create("se3", jnp.asarray(T0, jnp.float64)[None])},
+            [
+                FactorBatch.create(
+                    kern_name, ("pose",), (np.zeros(1, np.int32),), data, L2Loss()
+                )
+            ],
+        )
+        solved, info = solve(
+            g, Options(method="lm", max_iters=60, min_cost_decrease=0.9999)
+        )
+        return np.asarray(solved.blocks["pose"].values[0]), float(info.chi2)
+
+    def test_absorbs_gain_and_bias(self):
+        t_true = np.array([0.05, -0.03, 0.02])
+        im_clean, _ = render_rgbd(t_true)
+        im_shifted = 1.3 * im_clean + 0.07  # exposure + lighting change
+
+        T_ref, _ = self._solve("photometric_se3", self._make_data(im_clean))
+        # plain kernel on the shifted image: biased estimate
+        T_plain, chi2_plain = self._solve(
+            "photometric_se3", self._make_data(im_shifted)
+        )
+        # affine kernel on the shifted image: matches the clean-image pose
+        T_aff, chi2_aff = self._solve(
+            "photometric_affine_se3", self._make_data(im_shifted)
+        )
+        err_plain = float(jnp.abs(se3.log(jnp.asarray(T_plain) @ se3.inv(jnp.asarray(T_ref)))).max())
+        err_aff = float(jnp.abs(se3.log(jnp.asarray(T_aff) @ se3.inv(jnp.asarray(T_ref)))).max())
+        # the plain kernel fails CATASTROPHICALLY on the shifted image: the
+        # cheapest way to explain a global intensity shift is to warp every
+        # pixel out of bounds (measured err ~20, chi2 -> 0 on all-invalid);
+        # the affine kernel absorbs the shift and recovers the pose
+        assert err_aff < 5e-3
+        assert err_plain > 100 * err_aff
+
+    def test_reduces_to_plain_under_constancy(self):
+        t_true = np.array([0.04, 0.02, -0.01])
+        im_clean, _ = render_rgbd(t_true)
+        data = self._make_data(im_clean)
+        T_plain, _ = self._solve("photometric_se3", data)
+        T_aff, _ = self._solve("photometric_affine_se3", data)
+        # the 2 eliminated dofs weaken pose observability slightly, so
+        # "reduces to plain" holds to ~1e-3, not machine precision
+        err = float(jnp.abs(se3.log(jnp.asarray(T_aff) @ se3.inv(jnp.asarray(T_plain)))).max())
+        assert err < 2e-3
+
+    def test_jacobian_vs_autodiff(self):
+        # Kaufman convention: (a*, b*) under stop_gradient, so kernel
+        # autodiff equals the analytic blocks exactly
+        im_track, _ = render_rgbd(np.array([0.05, -0.03, 0.02]))
+        data = self._make_data(1.2 * im_track + 0.05)
+        kern = FACTOR_KERNELS["photometric_affine_se3"]
+        T0 = jnp.asarray(se3.exp(jnp.asarray([0.01, -0.02, 0.005, 0.002, -0.001, 0.003])))
+        r, (J,) = kern(data, T0[None], compute_jacobians=True)
+
+        def r_of(eps):
+            T = se3.exp(eps[None])[0] @ T0
+            rr, _ = kern(data, T[None], compute_jacobians=False)
+            return rr[0]
+
+        J_num = jax.jacfwd(r_of)(jnp.zeros(6, jnp.float64))
+        np.testing.assert_allclose(np.asarray(J[0]), np.asarray(J_num), atol=1e-9)
