@@ -52,12 +52,12 @@ def _device_pyramid(im, levels: int):
     return tuple(ims)
 
 
-@partial(jax.jit, static_argnames=("nu",))
-def _estimate_tdist_scale(data, T_init, nu):
+@partial(jax.jit, static_argnames=("nu", "kind"))
+def _estimate_tdist_scale(data, T_init, nu, kind="photometric_se3"):
     """Fixed-point Student-t scale from the residuals at the initial pose."""
     from ..graph.core import FACTOR_KERNELS
 
-    r, _ = FACTOR_KERNELS["photometric_se3"](
+    r, _ = FACTOR_KERNELS[kind](
         data, T_init[None], compute_jacobians=False
     )
     m = data["mask"]
@@ -71,8 +71,9 @@ def _estimate_tdist_scale(data, T_init, nu):
     return jnp.sqrt(sigma2)
 
 
-@partial(jax.jit, static_argnames=("options", "nu"))
-def _track_levels_fused(options, nu, fixed_loss, levels, pyr, stiffness, T_init):
+@partial(jax.jit, static_argnames=("options", "nu", "kind"))
+def _track_levels_fused(options, nu, fixed_loss, levels, pyr, stiffness, T_init,
+                        kind="photometric_se3"):
     """Coarse-to-fine pyramid tracking in one XLA program.
 
     ``levels``: per-level (camera, pt_ref, I_ref, mask); ``pyr``: per-level
@@ -98,12 +99,12 @@ def _track_levels_fused(options, nu, fixed_loss, levels, pyr, stiffness, T_init)
             "stiffness": stiffness[None].astype(I_ref.dtype),
         }
         if nu is not None:
-            sigma = _estimate_tdist_scale(data, T, nu)
+            sigma = _estimate_tdist_scale(data, T, nu, kind)
             loss = TDistributionLoss(nu=nu, scale=sigma)
         else:
             loss = fixed_loss
         batch = FactorBatch.create(
-            kind="photometric_se3",
+            kind=kind,
             slots=("pose",),
             indices=(np.zeros(1, np.int32),),
             data=data,
@@ -131,6 +132,7 @@ class _DensePipelineBase:
         max_iters_per_level: int = 15,
         depth_stiffness: float | None = None,
         pixel_budget: int | None = 24576,
+        affine_illumination: bool = False,
     ):
         self.camera = camera
         self.pyrlevels = pyrlevels
@@ -140,6 +142,11 @@ class _DensePipelineBase:
         self.stiffness = stiffness
         self.min_grad = min_grad
         self.pixel_budget = pixel_budget
+        # DSO-style brightness transfer: per-frame gain/bias eliminated by
+        # variable projection inside the kernel (pipelines/photometric.py)
+        self._kind = (
+            "photometric_affine_se3" if affine_illumination else "photometric_se3"
+        )
         # tight per-level stopping: photometric alignment needs the tail
         # iterations (cost decrease per step shrinks fast near the optimum)
         self.options = lm.Options(
@@ -184,7 +191,7 @@ class _DensePipelineBase:
         loss = self.loss
         if not (isinstance(loss, TDistributionLoss) and loss.scale is None):
             return loss
-        sigma = _estimate_tdist_scale(data, jnp.asarray(T_init), loss.nu)
+        sigma = _estimate_tdist_scale(data, jnp.asarray(T_init), loss.nu, self._kind)
         return TDistributionLoss(nu=loss.nu, scale=sigma)
 
     def _solve_level(self, level_data, im_track_l, T_init: np.ndarray) -> np.ndarray:
@@ -200,7 +207,7 @@ class _DensePipelineBase:
             "stiffness": jnp.asarray([self.stiffness], level_data.I_ref.dtype),
         }
         batch = FactorBatch.create(
-            kind="photometric_se3",
+            kind=self._kind,
             slots=("pose",),
             indices=(np.zeros(1, np.int32),),
             data=data,
@@ -238,6 +245,7 @@ class _DensePipelineBase:
             tuple(pyr),
             self._stiff_dev,
             jnp.asarray(guess, jnp.float32),
+            self._kind,
         )
         return np.asarray(T)
 

@@ -391,3 +391,23 @@ class TestPhotometricAffine:
 
         J_num = jax.jacfwd(r_of)(jnp.zeros(6, jnp.float64))
         np.testing.assert_allclose(np.asarray(J[0]), np.asarray(J_num), atol=1e-9)
+
+    def test_pipeline_tracks_through_exposure_changes(self):
+        # RGB-D pipeline with per-frame exposure changes: the affine
+        # pipeline keeps tracking; translations recovered near truth
+        cam = RGBDCamera(**CAM)
+        rng = np.random.default_rng(0)
+        pipe = DenseRGBDPipeline(
+            cam, pyrlevels=3, affine_illumination=True,
+            keyframe_trans_thresh=10.0,
+        )
+        traj = [np.array([0.02 * k, -0.01 * k, 0.015 * k]) for k in range(4)]
+        for k, t in enumerate(traj):
+            im, depth = render_rgbd(t)
+            gain = 1.0 + 0.25 * rng.standard_normal()
+            bias = 0.1 * rng.standard_normal()
+            pipe.track(np.clip(gain * im + bias, 0.0, 2.0), depth)
+        est = np.stack(pipe.T_c_w)
+        for k, t in enumerate(traj):
+            # T_c_w translation for identity rotation: p_cam = p_w - t
+            np.testing.assert_allclose(est[k][:3, 3], -t, atol=5e-3)
