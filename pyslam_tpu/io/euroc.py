@@ -19,22 +19,50 @@ from __future__ import annotations
 
 import numpy as np
 
+from .trajectory import _quat_from_R, _R_from_quat
+
 
 def _read_csv(path):
-    rows = []
+    """(t_ns (N,) int64, values (N, D) float64).  Timestamps are parsed as
+    int64: real EuRoC epochs are ~1.4e18 ns, beyond float64's 2^53 integer
+    range — parsing them as float quantizes at ~256 ns and jitters every
+    dt/boundary comparison downstream."""
+    ts, rows = [], []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            rows.append([float(v) for v in line.split(",")])
-    return np.asarray(rows)
+            tok = line.split(",")
+            ts.append(int(tok[0]))
+            rows.append([float(v) for v in tok[1:]])
+    return np.asarray(ts, np.int64), np.asarray(rows)
 
 
-def read_imu(path):
-    """imu0/data.csv -> (t (K,) seconds, omega (K, 3), accel (K, 3))."""
-    M = _read_csv(path)
-    return M[:, 0] * 1e-9, M[:, 1:4], M[:, 4:7]
+def first_timestamp_ns(path) -> int:
+    """The file's first timestamp — use ONE file's origin for every file of
+    a sequence so the relative times stay mutually aligned."""
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                return int(line.split(",")[0])
+    raise ValueError(f"no records in {path}")
+
+
+def _rel_seconds(t_ns, origin_ns):
+    origin = int(t_ns[0]) if origin_ns is None else int(origin_ns)
+    return (t_ns - origin).astype(np.float64) * 1e-9
+
+
+def read_imu(path, origin_ns: int | None = None):
+    """imu0/data.csv -> (t (K,) seconds, omega (K, 3), accel (K, 3)).
+
+    ``t`` is relative to ``origin_ns`` (default: this file's first record)
+    so it is float64-exact; pass one shared origin when aligning several
+    files (``first_timestamp_ns``)."""
+    t_ns, M = _read_csv(path)
+    return _rel_seconds(t_ns, origin_ns), M[:, 0:3], M[:, 3:6]
 
 
 def write_imu(path, t, omega, accel):
@@ -54,55 +82,34 @@ def write_imu(path, t, omega, accel):
 
 
 def _quat_wxyz_to_R(q):
-    w, x, y, z = q
-    n = w * w + x * x + y * y + z * z
-    s = 2.0 / n
-    return np.array(
-        [
-            [1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w)],
-            [s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w)],
-            [s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y)],
-        ]
-    )
+    """EuRoC stores scalar-FIRST quaternions; io/trajectory.py's scipy
+    helpers are scalar-last — reorder instead of re-deriving the math."""
+    q = np.asarray(q)
+    return _R_from_quat(np.concatenate([q[1:], q[:1]]))
 
 
 def _R_to_quat_wxyz(R):
-    t = np.trace(R)
-    if t > 0:
-        w = 0.5 * np.sqrt(1 + t)
-        f = 0.25 / w
-        return np.array(
-            [w, (R[2, 1] - R[1, 2]) * f, (R[0, 2] - R[2, 0]) * f, (R[1, 0] - R[0, 1]) * f]
-        )
-    i = int(np.argmax(np.diagonal(R)))
-    j, k = (i + 1) % 3, (i + 2) % 3
-    q = np.zeros(3)
-    qi = 0.5 * np.sqrt(1 + R[i, i] - R[j, j] - R[k, k])
-    f = 0.25 / qi
-    out = np.zeros(4)
-    out[0] = (R[k, j] - R[j, k]) * f
-    out[1 + i] = qi
-    out[1 + j] = (R[j, i] + R[i, j]) * f
-    out[1 + k] = (R[k, i] + R[i, k]) * f
-    return out
+    q = _quat_from_R(np.asarray(R))
+    return np.concatenate([q[3:], q[:3]])
 
 
-def read_groundtruth(path):
+def read_groundtruth(path, origin_ns: int | None = None):
     """state_groundtruth_estimate0/data.csv ->
     (t (N,) s, T_b_w (N, 4, 4), v (N, 3), b_gyro (N, 3), b_accel (N, 3)).
 
     The file stores T_WB (body-to-world); returned poses are inverted into
-    the framework's world-to-body convention."""
-    M = _read_csv(path)
-    t = M[:, 0] * 1e-9
+    the framework's world-to-body convention.  ``t`` is relative to
+    ``origin_ns`` (default: this file's first record)."""
+    t_ns, M = _read_csv(path)
+    t = _rel_seconds(t_ns, origin_ns)
     N = len(M)
     T = np.zeros((N, 4, 4))
     for i in range(N):
-        R_wb = _quat_wxyz_to_R(M[i, 4:8])
+        R_wb = _quat_wxyz_to_R(M[i, 3:7])
         T[i] = np.eye(4)
         T[i][:3, :3] = R_wb.T
-        T[i][:3, 3] = -R_wb.T @ M[i, 1:4]
-    return t, T, M[:, 8:11], M[:, 11:14], M[:, 14:17]
+        T[i][:3, 3] = -R_wb.T @ M[i, 0:3]
+    return t, T, M[:, 7:10], M[:, 10:13], M[:, 13:16]
 
 
 def write_groundtruth(path, t, T_b_w, v, b_gyro=None, b_accel=None):
@@ -134,16 +141,28 @@ def write_groundtruth(path, t, T_b_w, v, b_gyro=None, b_accel=None):
 def segment_imu(t_imu, omega, accel, t_keyframes):
     """Split a continuous IMU stream into per-keyframe-interval sample
     arrays for ``imu.preintegrate``: returns a list of (omega_i, accel_i,
-    dts_i) covering [t_kf[i], t_kf[i+1]).  Sample k's interval is
-    t[k+1] - t[k] (last sample of a segment integrates up to the keyframe
-    boundary)."""
+    dts_i) whose dts sum EXACTLY to t_kf[i+1] - t_kf[i].
+
+    Camera timestamps do not coincide with IMU sample times on real data,
+    so the gap [t_kf[i], t_first_sample) is covered by zero-order hold of
+    the last sample BEFORE the boundary (the nearest measurement of the
+    signal over that gap); dropping it instead would lose up to one IMU
+    period of gravity integration per interval — a systematic dv bias."""
     out = []
     for i in range(len(t_keyframes) - 1):
         lo, hi = t_keyframes[i], t_keyframes[i + 1]
         sel = np.nonzero((t_imu >= lo) & (t_imu < hi))[0]
         if len(sel) == 0:
             raise ValueError(f"no IMU samples in keyframe interval {i}")
-        bounds = np.concatenate([t_imu[sel], [hi]])
+        idx = list(sel)
+        times = list(t_imu[sel])
+        if times[0] > lo:
+            # hold the last pre-boundary sample (or the first in-interval
+            # one when the stream starts inside the interval) across the gap
+            hold = sel[0] - 1 if sel[0] > 0 else sel[0]
+            idx = [hold] + idx
+            times = [lo] + times
+        bounds = np.asarray(times + [hi])
         dts = np.diff(bounds)
-        out.append((omega[sel], accel[sel], dts))
+        out.append((omega[idx], accel[idx], dts))
     return out

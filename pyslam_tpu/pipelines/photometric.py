@@ -26,8 +26,9 @@ from ..utils import bilinear_interpolate, bilinear_interpolate_packed
 
 def _warp_and_sample(data, T, need_jac):
     """Shared warp + bilinear-sampling stage of the photometric kernels:
-    returns (I_w, gu, gv, valid, cam_jac, p_safe) with gu/gv/cam_jac None
-    when Jacobians are skipped."""
+    returns (I_w, gu, gv, valid, cam_jac, p_safe).  Only cam_jac is None
+    when Jacobians are skipped; gu/gv are always sampled (the residual-only
+    path relies on XLA dead-code elimination to drop them under jit)."""
     cam = data["camera"]
     pt_ref, mask = data["pt_ref"], data["mask"]
     im = data["im_track"]

@@ -74,8 +74,9 @@ class IncrementalSmoother:
         self._T_obs = np.tile(eye, (self.fcap, 1, 1))
         self._S = np.tile(np.eye(self._dof), (self.fcap, 1, 1))
         self._w = np.zeros(self.fcap)
-        self.compiles = 0  # capacity-change count == fresh executables
+        self.compiles = 0  # fresh-executable count (structure-key changes)
         self._prior_batches: list = []  # carried marginalization priors
+        self._handed_off = False  # host arrays aliased by device since last copy
 
     # ------------------------------------------------------------ building
     def add_pose(self, T_init) -> int:
@@ -86,8 +87,14 @@ class IncrementalSmoother:
             self._const = np.concatenate([self._const, np.ones(new - self.cap, bool)])
             self.cap = new
         i = self.n
-        self._T = self._T.copy()  # copy-on-write: device may alias (CLAUDE.md)
-        self._const = self._const.copy()
+        if self._handed_off:
+            # copy-on-write ONCE per device handoff (CLAUDE.md zero-copy
+            # aliasing rule) — copying on every add would be O(N^2)
+            self._T = self._T.copy()
+            self._const = self._const.copy()
+            for name in ("_fi", "_fj", "_T_obs", "_S", "_w"):
+                setattr(self, name, getattr(self, name).copy())
+            self._handed_off = False
         self._T[i] = np.asarray(T_init)
         self._const[i] = i == 0  # anchor stays const
         self.n += 1
@@ -106,8 +113,12 @@ class IncrementalSmoother:
             self._w = np.concatenate([self._w, np.zeros(g)])
             self.fcap = new
         k = self.m
-        for name in ("_fi", "_fj", "_T_obs", "_S", "_w"):
-            setattr(self, name, getattr(self, name).copy())  # copy-on-write
+        if self._handed_off:
+            self._T = self._T.copy()
+            self._const = self._const.copy()
+            for name in ("_fi", "_fj", "_T_obs", "_S", "_w"):
+                setattr(self, name, getattr(self, name).copy())
+            self._handed_off = False
         self._fi[k], self._fj[k] = i, j
         self._T_obs[k] = np.asarray(T_obs)
         self._S[k] = np.asarray(sqrt_info)
@@ -143,12 +154,23 @@ class IncrementalSmoother:
         Same-capacity updates hit the jit cache (one dispatch); capacity
         growth triggers one fresh compile and is counted in .compiles."""
         g = self._graph()
-        key = (self.cap, self.fcap, len(self._prior_batches))
+        self._handed_off = True
+        # the jit cache keys on shapes + pytree structure: capacities AND
+        # every carried prior batch's data shapes
+        key = (
+            self.cap,
+            self.fcap,
+            tuple(
+                (fb.kind, tuple(sorted((k, np.shape(v)) for k, v in fb.data.items())))
+                for fb in self._prior_batches
+            ),
+        )
         if key != getattr(self, "_last_key", None):
             self.compiles += 1
             self._last_key = key
         solved, info = _lm.solve(g, self.opts)
         self._T = np.array(solved.blocks["poses"].values)  # host mirror copy
+        self._handed_off = False  # _T is a fresh copy; factor arrays unchanged
         return self._T[: self.n], info
 
     def poses(self):
@@ -156,9 +178,10 @@ class IncrementalSmoother:
 
     # -------------------------------------------------------- marginalizing
     def marginalize_oldest(self, keep_last: int):
-        """Retire all but the newest ``keep_last`` poses into a dense FEJ
-        prior (graph/marginalize.py).  Note: this REINDEXES poses (0 becomes
-        the oldest kept pose) and changes the graph structure, so the next
+        """Retire old poses into a dense FEJ prior (graph/marginalize.py),
+        keeping the gauge anchor (pose 0) plus the newest ``keep_last``
+        poses.  Note: this REINDEXES poses (1 becomes the oldest kept
+        non-anchor pose) and changes the graph structure, so the next
         update compiles fresh."""
         from ..graph.marginalize import marginalize
 
@@ -188,9 +211,9 @@ class IncrementalSmoother:
             ]
             + self._prior_batches,
         )
-        targets = list(range(1, self.n - keep_last + 1))  # keep anchor 0?
-        # the anchor must survive: marginalize refuses const targets, so
-        # retire poses 1..n-keep_last and keep 0 as the gauge
+        # the anchor must survive (marginalize refuses const targets): retire
+        # poses 1 .. n-keep_last-1, keeping 0 plus the newest keep_last
+        targets = list(range(1, self.n - keep_last))
         g2 = marginalize(live, {"poses": targets})
         blk = g2.blocks["poses"]
         n_new = blk.n

@@ -72,3 +72,40 @@ class TestFileToVio:
                 np.array([0.0, 0.1]), np.zeros((2, 3)), np.zeros((2, 3)),
                 np.array([0.0, 0.05, 0.07, 0.2]),
             )
+
+
+class TestMisalignedBoundaries:
+    def test_segments_cover_exact_intervals(self):
+        # real camera timestamps do NOT coincide with IMU sample times:
+        # each segment's dts must still sum exactly to the keyframe gap
+        # (zero-order hold over the leading gap), or gravity integration
+        # loses up to one IMU period per interval
+        rng = np.random.default_rng(0)
+        t = np.arange(400) * 0.005  # 200 Hz
+        w = rng.normal(0, 0.1, (400, 3))
+        a = rng.normal(0, 1.0, (400, 3)) + np.array([0, 0, 9.81])
+        t_kf = np.array([0.0, 0.5012, 1.0031, 1.4987])  # off-grid boundaries
+        segs = euroc.segment_imu(t, w, a, t_kf)
+        for i, (wi, ai, dti) in enumerate(segs):
+            np.testing.assert_allclose(
+                dti.sum(), t_kf[i + 1] - t_kf[i], atol=1e-12
+            )
+            assert (dti >= 0).all()
+        # total integrated time over all segments == total span
+        np.testing.assert_allclose(
+            sum(s[2].sum() for s in segs), t_kf[-1] - t_kf[0], atol=1e-12
+        )
+
+    def test_int64_timestamps_survive(self, tmp_path):
+        # real EuRoC epochs (~1.4e18 ns) exceed float64's integer range;
+        # relative seconds must come back exact
+        t0 = 1403636579758555392
+        t_ns = t0 + (np.arange(100) * 5_000_000)  # 5 ms
+        path = str(tmp_path / "imu.csv")
+        with open(path, "w") as f:
+            f.write("#ts\n")
+            for k in range(100):
+                f.write(f"{t_ns[k]},0,0,0,0,0,9.81\n")
+        t, w, a = euroc.read_imu(path)
+        np.testing.assert_allclose(np.diff(t), 0.005, atol=1e-15)
+        assert euroc.first_timestamp_ns(path) == t0

@@ -71,7 +71,7 @@ class TestIncremental:
         sm.update()
         before = sm.poses()[-5:]
         sm.marginalize_oldest(keep_last=10)
-        assert sm.n == 10
+        assert sm.n == 11  # gauge anchor + newest 10
         # FEJ prior preserves the kept estimates through a re-solve
         est, _ = sm.update()
         np.testing.assert_allclose(est[-5:], before, atol=1e-8)
