@@ -205,6 +205,11 @@ def main(n_frames=40, seed=0):
 
 
 if __name__ == "__main__":
+    # NOTE: run under the default f32 precision.  With jax_enable_x64 the
+    # synthetic RANSAC odometry comes out ~40% more accurate (7.8 vs 12.8
+    # cm), and the middle pose-graph stage's marginal improvement flips to
+    # a marginal worsening — the joint-SLAM stage still reaches 0.38 cm
+    # either way (verified 2026-08-17).
     ate_odo, ate_opt, ate_joint = main()
     assert ate_opt < ate_odo, "optimization must improve ATE"
     assert ate_joint < ate_opt, "joint SLAM must improve on the pose graph"
