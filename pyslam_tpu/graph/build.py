@@ -105,6 +105,54 @@ def sim3_pose_graph(
     return FactorGraph(blocks, [batch])
 
 
+def landmark_slam_2d(
+    data, loss=None, anchor_first: bool = True, dtype=jnp.float32, init: str = "noisy"
+) -> FactorGraph:
+    """Build a 2D landmark-SLAM FactorGraph from synth.LandmarkSLAM2DData
+    (or io.g2o landmark files): SE(2) poses + 2-dof euclidean landmarks,
+    odometry between factors + bearing-range / relative-position landmark
+    observations.  solve_auto routes this shape through the dof-generic
+    Schur paths (solver/schur.py)."""
+    loss = loss if loss is not None else L2Loss()
+    T0 = data.T_init if init == "noisy" else data.T_gt
+    l0 = data.lm_init if init == "noisy" else data.lm_gt
+    n = T0.shape[0]
+    const = np.zeros(n, bool)
+    if anchor_first:
+        const[0] = True
+    blocks = {
+        "poses": VariableBlock.create("se2", jnp.asarray(T0, dtype), const),
+        "landmarks": VariableBlock.create("euclidean", jnp.asarray(l0, dtype)),
+    }
+    kind = "bearing_range_se2" if data.obs_type == "bearing_range" else "landmark_xy_se2"
+    batches = [
+        FactorBatch.create(
+            kind=kind,
+            slots=("poses", "landmarks"),
+            indices=(data.obs_pose, data.obs_lm),
+            data={
+                "obs": jnp.asarray(data.obs, dtype),
+                "sqrt_info": jnp.asarray(data.obs_sqrt_info, dtype),
+            },
+            loss=loss,
+        )
+    ]
+    if len(data.edges_i):
+        batches.append(
+            FactorBatch.create(
+                kind="between_se2",
+                slots=("poses", "poses"),
+                indices=(data.edges_i, data.edges_j),
+                data={
+                    "T_obs": jnp.asarray(data.T_meas, dtype),
+                    "sqrt_info": jnp.asarray(data.sqrt_info, dtype),
+                },
+                loss=loss,
+            )
+        )
+    return FactorGraph(blocks, batches)
+
+
 def ba_graph(data, loss=None, dtype=jnp.float32, init: str = "noisy") -> FactorGraph:
     """Build a bundle-adjustment FactorGraph from BAData: SE(3) camera poses
     + Euclidean landmarks + stereo reprojection factors."""

@@ -247,6 +247,75 @@ def prior_balcam_pose(data, cam, compute_jacobians=True):
 
 
 # --------------------------------------------------------------------------
+# 2D landmark SLAM (Victoria-Park model family; g2o VERTEX_XY/EDGE_SE2_XY):
+# SE(2) poses observing point landmarks, either as relative position
+# (landmark expressed in the observing pose's frame) or as bearing + range.
+# Beyond-reference; the Schur paths apply unchanged because
+# solver/schur.py is dof-generic (landmark blocks are 2-dof here).
+# Pose convention matches the rest of the kernel library: T is
+# world-to-body, so the body-frame landmark is p = se2.act(T, l).
+# --------------------------------------------------------------------------
+
+
+def _wrap_angle(a):
+    """Wrap to [-pi, pi].  Gradient is 1 almost everywhere (the round() is
+    piecewise constant), so analytic-vs-autodiff parity holds away from the
+    branch boundary."""
+    two_pi = 2.0 * jnp.pi
+    return a - two_pi * jnp.round(a / two_pi)
+
+
+@register_factor("landmark_xy_se2")
+def landmark_xy_se2(data, T, l, compute_jacobians=True):
+    """Relative-position landmark factor (g2o EDGE_SE2_XY):
+    r = sqrt_info * (act(T, l) - obs), obs the landmark seen in the pose
+    frame.  Slots: (se2 pose, 2-dof euclidean landmark)."""
+    p = se2.act(T, l)
+    r = _bmv(data["sqrt_info"], p - data["obs"])
+    if not compute_jacobians:
+        return r, None
+    # left perturbation: d(exp(eps) T l)/d eps = odot(p); d p/d l = R
+    J_T = _bmm(data["sqrt_info"], se2.odot(p))
+    J_l = _bmm(data["sqrt_info"], T[..., :2, :2])
+    return r, (J_T, J_l)
+
+
+@register_factor("bearing_range_se2")
+def bearing_range_se2(data, T, l, compute_jacobians=True):
+    """Bearing-range landmark factor: with p = act(T, l) the body-frame
+    landmark, r = sqrt_info * [wrap(atan2(p_y, p_x) - obs_bearing),
+    |p| - obs_range].  Slots: (se2 pose, 2-dof euclidean landmark)."""
+    p = se2.act(T, l)
+    x, y = p[..., 0], p[..., 1]
+    rho2 = x * x + y * y
+    rho = jnp.sqrt(rho2)
+    raw = jnp.stack(
+        [
+            _wrap_angle(jnp.arctan2(y, x) - data["obs"][..., 0]),
+            rho - data["obs"][..., 1],
+        ],
+        axis=-1,
+    )
+    r = _bmv(data["sqrt_info"], raw)
+    if not compute_jacobians:
+        return r, None
+    inv_rho2 = 1.0 / rho2
+    inv_rho = 1.0 / rho
+    # d[bearing, range]/dp  (F, 2, 2)
+    J_p = jnp.stack(
+        [
+            jnp.stack([-y * inv_rho2, x * inv_rho2], axis=-1),
+            jnp.stack([x * inv_rho, y * inv_rho], axis=-1),
+        ],
+        axis=-2,
+    )
+    S = _bmm(data["sqrt_info"], J_p)
+    J_T = _bmm(S, se2.odot(p))
+    J_l = _bmm(S, T[..., :2, :2])
+    return r, (J_T, J_l)
+
+
+# --------------------------------------------------------------------------
 # Quadratic curve-fit demo: r = stiffness * (p0 x^2 + p1 x + p2 - y)
 # --------------------------------------------------------------------------
 

@@ -8,6 +8,12 @@ Supported records:
   EDGE_SE3:QUAT i j dx dy dz qx qy qz qw  <21 upper-tri info entries>
   VERTEX_SIM3:QUAT id x y z qx qy qz qw s           (ORB-SLAM convention)
   EDGE_SIM3:QUAT i j dx dy dz qx qy qz qw s  <28 upper-tri info entries>
+  VERTEX_XY id x y                                  (2D point landmark)
+  EDGE_SE2_XY i j mx my <3 upper-tri info entries>  (landmark seen from pose)
+
+Files containing landmark records parse to LandmarkSLAM2DData (2D landmark
+SLAM, e.g. Victoria-Park-style datasets); pure pose files parse to
+PoseGraphData.
 
 Convention bridge: g2o vertices are body-to-world and the edge measurement is
 M_ij = T_i^-1 @ T_j.  This framework follows the reference's world-to-body
@@ -21,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .synth import PoseGraphData
+from .synth import LandmarkSLAM2DData, PoseGraphData
 
 
 def _quat_to_mat(q):
@@ -79,6 +85,8 @@ def read_g2o(path) -> PoseGraphData:
     factor slots already swapped per the convention bridge above)."""
     verts: dict[int, np.ndarray] = {}
     edges = []
+    lm_verts: dict[int, np.ndarray] = {}
+    lm_edges = []
     dim = None
     sim3 = False
     with open(path) as f:
@@ -136,6 +144,14 @@ def read_g2o(path) -> PoseGraphData:
                 T[:3, :3] = v[7] * _quat_to_mat(v[3:7])
                 T[:3, 3] = v[0:3]
                 verts[i] = T
+            elif tag == "VERTEX_XY":
+                dim = dim or 2
+                lm_verts[int(tok[1])] = np.array([float(tok[2]), float(tok[3])])
+            elif tag == "EDGE_SE2_XY":
+                i, j = int(tok[1]), int(tok[2])
+                m = np.array([float(tok[3]), float(tok[4])])
+                info = _unpack_upper(list(map(float, tok[5:8])), 2)
+                lm_edges.append((i, j, m, info))
             elif tag == "EDGE_SIM3:QUAT":
                 sim3 = True
                 i, j = int(tok[1]), int(tok[2])
@@ -145,6 +161,9 @@ def read_g2o(path) -> PoseGraphData:
                 M[:3, 3] = v[0:3]
                 info = _unpack_upper(list(map(float, tok[11:39])), 7)
                 edges.append((i, j, M, info))
+
+    if lm_verts or lm_edges:
+        return _assemble_landmark_slam(verts, edges, lm_verts, lm_edges)
 
     n = max(verts) + 1
     d = 3 if dim == 2 else 4
@@ -164,6 +183,97 @@ def read_g2o(path) -> PoseGraphData:
     return PoseGraphData(
         2 if dim == 2 else 3, T_bw, T_bw.copy(), edges_i, edges_j, T_meas, sqrt_info
     )
+
+
+def _assemble_landmark_slam(verts, edges, lm_verts, lm_edges) -> LandmarkSLAM2DData:
+    """2D landmark-SLAM file -> LandmarkSLAM2DData.  g2o pose/landmark
+    vertices share one id space and need not be contiguous; both are
+    remapped to dense indices by sorted id.  The EDGE_SE2_XY measurement is
+    the landmark in the observing pose's frame, which under the world-to-
+    body bridge is exactly act(T, l) — the landmark_xy_se2 kernel's
+    prediction (graph/factor_defs.py)."""
+    pose_ids = sorted(verts)
+    lm_ids = sorted(lm_verts)
+    pidx = {g: k for k, g in enumerate(pose_ids)}
+    lidx = {g: k for k, g in enumerate(lm_ids)}
+    T_bw = np.stack([np.linalg.inv(verts[g]) for g in pose_ids])
+    lm = np.stack([lm_verts[g] for g in lm_ids]) if lm_ids else np.zeros((0, 2))
+
+    E = len(edges)
+    edges_i = np.zeros(E, np.int64)
+    edges_j = np.zeros(E, np.int64)
+    T_meas = np.zeros((E, 3, 3))
+    sqrt_info = np.zeros((E, 3, 3))
+    for k, (i, j, M, info) in enumerate(edges):
+        edges_i[k] = pidx[j]
+        edges_j[k] = pidx[i]
+        T_meas[k] = M
+        sqrt_info[k] = _sqrt_info(info)
+
+    Mn = len(lm_edges)
+    obs_pose = np.zeros(Mn, np.int64)
+    obs_lm = np.zeros(Mn, np.int64)
+    obs = np.zeros((Mn, 2))
+    osi = np.zeros((Mn, 2, 2))
+    for k, (i, j, m, info) in enumerate(lm_edges):
+        obs_pose[k] = pidx[i]
+        obs_lm[k] = lidx[j]
+        obs[k] = m
+        osi[k] = _sqrt_info(info)
+    return LandmarkSLAM2DData(
+        T_gt=T_bw,
+        T_init=T_bw.copy(),
+        lm_gt=lm,
+        lm_init=lm.copy(),
+        edges_i=edges_i,
+        edges_j=edges_j,
+        T_meas=T_meas,
+        sqrt_info=sqrt_info,
+        obs_pose=obs_pose,
+        obs_lm=obs_lm,
+        obs=obs,
+        obs_sqrt_info=osi,
+        obs_type="xy",
+    )
+
+
+def write_g2o_landmarks(path, data: LandmarkSLAM2DData, use_init: bool = True):
+    """Write LandmarkSLAM2DData as VERTEX_SE2/VERTEX_XY/EDGE_SE2/EDGE_SE2_XY
+    records (inverse of the landmark branch of read_g2o).  Landmark vertex
+    ids follow the pose ids.  Only obs_type='xy' data round-trips — g2o has
+    no standard bearing-range record."""
+    if data.obs_type != "xy":
+        raise ValueError("g2o landmark records are relative-position (obs_type='xy')")
+    T = data.T_init if use_init else data.T_gt
+    lm = data.lm_init if use_init else data.lm_gt
+    n = len(T)
+    with open(path, "w") as f:
+        for i, P in enumerate(T):
+            V = np.linalg.inv(P)
+            th = np.arctan2(V[1, 0], V[0, 0])
+            f.write(f"VERTEX_SE2 {i} {V[0, 2]:.9g} {V[1, 2]:.9g} {th:.9g}\n")
+        for k, p in enumerate(lm):
+            f.write(f"VERTEX_XY {n + k} {p[0]:.9g} {p[1]:.9g}\n")
+        for k in range(len(data.edges_i)):
+            gj, gi = int(data.edges_i[k]), int(data.edges_j[k])
+            M = data.T_meas[k]
+            th = np.arctan2(M[1, 0], M[0, 0])
+            info = data.sqrt_info[k].T @ data.sqrt_info[k]
+            up = [info[a, b] for a in range(3) for b in range(a, 3)]
+            f.write(
+                f"EDGE_SE2 {gi} {gj} {M[0, 2]:.9g} {M[1, 2]:.9g} {th:.9g} "
+                + " ".join(f"{v:.9g}" for v in up)
+                + "\n"
+            )
+        for k in range(len(data.obs_pose)):
+            info = data.obs_sqrt_info[k].T @ data.obs_sqrt_info[k]
+            up = [info[a, b] for a in range(2) for b in range(a, 2)]
+            f.write(
+                f"EDGE_SE2_XY {int(data.obs_pose[k])} {n + int(data.obs_lm[k])} "
+                f"{data.obs[k, 0]:.9g} {data.obs[k, 1]:.9g} "
+                + " ".join(f"{v:.9g}" for v in up)
+                + "\n"
+            )
 
 
 def write_g2o(path, data: PoseGraphData, use_init: bool = True):

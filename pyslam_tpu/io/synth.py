@@ -144,6 +144,152 @@ def _finish_se2(rng, T_gt, n_loops, trans_std, rot_std, loop_span, proximity=Non
     return PoseGraphData(2, T_gt, np.stack(T_init), edges_i, edges_j, T_meas, info)
 
 
+@dataclasses.dataclass
+class LandmarkSLAM2DData:
+    """A 2D landmark-SLAM problem (Victoria-Park model family): SE(2)
+    trajectory with odometry edges + point landmarks observed as
+    bearing-range or relative-position measurements.
+
+    Poses follow the kernel library's world-to-body convention
+    (graph/factor_defs.py): the body-frame landmark is act(T, l)."""
+
+    T_gt: np.ndarray  # (N, 3, 3) ground-truth world-to-body poses
+    T_init: np.ndarray  # (N, 3, 3) odometry-integrated init
+    lm_gt: np.ndarray  # (L, 2) ground-truth landmark positions (world)
+    lm_init: np.ndarray  # (L, 2) first-observation triangulated init
+    edges_i: np.ndarray  # (E,) odometry/loop between-factor slot 1
+    edges_j: np.ndarray  # (E,)
+    T_meas: np.ndarray  # (E, 3, 3) measured T_j @ inv(T_i)
+    sqrt_info: np.ndarray  # (E, 3, 3)
+    obs_pose: np.ndarray  # (M,) observing pose index
+    obs_lm: np.ndarray  # (M,) observed landmark index
+    obs: np.ndarray  # (M, 2) [bearing, range] or [x_local, y_local]
+    obs_sqrt_info: np.ndarray  # (M, 2, 2)
+    obs_type: str  # 'bearing_range' | 'xy'
+
+
+def landmark_slam_2d(
+    n_poses=200,
+    n_landmarks=60,
+    max_range=8.0,
+    obs_type="bearing_range",
+    odo_trans_std=0.03,
+    odo_rot_std=0.01,
+    bearing_std=0.01,
+    range_std=0.05,
+    xy_std=0.05,
+    seed=0,
+):
+    """Simulate a 2D landmark-SLAM run: a circular trajectory through a
+    field of landmarks, odometry between consecutive poses (no loop-closure
+    edges — loop closure emerges from re-observing landmarks), and a
+    bearing-range or relative-position measurement for every landmark
+    within ``max_range`` of a pose.  Landmarks are initialized from their
+    FIRST observation back-projected through the odometry-integrated pose
+    (the honest online-SLAM init)."""
+    rng = np.random.default_rng(seed)
+    radius = max(4.0, n_poses * 0.25 / (2 * np.pi) * 4)
+    # body-to-world trajectory on a circle, heading tangent
+    W = np.stack(
+        [
+            _se2_mat(
+                radius * np.cos(2 * np.pi * k / n_poses),
+                radius * np.sin(2 * np.pi * k / n_poses),
+                2 * np.pi * k / n_poses + np.pi / 2,
+            )
+            for k in range(n_poses)
+        ]
+    )
+    T_gt = np.stack([np.linalg.inv(Wk) for Wk in W])  # world-to-body
+
+    # landmarks in an annulus straddling the trajectory ring, within sensor
+    # reach (±0.8 max_range) so every landmark is observed from several poses
+    ang = rng.uniform(0, 2 * np.pi, n_landmarks)
+    half = 0.8 * max_range
+    rad = rng.uniform(max(0.0, radius - half), radius + half, n_landmarks)
+    lm_gt = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+
+    # odometry chain
+    edges_i = np.arange(n_poses - 1)
+    edges_j = np.arange(1, n_poses)
+    T_meas = np.stack(
+        [
+            _se2_noise(rng, odo_trans_std, odo_rot_std)
+            @ T_gt[j]
+            @ np.linalg.inv(T_gt[i])
+            for i, j in zip(edges_i, edges_j)
+        ]
+    )
+    sqrt_info = np.zeros((n_poses - 1, 3, 3))
+    sqrt_info[:] = np.diag([1.0 / odo_trans_std, 1.0 / odo_trans_std, 1.0 / odo_rot_std])
+    T_init = [T_gt[0]]
+    for k in range(n_poses - 1):
+        T_init.append(T_meas[k] @ T_init[-1])
+    T_init = np.stack(T_init)
+
+    # observations: all landmarks within max_range of each pose
+    obs_pose, obs_lm, obs_list = [], [], []
+    for k in range(n_poses):
+        p_local = (T_gt[k, :2, :2] @ lm_gt.T).T + T_gt[k, :2, 2]
+        rho = np.linalg.norm(p_local, axis=1)
+        for li in np.flatnonzero(rho <= max_range):
+            obs_pose.append(k)
+            obs_lm.append(li)
+            if obs_type == "bearing_range":
+                b = np.arctan2(p_local[li, 1], p_local[li, 0])
+                obs_list.append(
+                    [b + rng.normal(0, bearing_std), rho[li] + rng.normal(0, range_std)]
+                )
+            else:
+                obs_list.append(list(p_local[li] + rng.normal(0, xy_std, 2)))
+    obs_pose = np.asarray(obs_pose, np.int64)
+    obs_lm = np.asarray(obs_lm, np.int64)
+    obs = np.asarray(obs_list)
+    if obs_type == "bearing_range":
+        # keep bearings wrapped the way a sensor reports them
+        obs[:, 0] = np.arctan2(np.sin(obs[:, 0]), np.cos(obs[:, 0]))
+        osi = np.zeros((len(obs), 2, 2))
+        osi[:] = np.diag([1.0 / bearing_std, 1.0 / range_std])
+    else:
+        osi = np.zeros((len(obs), 2, 2))
+        osi[:] = np.eye(2) / xy_std
+
+    # landmark init: back-project the first observation through T_init
+    lm_init = np.zeros_like(lm_gt)
+    seen = np.zeros(n_landmarks, bool)
+    for m in range(len(obs)):
+        li = obs_lm[m]
+        if seen[li]:
+            continue
+        seen[li] = True
+        if obs_type == "bearing_range":
+            b, r = obs[m]
+            p_local = np.array([r * np.cos(b), r * np.sin(b)])
+        else:
+            p_local = obs[m]
+        Tk = T_init[obs_pose[m]]
+        lm_init[li] = Tk[:2, :2].T @ (p_local - Tk[:2, 2])
+    # drop never-observed landmarks
+    keep = np.flatnonzero(seen)
+    remap = -np.ones(n_landmarks, np.int64)
+    remap[keep] = np.arange(len(keep))
+    return LandmarkSLAM2DData(
+        T_gt=T_gt,
+        T_init=T_init,
+        lm_gt=lm_gt[keep],
+        lm_init=lm_init[keep],
+        edges_i=edges_i,
+        edges_j=edges_j,
+        T_meas=T_meas,
+        sqrt_info=sqrt_info,
+        obs_pose=obs_pose,
+        obs_lm=remap[obs_lm],
+        obs=obs,
+        obs_sqrt_info=osi,
+        obs_type=obs_type,
+    )
+
+
 def _so3_noise(rng, std):
     from scipy.spatial.transform import Rotation
 

@@ -60,7 +60,12 @@ def exp(xi):
     """Exponential map: (..., 3) -> (..., 3, 3)."""
     xi = jnp.asarray(xi)
     rho, phi = xi[..., :2], xi[..., 2]
-    R = so2.exp(phi)
+    # NOT so2.exp(phi): its (..., 1)->(...,) squeeze heuristic would eat a
+    # batch axis of exactly one element (phi is already scalar-shaped here)
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    R = jnp.stack(
+        [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
+    )
     t = jnp.einsum("...ij,...j->...i", _V(phi, xi.dtype), rho)
     return _assemble(R, t)
 

@@ -51,6 +51,110 @@ def _residual(Ti, Tj, T_meas, sqrt_info):
     return sqrt_info @ _logvee(Tj @ np.linalg.inv(Ti) @ np.linalg.inv(T_meas), dof)
 
 
+def solve_landmark_slam_2d(data, max_iters=50, tol=1e-9):
+    """Independent GN on a synth.LandmarkSLAM2DData problem, pose 0 held
+    constant: numerical (central-difference) Jacobians for every factor,
+    full sparse system (poses + landmarks, no Schur trick) via spsolve —
+    deliberately a different algorithm than the framework's dof-generic
+    Schur elimination.  Returns (T_opt, lm_opt, chi2, n_iters)."""
+    T = data.T_gt[0:1].copy()
+    T = np.concatenate([T, data.T_init[1:].copy()])
+    lm = data.lm_init.copy().astype(float)
+    n, L = T.shape[0], lm.shape[0]
+    E, M = len(data.edges_i), len(data.obs_pose)
+    eps = 1e-6
+    bearing = data.obs_type == "bearing_range"
+
+    def obs_residual(Tk, l, m):
+        p = Tk[:2, :2] @ l + Tk[:2, 2]
+        if bearing:
+            db = np.arctan2(p[1], p[0]) - data.obs[m, 0]
+            db = (db + np.pi) % (2 * np.pi) - np.pi
+            raw = np.array([db, np.hypot(p[0], p[1]) - data.obs[m, 1]])
+        else:
+            raw = p - data.obs[m]
+        return data.obs_sqrt_info[m] @ raw
+
+    def all_residuals(T, lm):
+        rs = [
+            _residual(T[i], T[j], data.T_meas[k], data.sqrt_info[k])
+            for k, (i, j) in enumerate(zip(data.edges_i, data.edges_j))
+        ]
+        rs += [
+            obs_residual(T[data.obs_pose[m]], lm[data.obs_lm[m]], m) for m in range(M)
+        ]
+        return np.concatenate(rs) if rs else np.zeros(0)
+
+    n_rows = E * 3 + M * 2
+    n_cols = (n - 1) * 3 + L * 2
+    lm_col0 = (n - 1) * 3
+    chi2_prev = np.inf
+    for it in range(max_iters):
+        rows, cols, vals = [], [], []
+        r_all = np.zeros(n_rows)
+        for k, (i, j) in enumerate(zip(data.edges_i, data.edges_j)):
+            r_all[k * 3 : (k + 1) * 3] = _residual(
+                T[i], T[j], data.T_meas[k], data.sqrt_info[k]
+            )
+            for which, p in (("i", i), ("j", j)):
+                if p == 0:
+                    continue
+                for d in range(3):
+                    step = np.zeros(3)
+                    step[d] = eps
+                    Tp, Tm = _expwedge(step) @ T[p], _expwedge(-step) @ T[p]
+                    a = (Tp, T[j]) if which == "i" else (T[i], Tp)
+                    b = (Tm, T[j]) if which == "i" else (T[i], Tm)
+                    col = (rp := _residual(*a, data.T_meas[k], data.sqrt_info[k])) - (
+                        _residual(*b, data.T_meas[k], data.sqrt_info[k])
+                    )
+                    for a_ in range(3):
+                        rows.append(k * 3 + a_)
+                        cols.append((p - 1) * 3 + d)
+                        vals.append(col[a_] / (2 * eps))
+        for m in range(M):
+            k, li = int(data.obs_pose[m]), int(data.obs_lm[m])
+            r_all[E * 3 + m * 2 : E * 3 + m * 2 + 2] = obs_residual(T[k], lm[li], m)
+            if k != 0:
+                for d in range(3):
+                    step = np.zeros(3)
+                    step[d] = eps
+                    col = (
+                        obs_residual(_expwedge(step) @ T[k], lm[li], m)
+                        - obs_residual(_expwedge(-step) @ T[k], lm[li], m)
+                    ) / (2 * eps)
+                    for a_ in range(2):
+                        rows.append(E * 3 + m * 2 + a_)
+                        cols.append((k - 1) * 3 + d)
+                        vals.append(col[a_])
+            for d in range(2):
+                dl = np.zeros(2)
+                dl[d] = eps
+                col = (
+                    obs_residual(T[k], lm[li] + dl, m)
+                    - obs_residual(T[k], lm[li] - dl, m)
+                ) / (2 * eps)
+                for a_ in range(2):
+                    rows.append(E * 3 + m * 2 + a_)
+                    cols.append(lm_col0 + li * 2 + d)
+                    vals.append(col[a_])
+        Jsp = scipy.sparse.coo_matrix(
+            (vals, (rows, cols)), shape=(n_rows, n_cols)
+        ).tocsr()
+        H = (Jsp.T @ Jsp).tocsc()
+        g = -Jsp.T @ r_all
+        dx = scipy.sparse.linalg.spsolve(H, g)
+        for p in range(1, n):
+            T[p] = _expwedge(dx[(p - 1) * 3 : p * 3]) @ T[p]
+        lm += dx[lm_col0:].reshape(L, 2)
+        chi2 = 0.5 * np.sum(r_all**2)
+        if abs(chi2_prev - chi2) < tol * max(chi2, 1.0):
+            break
+        chi2_prev = chi2
+    r_all = all_residuals(T, lm)
+    return T, lm, 0.5 * np.sum(r_all**2), it + 1
+
+
 def solve_pose_graph(data, max_iters=50, tol=1e-9, weight_fn=None):
     """GN on a PoseGraphData problem, pose 0 held constant.
 

@@ -1,0 +1,137 @@
+"""2D landmark SLAM (Victoria-Park model family; g2o VERTEX_XY/EDGE_SE2_XY).
+
+Covers: bearing-range and relative-position kernel Jacobians vs jax.jacfwd,
+bearing wrap-around at the +/-pi boundary, end-to-end solves vs the
+independent scipy GN (tests/scipy_ref.py — different algorithms, shared
+math only), 2-dof landmarks through the dof-generic Schur routing, and the
+g2o landmark-record round-trip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.graph import build
+from pyslam_tpu.graph.core import FACTOR_KERNELS
+from pyslam_tpu.io import g2o, synth
+from pyslam_tpu.lie import se2
+from pyslam_tpu.solver import Options, route_auto, solve_auto
+
+from scipy_ref import solve_landmark_slam_2d
+
+
+def _rand_poses_landmarks(rng, F):
+    T = se2.exp(jnp.asarray(rng.normal(0, 0.5, (F, 3))))
+    # keep landmarks away from the observing origin (bearing/range smooth)
+    l = jnp.asarray(rng.normal(0, 3.0, (F, 2)))
+    body = jax.vmap(se2.act)(T, l)
+    far = jnp.linalg.norm(body, axis=1) > 0.5
+    l = jnp.where(far[:, None], l, l + 5.0)
+    return T, l
+
+
+@pytest.mark.parametrize("kind", ["landmark_xy_se2", "bearing_range_se2"])
+def test_jacobians_vs_autodiff(rng, kind):
+    kern = FACTOR_KERNELS[kind]
+    F = 7
+    T, l = _rand_poses_landmarks(rng, F)
+    body = jax.vmap(se2.act)(T, l)
+    if kind == "bearing_range_se2":
+        obs = jnp.stack(
+            [jnp.arctan2(body[:, 1], body[:, 0]), jnp.linalg.norm(body, axis=1)],
+            axis=1,
+        ) + jnp.asarray(rng.normal(0, 0.05, (F, 2)))
+    else:
+        obs = body + jnp.asarray(rng.normal(0, 0.1, (F, 2)))
+    A = rng.normal(0, 1, (F, 2, 2))
+    sqrt_info = jnp.asarray(A @ np.swapaxes(A, 1, 2) + 2 * np.eye(2))
+    data = dict(obs=obs, sqrt_info=sqrt_info)
+
+    r, (J_T, J_l) = kern(data, T, l, compute_jacobians=True)
+    assert r.shape == (F, 2) and J_T.shape == (F, 2, 3) and J_l.shape == (F, 2, 2)
+
+    def r_of(eps, dl, i):
+        Ti = se2.exp(eps[None])[0] @ T[i]
+        ri, _ = kern(
+            jax.tree_util.tree_map(lambda a: a[i : i + 1], data),
+            Ti[None],
+            l[i : i + 1] + dl[None],
+            compute_jacobians=False,
+        )
+        return ri[0]
+
+    for i in range(F):
+        z3, z2 = jnp.zeros(3), jnp.zeros(2)
+        J_T_ad = jax.jacfwd(lambda e: r_of(e, z2, i))(z3)
+        J_l_ad = jax.jacfwd(lambda d: r_of(z3, d, i))(z2)
+        np.testing.assert_allclose(J_T[i], J_T_ad, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(J_l[i], J_l_ad, rtol=1e-6, atol=1e-8)
+
+
+def test_bearing_wrap_boundary():
+    """A bearing observed at +pi-0.01 predicted at -pi+0.01 must produce a
+    0.02 rad residual, not ~2 pi."""
+    kern = FACTOR_KERNELS["bearing_range_se2"]
+    T = jnp.eye(3, dtype=jnp.float64)[None]
+    ang = np.pi - 0.01
+    l = jnp.asarray([[2.0 * np.cos(-ang), 2.0 * np.sin(-ang)]])  # pred ~ -pi+0.01
+    data = dict(
+        obs=jnp.asarray([[np.pi - 0.01, 2.0]]),
+        sqrt_info=jnp.broadcast_to(jnp.eye(2, dtype=jnp.float64), (1, 2, 2)),
+    )
+    r, _ = kern(data, T, l, compute_jacobians=False)
+    assert abs(float(r[0, 0])) < 0.03
+    assert abs(float(r[0, 1])) < 1e-9
+
+
+@pytest.mark.parametrize("obs_type", ["bearing_range", "xy"])
+def test_solve_matches_scipy_reference(obs_type):
+    data = synth.landmark_slam_2d(
+        n_poses=40, n_landmarks=25, max_range=8.0, obs_type=obs_type, seed=3
+    )
+    g = build.landmark_slam_2d(data, dtype=jnp.float64)
+    solved, info = solve_auto(g, Options(method="gn", max_iters=25))
+    chi2_tpu = float(info.chi2) if hasattr(info, "chi2") else float(info[-1])
+
+    _, _, chi2_ref, _ = solve_landmark_slam_2d(data, max_iters=25)
+    assert chi2_tpu <= chi2_ref * (1 + 1e-6) + 1e-9
+
+    # trajectory actually recovered: body-to-world positions near gt
+    T_opt = np.asarray(solved.blocks["poses"].values)
+    pos_opt = np.stack([np.linalg.inv(Tk)[:2, 2] for Tk in T_opt])
+    pos_gt = np.stack([np.linalg.inv(Tk)[:2, 2] for Tk in data.T_gt])
+    pos_init = np.stack([np.linalg.inv(Tk)[:2, 2] for Tk in data.T_init])
+    ate_opt = np.sqrt(np.mean(np.sum((pos_opt - pos_gt) ** 2, axis=1)))
+    ate_init = np.sqrt(np.mean(np.sum((pos_init - pos_gt) ** 2, axis=1)))
+    assert ate_opt < 0.5 * ate_init
+
+
+def test_routes_through_dof_generic_schur():
+    data = synth.landmark_slam_2d(n_poses=30, n_landmarks=20, seed=1)
+    g = build.landmark_slam_2d(data)
+    assert route_auto(g) == "schur_dense"
+    # landmark blocks are 2-dof: the schur_large / schur_sqrt / schur_cm
+    # specializations must never capture this shape
+    assert g.blocks["landmarks"].dof == 2
+    assert g.blocks["poses"].dof == 3
+
+
+def test_g2o_landmark_roundtrip(tmp_path):
+    data = synth.landmark_slam_2d(n_poses=25, n_landmarks=15, obs_type="xy", seed=5)
+    path = tmp_path / "lm2d.g2o"
+    g2o.write_g2o_landmarks(path, data)
+    back = g2o.read_g2o(path)
+    assert back.obs_type == "xy"
+    np.testing.assert_allclose(back.T_init, data.T_init, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(back.lm_init, data.lm_init, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(back.obs, data.obs, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(back.T_meas, data.T_meas, rtol=1e-6, atol=1e-7)
+    # loaded graph solves to the same optimum as the original arrays
+    g_orig = build.landmark_slam_2d(data, dtype=jnp.float64)
+    g_back = build.landmark_slam_2d(back, dtype=jnp.float64)
+    _, info_a = solve_auto(g_orig, Options(method="gn", max_iters=15))
+    _, info_b = solve_auto(g_back, Options(method="gn", max_iters=15))
+    chi_a = float(info_a.chi2) if hasattr(info_a, "chi2") else float(info_a[-1])
+    chi_b = float(info_b.chi2) if hasattr(info_b, "chi2") else float(info_b[-1])
+    np.testing.assert_allclose(chi_a, chi_b, rtol=1e-6)

@@ -252,3 +252,23 @@ class TestObjectAPI:
         np.testing.assert_allclose(
             T.perturb(dx).mat, SE3.exp(dx).dot(T).mat, atol=1e-9
         )
+
+
+class TestBatchOfOne:
+    """Regression: se2.exp on a batch of exactly ONE element used to lose
+    the batch axis through so2.exp's (..., 1)->(...,) squeeze heuristic
+    (caught by jacfwd over the landmark-SLAM kernels, which vmaps with a
+    leading axis of 1)."""
+
+    def test_exp_keeps_batch_axis(self, rng):
+        from pyslam_tpu.lie import se2 as fse2, se3 as fse3, sim3 as fsim3
+        from pyslam_tpu.lie import so2 as fso2, so3 as fso3
+
+        assert fse2.exp(jnp.zeros((1, 3))).shape == (1, 3, 3)
+        assert fse3.exp(jnp.zeros((1, 6))).shape == (1, 4, 4)
+        assert fsim3.exp(jnp.zeros((1, 7))).shape == (1, 4, 4)
+        assert fso3.exp(jnp.zeros((1, 3))).shape == (1, 3, 3)
+        xi = jnp.asarray(rng.normal(size=(1, 3)) * 0.5)
+        np.testing.assert_allclose(
+            np.asarray(fse2.exp(xi))[0], np.asarray(fse2.exp(xi[0])), atol=1e-12
+        )
