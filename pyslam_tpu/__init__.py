@@ -33,6 +33,8 @@ from . import eval, graph, imu, io, lie, losses, pipelines, residuals, sensors, 
 from .lie import SE2, SE3, SO2, SO3, Sim3  # noqa: F401
 from .problem import Options, Problem  # noqa: F401
 from .residuals import (  # noqa: F401
+    BearingRangeResidual,
+    LandmarkXYResidual,
     PoseResidual,
     PoseToPoseResidual,
     QuadraticResidual,

@@ -124,6 +124,26 @@ class Problem:
 
         batch_groups: dict = {}
         for residual, keys, loss in self.residual_blocks:
+            # early, named validation of parameter manifolds: a Lie pose
+            # passed as a raw array is inferred 'euclidean' and would
+            # otherwise fail deep in assembly (or, before that check
+            # existed, silently corrupt the solve)
+            expected = getattr(residual, "param_kinds", ())
+            if expected and len(expected) == len(keys):
+                for kind_e, key in zip(expected, keys):
+                    got = self._slots[key].kind
+                    if kind_e != got:
+                        raise ValueError(
+                            f"residual {type(residual).__name__} expects a "
+                            f"{kind_e!r} parameter but {key!r} was "
+                            f"initialized as {got!r}"
+                            + (
+                                " — wrap the value in the matching group "
+                                "type (pyslam_tpu.SE2/SE3/Sim3)"
+                                if got == "euclidean"
+                                else ""
+                            )
+                        )
             data = residual.batch_data()
             cam = data.pop("camera", None)
             # content key (not id): identical cameras merge into one batch

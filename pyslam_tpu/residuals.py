@@ -138,6 +138,39 @@ class ReprojectionResidual(_ResidualBase):
         return {"camera": self.camera, "obs": self.obs, "sqrt_info": self.sqrt_info}
 
 
+class LandmarkXYResidual(_ResidualBase):
+    """2D relative-position landmark observation (g2o EDGE_SE2_XY):
+    r = stiffness * (act(T, l) - obs) — the landmark seen in the observing
+    pose's frame.  Parameters: [T (SE2), l (2,)].  Beyond-reference
+    (Victoria-Park model family; kernel graph/factor_defs.py)."""
+
+    factor_kind = "landmark_xy_se2"
+    param_kinds = ("se2", "euclidean")
+
+    def __init__(self, obs, stiffness):
+        self.obs = jnp.asarray(obs)
+        self.sqrt_info = _stiffness_matrix(stiffness, 2, self.obs.dtype)
+
+    def batch_data(self):
+        return {"obs": self.obs, "sqrt_info": self.sqrt_info}
+
+
+class BearingRangeResidual(_ResidualBase):
+    """2D bearing-range landmark observation: with p = act(T, l),
+    r = stiffness * [wrap(atan2(p_y, p_x) - bearing_obs), |p| - range_obs].
+    Parameters: [T (SE2), l (2,)].  ``obs`` is [bearing, range]."""
+
+    factor_kind = "bearing_range_se2"
+    param_kinds = ("se2", "euclidean")
+
+    def __init__(self, obs, stiffness):
+        self.obs = jnp.asarray(obs)
+        self.sqrt_info = _stiffness_matrix(stiffness, 2, self.obs.dtype)
+
+    def batch_data(self):
+        return {"obs": self.obs, "sqrt_info": self.sqrt_info}
+
+
 class ReprojectionMotionOnlyBatchResidual(_ResidualBase):
     """Motion-only BA: N fixed landmarks, optimize one camera pose
     (reference ReprojectionMotionOnlyBatchResidual).  Parameters: [T_cam_w].

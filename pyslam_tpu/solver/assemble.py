@@ -21,6 +21,22 @@ def linearize_batch(fb, blocks):
     """Evaluate one factor batch: residuals, Jacobians, fused IRLS weights,
     and its robustified cost contribution."""
     r, jacs = fb.evaluate(blocks, compute_jacobians=True)
+    # Static-shape sanity: a kernel's per-slot Jacobian width must equal
+    # the slot's manifold dof.  Without this, a mis-declared variable (e.g.
+    # a raw (3, 3) pose matrix inferred as a 9-dof euclidean block where
+    # the kernel expects an se2 pose) scatters 3 Jacobian columns into a
+    # 9-dof block and converges to silent garbage (measured: non-rigid
+    # 'pose' matrices).  Trace-time check — free at run time.
+    for s, (slot, J) in enumerate(zip(fb.slots, jacs)):
+        dof = blocks[slot].dof
+        if J.shape[-1] != dof:
+            raise ValueError(
+                f"factor kind {fb.kind!r} slot {s} ({slot!r}): Jacobian "
+                f"width {J.shape[-1]} != block dof {dof} (kind "
+                f"{blocks[slot].kind!r}).  A Lie-group parameter passed as "
+                f"a raw array is inferred 'euclidean' — wrap it in the "
+                f"matching group type (SE2/SE3/Sim3/...)"
+            )
     w = fb.loss.weight(r) * fb.weight[:, None]
     chi2 = jnp.sum(fb.loss.loss(r) * fb.weight[:, None])
     return r, jacs, w, chi2

@@ -135,3 +135,113 @@ def test_g2o_landmark_roundtrip(tmp_path):
     chi_a = float(info_a.chi2) if hasattr(info_a, "chi2") else float(info_a[-1])
     chi_b = float(info_b.chi2) if hasattr(info_b, "chi2") else float(info_b[-1])
     np.testing.assert_allclose(chi_a, chi_b, rtol=1e-6)
+
+
+def test_problem_api_wrappers():
+    """Reference-style object API: the same landmark-SLAM problem through
+    Problem.add_residual_block with the new residual wrappers equals the
+    batched graph solve."""
+    from pyslam_tpu import (
+        SE2,
+        BearingRangeResidual,
+        Options as POptions,
+        PoseToPoseResidual,
+        Problem,
+    )
+
+    data = synth.landmark_slam_2d(
+        n_poses=12, n_landmarks=8, max_range=8.0, obs_type="bearing_range", seed=7
+    )
+    problem = Problem(POptions(max_iters=20))
+    params = {}
+    for k in range(len(data.T_init)):
+        params[f"T{k}"] = SE2(jnp.asarray(data.T_init[k], jnp.float64))
+    for k in range(len(data.lm_init)):
+        params[f"l{k}"] = jnp.asarray(data.lm_init[k], jnp.float64)
+    for e in range(len(data.edges_i)):
+        problem.add_residual_block(
+            PoseToPoseResidual(
+                jnp.asarray(data.T_meas[e], jnp.float64),
+                jnp.asarray(data.sqrt_info[e], jnp.float64),
+            ),
+            [f"T{data.edges_i[e]}", f"T{data.edges_j[e]}"],
+        )
+    for m in range(len(data.obs_pose)):
+        problem.add_residual_block(
+            BearingRangeResidual(
+                jnp.asarray(data.obs[m], jnp.float64),
+                jnp.asarray(data.obs_sqrt_info[m], jnp.float64),
+            ),
+            [f"T{data.obs_pose[m]}", f"l{data.obs_lm[m]}"],
+        )
+    problem.initialize_params(params)
+    problem.set_parameters_constant("T0")
+    out = problem.solve()
+
+    g = build.landmark_slam_2d(data, dtype=jnp.float64)
+    _, info = solve_auto(g, Options(method="lm", max_iters=20))
+    np.testing.assert_allclose(
+        float(problem.eval_cost()), float(info.chi2), rtol=1e-6
+    )
+
+
+def test_problem_rejects_raw_pose_arrays():
+    """A Lie pose passed as a raw array is inferred 'euclidean'; before the
+    manifold validation this converged to silent garbage (non-rigid 'pose'
+    matrices).  Both the Problem-level and assembly-level checks must fire."""
+    from pyslam_tpu import BearingRangeResidual, Problem
+
+    data = synth.landmark_slam_2d(n_poses=4, n_landmarks=3, max_range=8.0, seed=7)
+    problem = Problem()
+    problem.add_residual_block(
+        BearingRangeResidual(jnp.asarray(data.obs[0]), jnp.asarray(data.obs_sqrt_info[0])),
+        ["T0", "l0"],
+    )
+    problem.initialize_params(
+        {"T0": jnp.asarray(data.T_init[0]), "l0": jnp.asarray(data.lm_init[0])}
+    )
+    with pytest.raises(ValueError, match="expects a 'se2' parameter"):
+        problem.solve()
+
+
+def test_gnc_rejects_wrong_associations():
+    """Classic robust data association: corrupt a handful of observations'
+    landmark associations; GNC must classify exactly those as outliers and
+    recover near the clean accuracy."""
+    from pyslam_tpu.solver import solve_gnc
+
+    data = synth.landmark_slam_2d(
+        n_poses=60, n_landmarks=40, max_range=10.0, obs_type="bearing_range", seed=11
+    )
+    rng = np.random.default_rng(0)
+    M = len(data.obs_pose)
+    bad = rng.choice(M, size=6, replace=False)
+    obs_lm = np.array(data.obs_lm)
+    L = int(obs_lm.max()) + 1
+    for m in bad:
+        obs_lm[m] = (obs_lm[m] + 1 + rng.integers(L - 1)) % L  # wrong landmark
+    import dataclasses
+
+    corrupted = dataclasses.replace(data, obs_lm=obs_lm)
+
+    g = build.landmark_slam_2d(corrupted, dtype=jnp.float64)
+    # batch 0 is the landmark-observation batch (build order)
+    solved, info = solve_gnc(g, Options(method="lm", max_iters=10), robustify=[0])
+    w = np.asarray(info.weights[0])
+    flagged = set(np.flatnonzero(w < 0.5).tolist())
+    assert set(bad.tolist()) <= flagged  # every planted outlier caught
+    # false-rejection rate stays near the TLS confidence floor (measured:
+    # 30 extra of 939 at 99% confidence — the 1% chi2 tail plus the bias
+    # the corrupted landmarks leak into their other observations)
+    assert len(flagged) <= 0.05 * len(data.obs_pose)
+
+    pos = lambda T: np.stack([np.linalg.inv(Tk)[:2, 2] for Tk in np.asarray(T)])
+    ate = np.sqrt(
+        np.mean(np.sum((pos(solved.blocks["poses"].values) - pos(data.T_gt)) ** 2, 1))
+    )
+    g_clean = build.landmark_slam_2d(data, dtype=jnp.float64)
+    clean, _ = solve_auto(g_clean, Options(method="lm", max_iters=15))
+    ate_clean = np.sqrt(
+        np.mean(np.sum((pos(clean.blocks["poses"].values) - pos(data.T_gt)) ** 2, 1))
+    )
+    assert ate < 3 * ate_clean + 0.05
