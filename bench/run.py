@@ -363,7 +363,58 @@ def config_7():
     )
 
 
-CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5, 6: config_6, 7: config_7}
+def config_8():
+    """2D landmark SLAM (Victoria-Park model family, beyond-reference):
+    SE(2) trajectory + 2-dof landmarks + bearing-range observations through
+    the dof-generic Schur path.  Baseline: the independent scipy GN
+    (tests/scipy_ref.solve_landmark_slam_2d — FD Jacobians over the full
+    pose+landmark sparse system via spsolve, the reference's architecture
+    for this problem class)."""
+    import jax.numpy as jnp
+
+    from pyslam_tpu.graph import build
+    from pyslam_tpu.io import synth
+    from pyslam_tpu.solver import Options, solve_auto
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    import scipy_ref
+
+    data = synth.landmark_slam_2d(
+        n_poses=800, n_landmarks=250, max_range=10.0, obs_type="bearing_range", seed=0
+    )
+    key = "landmark_slam_800"
+    base = _cache().get(key)
+    if base is None:
+        t0 = time.perf_counter()
+        _, _, chi2_b, _ = scipy_ref.solve_landmark_slam_2d(data, max_iters=25)
+        base = {"chi2": float(chi2_b), "wall_s": time.perf_counter() - t0,
+                "label": "scipy-ref GN (FD jacobians + spsolve, full system)"}
+        _cache_put(key, base)
+    g = build.landmark_slam_2d(data)
+    opts = Options(method="lm", max_iters=30)
+
+    def run():
+        s2, info = solve_auto(g, opts)
+        import jax
+
+        jax.block_until_ready(s2.blocks["poses"].values)
+        return info
+
+    info, wall = _timed(run)
+    return dict(
+        config="8_landmark_slam_2d_800",
+        wall_s=wall,
+        iters=int(info.iterations),
+        chi2=float(info.chi2),
+        baseline_wall_s=base["wall_s"],
+        baseline_chi2=base["chi2"],
+        parity=float(info.chi2) <= base["chi2"] * 1.01,
+        speedup=base["wall_s"] / wall,
+    )
+
+
+CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5,
+           6: config_6, 7: config_7, 8: config_8}
 
 
 def main():

@@ -47,10 +47,29 @@ class IncrementalSmoother:
     kind plus optional unary priors; the first pose is the gauge anchor.
     ``update()`` solves the current graph warm-started from the previous
     estimate and returns (values, SolveInfo).
+
+    Landmark SLAM (online BA / the iSAM use case): construct with
+    ``obs_kind`` ('bearing_range_se2' | 'landmark_xy_se2' | 'reprojection'
+    | any registered (pose, landmark) kernel with {obs, sqrt_info} data)
+    and stream ``add_landmark`` / ``add_observation`` alongside poses.
+    Two-block graphs solve through solve_auto's Schur routing; the same
+    bucketed-capacity shape reuse applies to the landmark and observation
+    stores.  ``obs_dim``/``lm_dim`` default from the kind; ``obs_extras``
+    carries static per-batch data (e.g. the camera pytree for
+    'reprojection').
     """
 
+    _OBS_DEFAULTS = {
+        "bearing_range_se2": (2, 2),  # (obs_dim, lm_dim)
+        "landmark_xy_se2": (2, 2),
+        "reprojection": (3, 3),
+        "reprojection_bal": (2, 3),
+    }
+
     def __init__(self, kind: str = "se3", options: _lm.Options | None = None,
-                 init_capacity: int = 16, dtype=jnp.float64):
+                 init_capacity: int = 16, dtype=jnp.float64,
+                 obs_kind: str | None = None, obs_dim: int | None = None,
+                 lm_dim: int | None = None, obs_extras: dict | None = None):
         from ..graph.core import MANIFOLDS
 
         if kind not in ("se3", "se2", "sim3"):
@@ -74,11 +93,51 @@ class IncrementalSmoother:
         self._T_obs = np.tile(eye, (self.fcap, 1, 1))
         self._S = np.tile(np.eye(self._dof), (self.fcap, 1, 1))
         self._w = np.zeros(self.fcap)
+        # landmark + observation storage (obs_kind graphs only)
+        self.obs_kind = obs_kind
+        self.obs_extras = dict(obs_extras or {})
+        if obs_kind is not None:
+            od, ld = self._OBS_DEFAULTS.get(obs_kind, (None, None))
+            self.obs_dim = obs_dim if obs_dim is not None else od
+            self.lm_dim = lm_dim if lm_dim is not None else ld
+            if self.obs_dim is None or self.lm_dim is None:
+                raise ValueError(
+                    f"obs_kind {obs_kind!r} needs explicit obs_dim/lm_dim"
+                )
+            self.nl = 0  # live landmarks
+            self.lcap = init_capacity
+            # safe padding value: keeps every registered kernel finite on
+            # padded slots (0 * inf = NaN would poison chi2 — the
+            # schur_reduce safe-fill lesson); unit-z for projective kernels
+            self._lm_safe = np.zeros(self.lm_dim)
+            self._lm_safe[-1] = 1.0
+            self._L = np.tile(self._lm_safe, (self.lcap, 1))
+            self._lconst = np.ones(self.lcap, bool)
+            self.mo = 0  # live observations
+            self.ocap = init_capacity
+            self._oi = np.zeros(self.ocap, np.int32)  # pose index
+            self._oj = np.zeros(self.ocap, np.int32)  # landmark index
+            self._obs = np.zeros((self.ocap, self.obs_dim))
+            self._obs[:, -1] = 1.0  # nonzero range/depth keeps kernels finite
+            self._oS = np.tile(np.eye(self.obs_dim), (self.ocap, 1, 1))
+            self._ow = np.zeros(self.ocap)
         self.compiles = 0  # fresh-executable count (structure-key changes)
         self._prior_batches: list = []  # carried marginalization priors
         self._handed_off = False  # host arrays aliased by device since last copy
 
     # ------------------------------------------------------------ building
+    _HOST_ARRAYS = ("_T", "_const", "_fi", "_fj", "_T_obs", "_S", "_w",
+                    "_L", "_lconst", "_oi", "_oj", "_obs", "_oS", "_ow")
+
+    def _cow(self):
+        """Copy-on-write ONCE per device handoff (CLAUDE.md zero-copy
+        aliasing rule) — copying on every add would be O(N^2)."""
+        if self._handed_off:
+            for name in self._HOST_ARRAYS:
+                if hasattr(self, name):
+                    setattr(self, name, getattr(self, name).copy())
+            self._handed_off = False
+
     def add_pose(self, T_init) -> int:
         if self.n == self.cap:
             new = _bucket(self.n + 1, self.cap)
@@ -87,14 +146,7 @@ class IncrementalSmoother:
             self._const = np.concatenate([self._const, np.ones(new - self.cap, bool)])
             self.cap = new
         i = self.n
-        if self._handed_off:
-            # copy-on-write ONCE per device handoff (CLAUDE.md zero-copy
-            # aliasing rule) — copying on every add would be O(N^2)
-            self._T = self._T.copy()
-            self._const = self._const.copy()
-            for name in ("_fi", "_fj", "_T_obs", "_S", "_w"):
-                setattr(self, name, getattr(self, name).copy())
-            self._handed_off = False
+        self._cow()
         self._T[i] = np.asarray(T_init)
         self._const[i] = i == 0  # anchor stays const
         self.n += 1
@@ -113,46 +165,114 @@ class IncrementalSmoother:
             self._w = np.concatenate([self._w, np.zeros(g)])
             self.fcap = new
         k = self.m
-        if self._handed_off:
-            self._T = self._T.copy()
-            self._const = self._const.copy()
-            for name in ("_fi", "_fj", "_T_obs", "_S", "_w"):
-                setattr(self, name, getattr(self, name).copy())
-            self._handed_off = False
+        self._cow()
         self._fi[k], self._fj[k] = i, j
         self._T_obs[k] = np.asarray(T_obs)
         self._S[k] = np.asarray(sqrt_info)
         self._w[k] = 1.0
         self.m += 1
 
-    def _graph(self) -> FactorGraph:
+    def add_landmark(self, l_init) -> int:
+        if self.obs_kind is None:
+            raise ValueError("construct with obs_kind=... for landmark SLAM")
+        if self.nl == self.lcap:
+            new = _bucket(self.nl + 1, self.lcap)
+            pad = np.tile(self._lm_safe, (new - self.lcap, 1))
+            self._L = np.concatenate([self._L, pad])
+            self._lconst = np.concatenate(
+                [self._lconst, np.ones(new - self.lcap, bool)]
+            )
+            self.lcap = new
+        j = self.nl
+        self._cow()
+        self._L[j] = np.asarray(l_init)
+        self._lconst[j] = False
+        self.nl += 1
+        return j
+
+    def add_observation(self, pose_i: int, lm_j: int, obs, sqrt_info):
+        if self.obs_kind is None:
+            raise ValueError("construct with obs_kind=... for landmark SLAM")
+        if self.mo == self.ocap:
+            new = _bucket(self.mo + 1, self.ocap)
+            g = new - self.ocap
+            # replicate row 0 into the padding (weight 0 masks it; a valid
+            # row keeps any kernel finite — 0 * inf = NaN otherwise)
+            self._oi = np.concatenate([self._oi, np.full(g, self._oi[0], np.int32)])
+            self._oj = np.concatenate([self._oj, np.full(g, self._oj[0], np.int32)])
+            self._obs = np.concatenate([self._obs, np.tile(self._obs[0], (g, 1))])
+            self._oS = np.concatenate([self._oS, np.tile(self._oS[0], (g, 1, 1))])
+            self._ow = np.concatenate([self._ow, np.zeros(g)])
+            self.ocap = new
+        k = self.mo
+        self._cow()
+        self._oi[k], self._oj[k] = pose_i, lm_j
+        self._obs[k] = np.asarray(obs)
+        self._oS[k] = np.asarray(sqrt_info)
+        self._ow[k] = 1.0
+        if k == 0:
+            # retro-fill the initial padding with the first valid row
+            self._oi[1:] = pose_i
+            self._oj[1:] = lm_j
+            self._obs[1:] = self._obs[0]
+            self._oS[1:] = self._oS[0]
+        self.mo += 1
+
+    def _graph(self, n=None, m=None, nl=None, mo=None) -> FactorGraph:
+        """Padded graph at full capacities (default) or compacted to exact
+        live sizes (explicit n/m/nl/mo — the marginalization path)."""
+        sl = slice(None, n)
         blocks = {
             "poses": VariableBlock(
                 self.kind,
-                jnp.asarray(self._T, self.dtype),
-                jnp.asarray(self._const),
+                jnp.asarray(self._T[sl], self.dtype),
+                jnp.asarray(self._const[sl]),
             )
         }
+        fsl = slice(None, m)
         batches = [
             FactorBatch(
                 f"between_{self.kind}",
                 ("poses", "poses"),
-                (jnp.asarray(self._fi), jnp.asarray(self._fj)),
+                (jnp.asarray(self._fi[fsl]), jnp.asarray(self._fj[fsl])),
                 {
-                    "T_obs": jnp.asarray(self._T_obs, self.dtype),
-                    "sqrt_info": jnp.asarray(self._S, self.dtype),
+                    "T_obs": jnp.asarray(self._T_obs[fsl], self.dtype),
+                    "sqrt_info": jnp.asarray(self._S[fsl], self.dtype),
                 },
                 L2Loss(),
-                jnp.asarray(self._w, self.dtype),
+                jnp.asarray(self._w[fsl], self.dtype),
             )
-        ] + self._prior_batches
-        return FactorGraph(blocks, batches)
+        ]
+        if self.obs_kind is not None:
+            lsl, osl = slice(None, nl), slice(None, mo)
+            blocks["landmarks"] = VariableBlock(
+                "euclidean",
+                jnp.asarray(self._L[lsl], self.dtype),
+                jnp.asarray(self._lconst[lsl]),
+            )
+            data = {
+                "obs": jnp.asarray(self._obs[osl], self.dtype),
+                "sqrt_info": jnp.asarray(self._oS[osl], self.dtype),
+            }
+            data.update(self.obs_extras)
+            batches.append(
+                FactorBatch(
+                    self.obs_kind,
+                    ("poses", "landmarks"),
+                    (jnp.asarray(self._oi[osl]), jnp.asarray(self._oj[osl])),
+                    data,
+                    L2Loss(),
+                    jnp.asarray(self._ow[osl], self.dtype),
+                )
+            )
+        return FactorGraph(blocks, batches + self._prior_batches)
 
     # ------------------------------------------------------------- solving
     def update(self):
         """Solve the current graph warm-started from the last estimate.
         Same-capacity updates hit the jit cache (one dispatch); capacity
-        growth triggers one fresh compile and is counted in .compiles."""
+        growth triggers one fresh compile and is counted in .compiles.
+        Landmark graphs dispatch through solve_auto (Schur routing)."""
         g = self._graph()
         self._handed_off = True
         # the jit cache keys on shapes + pytree structure: capacities AND
@@ -160,6 +280,7 @@ class IncrementalSmoother:
         key = (
             self.cap,
             self.fcap,
+            (self.lcap, self.ocap) if self.obs_kind is not None else None,
             tuple(
                 (fb.kind, tuple(sorted((k, np.shape(v)) for k, v in fb.data.items())))
                 for fb in self._prior_batches
@@ -168,13 +289,36 @@ class IncrementalSmoother:
         if key != getattr(self, "_last_key", None):
             self.compiles += 1
             self._last_key = key
-        solved, info = _lm.solve(g, self.opts)
+        if self.obs_kind is not None:
+            # Schur routing needs every batch in the (p,), (l,), (p,p),
+            # (p,l) patterns; marginalization priors over a mixed
+            # pose+landmark blanket are multi-slot — those graphs take the
+            # generic dense assembly (window-scale after marginalization)
+            schur_ok = all(
+                set(fb.slots) <= {"poses", "landmarks"} and len(fb.slots) <= 2
+                and fb.slots != ("landmarks", "poses")
+                for fb in self._prior_batches
+            )
+            if schur_ok:
+                from . import solve_auto
+
+                solved, info = solve_auto(g, self.opts)
+            else:
+                solved, info = _lm.solve(g, self.opts)
+            self._L = np.array(solved.blocks["landmarks"].values)
+        else:
+            solved, info = _lm.solve(g, self.opts)
         self._T = np.array(solved.blocks["poses"].values)  # host mirror copy
-        self._handed_off = False  # _T is a fresh copy; factor arrays unchanged
+        self._handed_off = False  # _T/_L are fresh copies; factor arrays unchanged
         return self._T[: self.n], info
 
     def poses(self):
         return self._T[: self.n].copy()
+
+    def landmarks(self):
+        if self.obs_kind is None:
+            raise ValueError("no landmark block (construct with obs_kind=...)")
+        return self._L[: self.nl].copy()
 
     # -------------------------------------------------------- marginalizing
     def marginalize_oldest(self, keep_last: int):
@@ -188,29 +332,8 @@ class IncrementalSmoother:
         if self.n <= keep_last:
             return
         # compact to live sizes first (marginalize works on exact arrays)
-        live = FactorGraph(
-            {
-                "poses": VariableBlock(
-                    self.kind,
-                    jnp.asarray(self._T[: self.n], self.dtype),
-                    jnp.asarray(self._const[: self.n]),
-                )
-            },
-            [
-                FactorBatch(
-                    f"between_{self.kind}",
-                    ("poses", "poses"),
-                    (jnp.asarray(self._fi[: self.m]), jnp.asarray(self._fj[: self.m])),
-                    {
-                        "T_obs": jnp.asarray(self._T_obs[: self.m], self.dtype),
-                        "sqrt_info": jnp.asarray(self._S[: self.m], self.dtype),
-                    },
-                    L2Loss(),
-                    jnp.asarray(self._w[: self.m], self.dtype),
-                )
-            ]
-            + self._prior_batches,
-        )
+        live = self._graph(n=self.n, m=self.m, nl=self.nl if self.obs_kind else None,
+                           mo=self.mo if self.obs_kind else None)
         # the anchor must survive (marginalize refuses const targets): retire
         # poses 1 .. n-keep_last-1, keeping 0 plus the newest keep_last
         targets = list(range(1, self.n - keep_last))
@@ -224,9 +347,12 @@ class IncrementalSmoother:
         self._T[:n_new] = np.asarray(blk.values)
         self._const = np.ones(self.cap, bool)
         self._const[:n_new] = np.asarray(blk.const_mask)
-        # split surviving batches back into between storage + priors
+        # split surviving batches back into between/observation storage +
+        # carried priors (observations of retired poses were consumed into
+        # the dense prior; surviving ones keep their landmark)
         self._prior_batches = []
         bi, bj, bT, bS, bw = [], [], [], [], []
+        oi, oj, oo, oS, ow = [], [], [], [], []
         for fb in g2.batches:
             if fb.kind == f"between_{self.kind}":
                 bi.append(np.asarray(fb.indices[0]))
@@ -234,6 +360,12 @@ class IncrementalSmoother:
                 bT.append(np.asarray(fb.data["T_obs"]))
                 bS.append(np.asarray(fb.data["sqrt_info"]))
                 bw.append(np.asarray(fb.weight))
+            elif self.obs_kind is not None and fb.kind == self.obs_kind:
+                oi.append(np.asarray(fb.indices[0]))
+                oj.append(np.asarray(fb.indices[1]))
+                oo.append(np.asarray(fb.data["obs"]))
+                oS.append(np.asarray(fb.data["sqrt_info"]))
+                ow.append(np.asarray(fb.weight))
             else:
                 self._prior_batches.append(fb)
         self.m = sum(len(x) for x in bi)
@@ -249,3 +381,30 @@ class IncrementalSmoother:
             self._T_obs[: self.m] = np.concatenate(bT)
             self._S[: self.m] = np.concatenate(bS)
             self._w[: self.m] = np.concatenate(bw)
+        if self.obs_kind is not None:
+            lblk = g2.blocks["landmarks"]
+            self.nl = lblk.n
+            self.lcap = _bucket(max(self.nl, 1), 16)
+            self._L = np.tile(self._lm_safe, (self.lcap, 1))
+            self._L[: self.nl] = np.asarray(lblk.values)
+            self._lconst = np.ones(self.lcap, bool)
+            self._lconst[: self.nl] = np.asarray(lblk.const_mask)
+            self.mo = sum(len(x) for x in oi)
+            self.ocap = _bucket(max(self.mo, 1), 16)
+            self._oi = np.zeros(self.ocap, np.int32)
+            self._oj = np.zeros(self.ocap, np.int32)
+            self._obs = np.zeros((self.ocap, self.obs_dim))
+            self._obs[:, -1] = 1.0
+            self._oS = np.tile(np.eye(self.obs_dim), (self.ocap, 1, 1))
+            self._ow = np.zeros(self.ocap)
+            if self.mo:
+                self._oi[: self.mo] = np.concatenate(oi)
+                self._oj[: self.mo] = np.concatenate(oj)
+                self._obs[: self.mo] = np.concatenate(oo)
+                self._oS[: self.mo] = np.concatenate(oS)
+                self._ow[: self.mo] = np.concatenate(ow)
+                # safe padding: replicate the first surviving row
+                self._oi[self.mo:] = self._oi[0]
+                self._oj[self.mo:] = self._oj[0]
+                self._obs[self.mo:] = self._obs[0]
+                self._oS[self.mo:] = self._oS[0]

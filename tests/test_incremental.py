@@ -84,3 +84,89 @@ class TestIncremental:
         est, info = sm.update()
         assert sm.n == base + 6
         assert np.isfinite(float(info.chi2))
+
+
+class TestIncrementalLandmarks:
+    """Online landmark SLAM through the smoother: stream poses, landmarks,
+    and bearing-range observations; updates must match the batch solve_auto
+    answer on the same graph with O(log N) compiles."""
+
+    def _stream(self, data, update_every=5, max_iters=15, keep_window=None):
+        from pyslam_tpu.solver.incremental import IncrementalSmoother
+        from pyslam_tpu.solver import Options as O
+
+        sm = IncrementalSmoother(
+            kind="se2", obs_kind="bearing_range_se2",
+            options=O(method="lm", max_iters=max_iters),
+        )
+        lm_id = {}
+        obs_by_pose = {}
+        for m in range(len(data.obs_pose)):
+            obs_by_pose.setdefault(int(data.obs_pose[m]), []).append(m)
+        n = len(data.T_init)
+        info = None
+        prev = None  # smoother index of the latest pose (reindexes after
+        # marginalize_oldest, so track it locally, never the dataset id)
+        for k in range(n):
+            if k == 0:
+                prev = sm.add_pose(data.T_init[0])
+            else:
+                cur = sm.add_pose(data.T_meas[k - 1] @ sm.poses()[prev])
+                sm.add_between(prev, cur, data.T_meas[k - 1], data.sqrt_info[k - 1])
+                prev = cur
+            for m in obs_by_pose.get(k, []):
+                lj = int(data.obs_lm[m])
+                if lj not in lm_id:
+                    # first-observation back-projection through the current
+                    # pose estimate (the honest online init)
+                    b, r = data.obs[m]
+                    p_local = np.array([r * np.cos(b), r * np.sin(b)])
+                    Tk = sm.poses()[prev]
+                    lm_id[lj] = sm.add_landmark(
+                        Tk[:2, :2].T @ (p_local - Tk[:2, 2])
+                    )
+                sm.add_observation(prev, lm_id[lj], data.obs[m], data.obs_sqrt_info[m])
+            if k % update_every == 0 or k == n - 1:
+                _, info = sm.update()
+                if keep_window and sm.n > keep_window + 4:
+                    sm.marginalize_oldest(keep_window)
+                    prev = sm.n - 1
+        return sm, lm_id, info
+
+    def test_matches_batch_solve(self):
+        data = synth.landmark_slam_2d(
+            n_poses=50, n_landmarks=30, max_range=9.0, obs_type="bearing_range", seed=6
+        )
+        sm, lm_id, info = self._stream(data, update_every=5)
+        # batch reference over the same factors/inits
+        g = build.landmark_slam_2d(data, dtype=jnp.float64)
+        from pyslam_tpu.solver import solve_auto
+
+        batch, binfo = solve_auto(g, Options(method="lm", max_iters=40))
+        err = jnp.abs(
+            se2.log(jnp.asarray(sm.poses()) @ se2.inv(batch.blocks["poses"].values))
+        )
+        assert float(jnp.max(err)) < 1e-3
+        # landmark estimates agree too (map smoother ids -> dataset ids)
+        L_b = np.asarray(batch.blocks["landmarks"].values)
+        L_s = sm.landmarks()
+        for dj, sj in lm_id.items():
+            np.testing.assert_allclose(L_s[sj], L_b[dj], atol=2e-3)
+        assert sm.compiles <= 16, sm.compiles
+
+    def test_marginalize_keeps_tracking(self):
+        data = synth.landmark_slam_2d(
+            n_poses=28, n_landmarks=16, max_range=9.0, obs_type="bearing_range", seed=8
+        )
+        sm, lm_id, info = self._stream(data, update_every=6, keep_window=10)
+        assert sm.n <= 15  # window bounded
+        # retired information is kept: the live tail matches the full batch
+        # tail to loop-closure accuracy
+        g = build.landmark_slam_2d(data, dtype=jnp.float64)
+        from pyslam_tpu.solver import solve_auto
+
+        batch, _ = solve_auto(g, Options(method="lm", max_iters=40))
+        T_b = np.asarray(batch.blocks["poses"].values)
+        tail = np.asarray(sm.poses()[-5:])
+        err = jnp.abs(se2.log(jnp.asarray(tail) @ se2.inv(jnp.asarray(T_b[-5:]))))
+        assert float(jnp.max(err)) < 0.1
