@@ -46,6 +46,7 @@ class ShardedBA:
     mesh: Mesh
     axis: str
     kind: str  # binary factor kernel name
+    pose_kind: str  # pose manifold ('se3' | 'se2' | 'sim3' | 'bal_cam9')
     n_dev: int
     C: int
     L: int  # true landmark count
@@ -156,7 +157,7 @@ def shard_ba(
         for b in between_p
     ]
     return ShardedBA(
-        mesh=mesh, axis=axis, kind=fb.kind, n_dev=n, C=C, L=L, Lb=Lb, Mb=Mb,
+        mesh=mesh, axis=axis, kind=fb.kind, pose_kind=pb.kind, n_dev=n, C=C, L=L, Lb=Lb, Mb=Mb,
         dp=dp, dl=dl,
         poses=jnp.asarray(pb.values),
         free_p=jnp.asarray((~np.asarray(pb.const_mask)).astype(np.float64)),
@@ -187,6 +188,7 @@ def make_sharded_schur_step(
     axis = sb.axis
     C, dp, dl = sb.C, sb.dp, sb.dl
     kind, loss = sb.kind, sb.loss
+    pose_kind = sb.pose_kind
     static_data = sb.static_data
     free_p = sb.free_p
     unary = sb.unary
@@ -340,7 +342,7 @@ def make_sharded_schur_step(
         )
 
         # ---- retract ----
-        new_poses = retract("se3", poses, dx_p)
+        new_poses = retract(pose_kind, poses, dx_p)
         new_lm = lm_slab + dx_l
 
         cost_new = (

@@ -245,3 +245,31 @@ class TestShardedFullSlam:
         _, info = solve_schur(g2, opts, mode="pcg", **common)
         assert hist[-1] < hist[0]
         np.testing.assert_allclose(chi2_s, float(info.chi2), rtol=1e-6)
+
+
+class TestShardedPoseManifolds:
+    """Regression (round 3): make_ba_step hardcoded retract('se3'), so any
+    non-se3 pose manifold — se2 landmark SLAM, 9-dof bal_cam9 — crashed or
+    mis-stepped on the mesh path despite the dof-generic assembly.  The
+    pose kind is now plumbed through ShardedBA."""
+
+    def test_se2_landmark_graph_matches_single_device(self):
+        from pyslam_tpu.solver import solve_auto
+
+        data = synth.landmark_slam_2d(n_poses=30, n_landmarks=20, max_range=9.0, seed=1)
+        g = build.landmark_slam_2d(data, dtype=jnp.float64)
+        mesh = make_mesh_l()
+        solved_s, chi2_s, _ = solve_schur_sharded(g, mesh, Options(method="lm", max_iters=15))
+        _, info_1 = solve_auto(g, Options(method="lm", max_iters=15))
+        np.testing.assert_allclose(float(chi2_s), float(info_1.chi2), rtol=1e-9)
+
+    def test_bal9_matches_single_device(self):
+        from pyslam_tpu.io import bal
+        from pyslam_tpu.solver import solve_auto
+
+        data = bal.perturbed(bal.synthetic_bal(n_cams=8, n_pts=60, seed=0))
+        g = build.bal_graph(data, optimize_intrinsics=True, dtype=jnp.float64)
+        mesh = make_mesh_l()
+        _, chi2_s, _ = solve_schur_sharded(g, mesh, Options(method="lm", max_iters=10))
+        _, info_1 = solve_auto(g, Options(method="lm", max_iters=10))
+        np.testing.assert_allclose(float(chi2_s), float(info_1.chi2), rtol=1e-9)
