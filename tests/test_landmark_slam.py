@@ -245,3 +245,27 @@ def test_gnc_rejects_wrong_associations():
         np.mean(np.sum((pos(clean.blocks["poses"].values) - pos(data.T_gt)) ** 2, 1))
     )
     assert ate < 3 * ate_clean + 0.05
+
+
+def test_covariances_on_2dof_landmarks():
+    """The selective-solve covariance machinery (solver/covariance.py) is
+    dof-generic: pose/landmark marginals and cross blocks on a 2-dof
+    landmark graph equal the dense inverse."""
+    from pyslam_tpu.solver import full_covariance
+    from pyslam_tpu.solver.covariance import (
+        landmark_marginal_covariances,
+        pose_covariance_block,
+        pose_marginal_covariances,
+    )
+
+    data = synth.landmark_slam_2d(n_poses=15, n_landmarks=10, max_range=9.0, seed=2)
+    g = build.landmark_slam_2d(data, dtype=jnp.float64)
+    solved, _ = solve_auto(g, Options(method="gn", max_iters=20))
+    Sig = np.asarray(full_covariance(solved))
+    # canonical (sorted-name) layout: landmarks (10*2) first, then poses
+    P = np.asarray(pose_marginal_covariances(solved))
+    np.testing.assert_allclose(P[3], Sig[20 + 9 : 20 + 12, 20 + 9 : 20 + 12], rtol=1e-8)
+    L = np.asarray(landmark_marginal_covariances(solved, np.arange(10)))
+    np.testing.assert_allclose(L[4], Sig[8:10, 8:10], rtol=1e-8)
+    B = np.asarray(pose_covariance_block(solved, 2, 5))
+    np.testing.assert_allclose(B, Sig[20 + 6 : 20 + 9, 20 + 15 : 20 + 18], rtol=1e-8)
