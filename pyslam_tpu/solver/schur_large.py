@@ -216,6 +216,15 @@ def prepare_large_ba(
     lm_name: str = "landmarks",
 ) -> LargeBA:
     pb, lb = graph.blocks[pose_name], graph.blocks[lm_name]
+    # this path's component-major storage AND its retract are
+    # specialized to se3 x 3-dof landmarks ((18, M) W, _inv33) —
+    # route_auto guards on dof, but direct callers get a named error
+    if pb.kind != "se3" or lb.dof != 3:
+        raise ValueError(
+            f"{pose_name}/{lm_name} must be se3 poses + 3-dof landmarks "
+            f"(got {pb.kind!r} / {lb.dof}-dof); use solve_schur / "
+            "solve_auto for other manifolds"
+        )
     (fb,) = [b for b in graph.batches if b.slots == (pose_name, lm_name)]
     unary = [b for b in graph.batches if b.slots == (pose_name,)]
     between = [b for b in graph.batches if b.slots == (pose_name, pose_name)]
