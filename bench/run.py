@@ -379,10 +379,15 @@ def config_8():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
     import scipy_ref
 
+    # odo_rot_std 0.005: the largest drift from which BOTH solvers converge
+    # to the ML basin from the raw odometry init (at the generator default
+    # 0.01 the 800-pose drift is outside every solver's basin — this bench
+    # measures throughput at chi2 parity, not basin escape)
     data = synth.landmark_slam_2d(
-        n_poses=800, n_landmarks=250, max_range=10.0, obs_type="bearing_range", seed=0
+        n_poses=800, n_landmarks=250, max_range=10.0, obs_type="bearing_range",
+        odo_rot_std=0.005, seed=0
     )
-    key = "landmark_slam_800"
+    key = "landmark_slam_800_v2"
     base = _cache().get(key)
     if base is None:
         t0 = time.perf_counter()
