@@ -35,9 +35,11 @@ from .schur import ba_assemble, solve_schur  # noqa: E402
 __all__ += ["ba_assemble", "solve_schur"]
 
 from .schur_sqrt import build_sqrt_plan, solve_schur_sqrt  # noqa: E402
+from .schur_sparse import build_schur_sparse_plan, solve_schur_sparse  # noqa: E402
 from .sparse_chol import build_chol_plan, solve_sparse_chol  # noqa: E402
 
-__all__ += ["build_sqrt_plan", "solve_schur_sqrt", "build_chol_plan", "solve_sparse_chol"]
+__all__ += ["build_sqrt_plan", "solve_schur_sqrt", "build_chol_plan", "solve_sparse_chol",
+            "build_schur_sparse_plan", "solve_schur_sparse"]
 
 from .gnc import GNCInfo, solve_gnc  # noqa: E402
 from .fixed_lag import FixedLagSmoother  # noqa: E402
@@ -210,6 +212,27 @@ def route_auto(
         hpl_bytes = pb.n * pb.dof * lb.n * lb.dof * itemsize
         if pb.n * pb.dof <= 4096 and 2 * hpl_bytes <= dense_hpl_budget_bytes:
             return "schur_dense"
+        # SPARSE_SCHUR: beyond the dense ceiling, when the co-observation
+        # camera graph is sparse (many poses / few landmarks — Victoria-
+        # Park-class 2D landmark SLAM, sliding windows), the reduced S
+        # factors EXACTLY through the multifrontal path at O(fill) instead
+        # of trusting iterative SCHUR_JACOBI PCG (the M3500 stall lesson).
+        # Gate on the co-observation pair count (sum of squared landmark
+        # degrees): first the shape-only Cauchy-Schwarz lower bound
+        # n_obs^2 / L (no index arrays touched), then the real count.
+        pair_budget = min(2_000_000, 96 * pb.n)
+        if (
+            n_obs * n_obs <= pair_budget * max(lb.n, 1)
+            and all(
+                fb.slots in ((pose_name,), (pose_name, pose_name), (pose_name, lm_name))
+                for fb in graph.batches
+            )
+        ):
+            from .schur_sparse import coobservation_stats
+
+            pairs_sq, _ = coobservation_stats(graph, pose_name, lm_name)
+            if pairs_sq <= pair_budget:
+                return "schur_sparse"
         return "schur_pcg"
     if len(blocks) == 1 and graph.total_dof > dense_dof_limit:
         blk = next(iter(blocks.values()))
@@ -305,6 +328,12 @@ def solve_auto(
         from .schur_sqrt import solve_schur_sqrt
 
         return solve_schur_sqrt(
+            graph, opts, pose_name=lie_blocks[0], lm_name=euc_blocks[0]
+        )
+    if route == "schur_sparse":
+        from .schur_sparse import solve_schur_sparse
+
+        return solve_schur_sparse(
             graph, opts, pose_name=lie_blocks[0], lm_name=euc_blocks[0]
         )
     if route in ("schur_dense", "schur_pcg"):
