@@ -80,9 +80,11 @@ def _sqrt_info(info):
     return V @ np.diag(np.sqrt(w)) @ V.T
 
 
-def read_g2o(path) -> PoseGraphData:
-    """Parse a g2o file into PoseGraphData (world-to-body poses, between-
-    factor slots already swapped per the convention bridge above)."""
+def read_g2o(path) -> "PoseGraphData | LandmarkSLAM2DData":
+    """Parse a g2o file into PoseGraphData — or LandmarkSLAM2DData when the
+    file carries VERTEX_XY/EDGE_SE2_XY landmark records (world-to-body
+    poses, between-factor slots already swapped per the convention bridge
+    above)."""
     verts: dict[int, np.ndarray] = {}
     edges = []
     lm_verts: dict[int, np.ndarray] = {}

@@ -60,12 +60,11 @@ def exp(xi):
     """Exponential map: (..., 3) -> (..., 3, 3)."""
     xi = jnp.asarray(xi)
     rho, phi = xi[..., :2], xi[..., 2]
-    # NOT so2.exp(phi): its (..., 1)->(...,) squeeze heuristic would eat a
-    # batch axis of exactly one element (phi is already scalar-shaped here)
-    c, s = jnp.cos(phi), jnp.sin(phi)
-    R = jnp.stack(
-        [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
-    )
+    # phi[..., None]: so2.exp's (..., 1)->(...,) squeeze heuristic would
+    # otherwise eat a batch axis of exactly one element (phi is already
+    # scalar-shaped here); feeding it the trailing dof axis it expects
+    # makes the squeeze exact for every batch shape
+    R = so2.exp(phi[..., None])
     t = jnp.einsum("...ij,...j->...i", _V(phi, xi.dtype), rho)
     return _assemble(R, t)
 

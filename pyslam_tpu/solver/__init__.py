@@ -128,6 +128,7 @@ def route_auto(
     dense_hpl_budget_bytes: int = 1 << 30,
     device_hbm_budget_bytes: int = 10 << 30,
     tiny_dof: int = 2000,
+    schur_sparse_pair_budget: int = 2_000_000,
 ):
     """Name of the solve path ``solve_auto`` picks for this graph (+mesh).
 
@@ -220,9 +221,10 @@ def route_auto(
         # Gate on the co-observation pair count (sum of squared landmark
         # degrees): first the shape-only Cauchy-Schwarz lower bound
         # n_obs^2 / L (no index arrays touched), then the real count.
-        pair_budget = min(2_000_000, 96 * pb.n)
+        pair_budget = min(schur_sparse_pair_budget, 96 * pb.n)
         if (
-            n_obs * n_obs <= pair_budget * max(lb.n, 1)
+            n_obs > 0
+            and n_obs * n_obs <= pair_budget * max(lb.n, 1)
             and all(
                 fb.slots in ((pose_name,), (pose_name, pose_name), (pose_name, lm_name))
                 for fb in graph.batches
@@ -255,6 +257,7 @@ def solve_auto(
     dense_dof_limit: int = 12000,
     dense_hpl_budget_bytes: int = 1 << 30,
     device_hbm_budget_bytes: int = 10 << 30,
+    schur_sparse_pair_budget: int = 2_000_000,
 ):
     """Structure-dispatching solve: picks the right linear-algebra path.
 
@@ -282,6 +285,7 @@ def solve_auto(
         dense_dof_limit=dense_dof_limit,
         dense_hpl_budget_bytes=dense_hpl_budget_bytes,
         device_hbm_budget_bytes=device_hbm_budget_bytes,
+        schur_sparse_pair_budget=schur_sparse_pair_budget,
     )
     blocks = graph.blocks
     kinds = {name: b.kind for name, b in blocks.items()}

@@ -389,8 +389,10 @@ def build_ell_direct(graph: FactorGraph, block_name: str | None = None) -> EllDi
 
     def lookup(uu, vv):
         """Flat ELL position of (uu, vv); diagonal maps to slot 0."""
+        if len(keys) == 0:  # no off-diagonal edges at all: everything is
+            return np.asarray(uu) * K  # diagonal (uu == vv by construction)
         pos = np.searchsorted(keys, uu * nb + vv)
-        out = edge_slot[np.minimum(pos, max(len(keys) - 1, 0))]
+        out = edge_slot[np.minimum(pos, len(keys) - 1)]
         return np.where(uu == vv, uu * K, out)
 
     maps = []

@@ -302,7 +302,14 @@ class IncrementalSmoother:
             if schur_ok:
                 from . import solve_auto
 
-                solved, info = solve_auto(g, self.opts)
+                # schur_sparse_pair_budget=0: the sparse-Schur plan is
+                # content-keyed on the observation index arrays, so routing
+                # there would rebuild the plan AND recompile the LM loop on
+                # EVERY update (and the weight-0 padding rows inflate the
+                # pair count right after capacity growth) — exactly what
+                # this class's shape-reuse design exists to avoid.  Dense-S
+                # and SCHUR_JACOBI PCG closures are shape-stable.
+                solved, info = solve_auto(g, self.opts, schur_sparse_pair_budget=0)
             else:
                 solved, info = _lm.solve(g, self.opts)
             self._L = np.array(solved.blocks["landmarks"].values)

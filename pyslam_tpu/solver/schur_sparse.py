@@ -98,11 +98,12 @@ def coobservation_stats(graph: FactorGraph, pose_name="poses", lm_name="landmark
     """Cheap host gate for route_auto: (sum of squared landmark degrees =
     pair count, upper bound on S edges) without enumerating pairs."""
     lb = graph.blocks[lm_name]
-    li = np.concatenate(
-        [np.asarray(fb.indices[1]) for fb in graph.batches
-         if fb.slots == (pose_name, lm_name)]
-    )
-    deg = np.bincount(li, minlength=lb.n)
+    lis = [
+        np.asarray(fb.indices[1]) for fb in graph.batches
+        if fb.slots == (pose_name, lm_name)
+    ]
+    li = np.concatenate(lis) if lis else np.zeros(0, np.int64)
+    deg = np.bincount(li, minlength=max(lb.n, 1))
     return int((deg.astype(np.int64) ** 2).sum()), int(deg.max() if len(deg) else 0)
 
 

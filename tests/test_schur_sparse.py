@@ -115,3 +115,65 @@ def test_route_auto_keeps_pcg_for_dense_coobservation():
     )
     g = FactorGraph(blocks, [batch])
     assert route_auto(g) == "schur_pcg"
+
+
+def test_route_survives_zero_observation_batches():
+    """BA-shaped graph (pose + landmark blocks) with only pose batches:
+    the sparse-Schur gate must not crash on the empty observation list
+    (regression: np.concatenate([]) in coobservation_stats)."""
+    from pyslam_tpu.graph.core import VariableBlock
+    from pyslam_tpu.losses import L2Loss
+
+    rng = np.random.default_rng(0)
+    C = 1500  # > dense ceiling so the gate is actually reached
+    blocks = {
+        "poses": VariableBlock.create("se3", jnp.asarray(np.tile(np.eye(4), (C, 1, 1)))),
+        "landmarks": VariableBlock.create("euclidean", jnp.asarray(rng.normal(size=(5, 3)))),
+    }
+    batch = FactorBatch.create(
+        "between_se3", ("poses", "poses"),
+        (np.arange(C - 1), np.arange(1, C)),
+        {
+            "T_obs": jnp.asarray(np.tile(np.eye(4), (C - 1, 1, 1))),
+            "sqrt_info": jnp.asarray(np.tile(np.eye(6), (C - 1, 1, 1))),
+        },
+        L2Loss(),
+    )
+    g = FactorGraph(blocks, [batch])
+    assert route_auto(g) == "schur_pcg"
+
+
+def test_plan_survives_single_camera_graph():
+    """All observations from ONE pose (no cross-pose co-observation, no
+    between factors): S has no off-diagonal edges at all (regression:
+    IndexError in build_ell_direct's lookup on an empty edge list)."""
+    from pyslam_tpu.graph.core import VariableBlock
+    from pyslam_tpu.losses import L2Loss
+
+    rng = np.random.default_rng(1)
+    L = 12
+    lm_gt = rng.normal(size=(L, 2)) + np.array([4.0, 0.0])
+    obs = lm_gt + rng.normal(0, 0.01, (L, 2))
+    blocks = {
+        "poses": VariableBlock.create(
+            "se2", jnp.asarray(np.eye(3)[None], jnp.float64), np.array([True])
+        ),
+        "landmarks": VariableBlock.create(
+            "euclidean", jnp.asarray(lm_gt + rng.normal(0, 0.3, (L, 2)), jnp.float64)
+        ),
+    }
+    batch = FactorBatch.create(
+        "landmark_xy_se2", ("poses", "landmarks"),
+        (np.zeros(L, np.int32), np.arange(L)),
+        {
+            "obs": jnp.asarray(obs, jnp.float64),
+            "sqrt_info": jnp.asarray(np.tile(np.eye(2) * 10, (L, 1, 1)), jnp.float64),
+        },
+        L2Loss(),
+    )
+    g = FactorGraph(blocks, [batch])
+    plan = build_schur_sparse_plan(g)
+    assert plan.n_edges == 0
+    s1, i1 = solve_schur_sparse(g, Options(method="gn", max_iters=8), plan=plan)
+    s2, i2 = solve_schur(g, Options(method="gn", max_iters=8), mode="dense")
+    np.testing.assert_allclose(float(i1.chi2), float(i2.chi2), rtol=1e-10)
