@@ -235,6 +235,48 @@ def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
     return solve_col, solve_rhs, aux
 
 
+def _schur_S_solver_sparse(graph, pose_name, lm_name, leaf_size=32):
+    """EXACT variant of ``_schur_S_solver``: S assembled into symmetric ELL
+    (host-enumerated co-observation pairs, solver/schur_sparse.py) and
+    factored ONCE by the multifrontal Cholesky; every S-solve is then two
+    level-scheduled triangular solves — no PCG tolerance in the answer.
+    The right choice on many-poses/few-landmarks graphs (the same regimes
+    route_auto sends to 'schur_sparse')."""
+    from .schur import _binv, ba_assemble
+    from .schur_sparse import (
+        assemble_S_ell,
+        build_schur_sparse_plan,
+        plan_tables,
+    )
+    from .sparse_chol import _factorize, _solve_factored
+
+    parts, _, _ = ba_assemble(graph, pose_name, lm_name)
+    Hpp, W = parts["Hpp"], parts["W"]
+    ci, li = parts["cam_idx"], parts["pt_idx"]
+    C, dp = Hpp.shape[0], Hpp.shape[1]
+    Hll_inv = _binv(jnp.linalg.cholesky(parts["Hll"]))
+    plan = build_schur_sparse_plan(graph, pose_name, lm_name, leaf_size)
+    He = assemble_S_ell(plan, plan_tables(plan), Hpp, parts["PP"], W, Hll_inv)
+    factors = _factorize(plan.chol, He)
+
+    def solve_rhs(b):
+        return _solve_factored(plan.chol, factors, b)
+
+    def solve_col(col_idx):
+        return solve_rhs(jnp.zeros(C * dp, Hpp.dtype).at[col_idx].set(1.0))
+
+    aux = dict(C=C, dp=dp, Hll_inv=Hll_inv, W=W, ci=ci, li=li)
+    return solve_col, solve_rhs, aux
+
+
+def _S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters, method):
+    if method == "sparse":
+        return _schur_S_solver_sparse(graph, pose_name, lm_name)
+    if method != "pcg":
+        raise ValueError(f"unknown S-solver method {method!r} ('pcg' | 'sparse')")
+    return _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+
+
 def pose_marginal_covariances(
     graph: FactorGraph,
     pose_name: str = "poses",
@@ -242,12 +284,13 @@ def pose_marginal_covariances(
     indices=None,
     pcg_rtol: float = 1e-10,
     pcg_max_iters: int = 500,
+    method: str = "pcg",
 ):
     """(k, dp, dp) pose marginal covariances of a BA graph from the reduced
     camera system: (H^-1)_pp = S^-1, solved per tangent column with
     SCHUR_JACOBI-preconditioned PCG.  Constant (gauge-anchor) poses return
     the unit block ba_assemble's masking gives them."""
-    solve_col, _, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    solve_col, _, aux = _S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters, method)
     C, dp = aux["C"], aux["dp"]
     if indices is None:
         indices = np.arange(C)
@@ -268,9 +311,10 @@ def pose_covariance_block(
     lm_name: str = "landmarks",
     pcg_rtol: float = 1e-10,
     pcg_max_iters: int = 500,
+    method: str = "pcg",
 ):
     """(dp, dp) pose-pose cross-covariance block (S^-1)_ij of a BA graph."""
-    solve_col, _, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    solve_col, _, aux = _S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters, method)
     C, dp = aux["C"], aux["dp"]
     cols = jnp.asarray(j * dp + np.arange(dp), jnp.int32)
     X = jax.vmap(solve_col)(cols)
@@ -307,12 +351,13 @@ def landmark_marginal_covariances(
     lm_name: str = "landmarks",
     pcg_rtol: float = 1e-10,
     pcg_max_iters: int = 500,
+    method: str = "pcg",
 ):
     """(k, dl, dl) landmark marginal covariances of a BA graph via the
     block-inverse identity Sigma_ll,ii = (Hll^-1)_ii + B_i^T S^-1 B_i,
     where B_i = [W Hll^-1] block-column i (nonzero only at the cameras
     observing landmark i).  dl S-solves per requested landmark; no dense H."""
-    _, solve_rhs, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    _, solve_rhs, aux = _S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters, method)
     out = []
     for i in indices:
         B, Hi = _landmark_B(aux, i)
@@ -333,6 +378,7 @@ def landmark_covariance_block(
     lm_name: str = "landmarks",
     pcg_rtol: float = 1e-10,
     pcg_max_iters: int = 500,
+    method: str = "pcg",
 ):
     """(dl, dl) landmark-landmark covariance block of H^-1 (cross blocks
     included): by the block-inverse identity,
@@ -342,7 +388,7 @@ def landmark_covariance_block(
     with B_k = [W Hll^-1] block-column k — one step past the marginal
     (i == j) case, sharing _landmark_B and the S-solver (reference covers
     this via its full inverse, SURVEY.md §3.4)."""
-    _, solve_rhs, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    _, solve_rhs, aux = _S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters, method)
     Bi, Hi = _landmark_B(aux, lm_i)
     Bj, Hj = _landmark_B(aux, lm_j)
     delta = Hi if lm_i == lm_j else jnp.zeros((Hi.shape[-1], Hj.shape[-1]), Hi.dtype)
@@ -363,11 +409,12 @@ def pose_landmark_covariance_block(
     lm_name: str = "landmarks",
     pcg_rtol: float = 1e-10,
     pcg_max_iters: int = 500,
+    method: str = "pcg",
 ):
     """(dp, dl) pose-landmark cross-covariance block of H^-1: by the block
     inverse, Sigma_pl = -S^-1 [W Hll^-1], so the block is the pose-i rows
     of -S^-1 B_j — the same dl S-solves as the landmark marginal."""
-    _, solve_rhs, aux = _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters)
+    _, solve_rhs, aux = _S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters, method)
     dp = aux["dp"]
     B, Hi = _landmark_B(aux, lm_j)
     if B is None:

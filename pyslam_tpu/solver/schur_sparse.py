@@ -174,29 +174,41 @@ def build_schur_sparse_plan(
     )
 
 
-def schur_solve_sparse(parts, g, lam, opt: _lm.Options, plan: SchurSparsePlan,
-                       tables):
-    """One exact SPARSE_SCHUR linear solve (device; runs inside lm.solve's
-    jitted loop).  ``tables`` are the plan's index arrays as device arrays
-    (closed over outside the trace — never traced as constants)."""
-    pair_a, pair_b, pair_l, pair_pos, diag_pos, pp_ab, pp_ba = tables
-    Hpp, L_ll, W, ci, li, g_red = _schur_reduce(parts, lam, opt.method)
-    C, dp = Hpp.shape[0], Hpp.shape[1]
-    nbK = plan.chol.ell.nb * plan.chol.ell.K
-    Hll_inv = _binv(L_ll)
+def plan_tables(plan: SchurSparsePlan):
+    """The plan's index arrays as device arrays (close over them outside a
+    trace — never trace numpy tables as HLO constants, CLAUDE.md)."""
+    return tuple(
+        jnp.asarray(t, jnp.int32)
+        for t in (plan.pair_a, plan.pair_b, plan.pair_l, plan.pair_pos,
+                  plan.diag_pos, plan.pp_pos_ab, plan.pp_pos_ba)
+    )
 
-    # all co-observation blocks in one batched einsum:
-    # C_p = W_a Hll^-1_l W_b^T  (P, dp, dp)
+
+def assemble_S_ell(plan: SchurSparsePlan, tables, Hpp, PP, W, Hll_inv):
+    """S = Hpp + PP couplings - W Hll^-1 W^T into the symmetric-ELL store:
+    one batched einsum over the co-observation pairs + one segment_sum."""
+    pair_a, pair_b, pair_l, pair_pos, diag_pos, pp_ab, pp_ba = tables
+    dp = Hpp.shape[1]
+    nbK = plan.chol.ell.nb * plan.chol.ell.K
     Cp = jnp.einsum(
         "pij,pjk,plk->pil", W[pair_a], Hll_inv[pair_l], W[pair_b]
     )
-    PP = parts["PP"]
     contrib = jnp.concatenate(
         [Hpp, PP, jnp.swapaxes(PP, -1, -2), -Cp], axis=0
     )
     pos = jnp.concatenate([diag_pos, pp_ab, pp_ba, pair_pos])
     He = jax.ops.segment_sum(contrib, pos, num_segments=nbK)
-    He = He.reshape(plan.chol.ell.nb, plan.chol.ell.K, dp, dp)
+    return He.reshape(plan.chol.ell.nb, plan.chol.ell.K, dp, dp)
+
+
+def schur_solve_sparse(parts, g, lam, opt: _lm.Options, plan: SchurSparsePlan,
+                       tables):
+    """One exact SPARSE_SCHUR linear solve (device; runs inside lm.solve's
+    jitted loop)."""
+    Hpp, L_ll, W, ci, li, g_red = _schur_reduce(parts, lam, opt.method)
+    C, dp = Hpp.shape[0], Hpp.shape[1]
+    Hll_inv = _binv(L_ll)
+    He = assemble_S_ell(plan, tables, Hpp, parts["PP"], W, Hll_inv)
     # damping already applied to Hpp/Hll by _schur_reduce; factor directly
     factors = _factorize(plan.chol, He)
     dx_p = _solve_factored(plan.chol, factors, g_red.reshape(-1)).reshape(C, dp)
@@ -227,11 +239,7 @@ def solve_schur_sparse(
         content_key((plan.pair_a, plan.pair_b, plan.pair_l)),
     )
     if key not in _CLOSURES:
-        tables = tuple(
-            jnp.asarray(t, jnp.int32)
-            for t in (plan.pair_a, plan.pair_b, plan.pair_l, plan.pair_pos,
-                      plan.diag_pos, plan.pp_pos_ab, plan.pp_pos_ba)
-        )
+        tables = plan_tables(plan)
         assemble_fn = partial(ba_assemble, pose_name=pose_name, lm_name=lm_name)
         solve_fn = partial(schur_solve_sparse, plan=plan, tables=tables)
         _CLOSURES[key] = (assemble_fn, solve_fn)
@@ -241,7 +249,9 @@ def solve_schur_sparse(
 
 __all__ = [
     "SchurSparsePlan",
+    "assemble_S_ell",
     "build_schur_sparse_plan",
-    "solve_schur_sparse",
     "coobservation_stats",
+    "plan_tables",
+    "solve_schur_sparse",
 ]

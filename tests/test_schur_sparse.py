@@ -177,3 +177,27 @@ def test_plan_survives_single_camera_graph():
     s1, i1 = solve_schur_sparse(g, Options(method="gn", max_iters=8), plan=plan)
     s2, i2 = solve_schur(g, Options(method="gn", max_iters=8), mode="dense")
     np.testing.assert_allclose(float(i1.chi2), float(i2.chi2), rtol=1e-10)
+
+
+def test_sparse_S_covariances_match_dense_inverse():
+    """method='sparse' S-solves: exact covariances through the factored
+    sparse S (no PCG tolerance) — pose marginals, landmark marginals, and
+    cross blocks all equal the dense inverse."""
+    from pyslam_tpu.solver import full_covariance, solve_auto
+    from pyslam_tpu.solver.covariance import (
+        landmark_marginal_covariances,
+        pose_covariance_block,
+        pose_marginal_covariances,
+    )
+
+    data = synth.landmark_slam_2d(n_poses=15, n_landmarks=10, max_range=9.0, seed=2)
+    g = build.landmark_slam_2d(data, dtype=jnp.float64)
+    solved, _ = solve_auto(g, Options(method="gn", max_iters=20))
+    Sig = np.asarray(full_covariance(solved))
+    # canonical layout: landmarks (10*2) first, then poses
+    P = np.asarray(pose_marginal_covariances(solved, method="sparse"))
+    np.testing.assert_allclose(P[3], Sig[20 + 9 : 20 + 12, 20 + 9 : 20 + 12], rtol=1e-9)
+    L = np.asarray(landmark_marginal_covariances(solved, np.arange(10), method="sparse"))
+    np.testing.assert_allclose(L[4], Sig[8:10, 8:10], rtol=1e-9)
+    B = np.asarray(pose_covariance_block(solved, 2, 5, method="sparse"))
+    np.testing.assert_allclose(B, Sig[20 + 6 : 20 + 9, 20 + 15 : 20 + 18], rtol=1e-9)
