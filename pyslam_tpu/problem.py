@@ -340,21 +340,23 @@ class Problem:
             lie = [n for n, k in kinds.items() if k != "euclidean"]
             euc = [n for n, k in kinds.items() if k == "euclidean"]
             if len(graph.blocks) == 2 and len(lie) == 1 and len(euc) == 1:
+                # where the solve gate says S is sparse, S-solves go through
+                # the factored sparse S — exact, no PCG tolerance
+                from .solver import route_auto
+
+                m = "sparse" if route_auto(graph) == "schur_sparse" else "pcg"
+                kw = dict(pose_name=lie[0], lm_name=euc[0], method=m)
                 if s1.block == lie[0] and s2.block == lie[0]:
-                    return pose_covariance_block(
-                        graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
-                    )
+                    return pose_covariance_block(graph, s1.index, s2.index, **kw)
                 if s1.block == euc[0] and s2.block == euc[0]:
-                    return landmark_covariance_block(
-                        graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
-                    )
+                    return landmark_covariance_block(graph, s1.index, s2.index, **kw)
                 if s1.block == lie[0] and s2.block == euc[0]:
                     return pose_landmark_covariance_block(
-                        graph, s1.index, s2.index, pose_name=lie[0], lm_name=euc[0]
+                        graph, s1.index, s2.index, **kw
                     )
                 if s1.block == euc[0] and s2.block == lie[0]:
                     return pose_landmark_covariance_block(
-                        graph, s2.index, s1.index, pose_name=lie[0], lm_name=euc[0]
+                        graph, s2.index, s1.index, **kw
                     ).T
             raise ValueError(
                 "lazy covariance supports single-block graphs and "
