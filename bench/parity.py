@@ -45,6 +45,8 @@ def _parity_g2o(path):
     from pyslam_tpu.solver import Options, route_auto, solve_auto
 
     data = g2o.read_g2o(path)
+    if getattr(data, "obs_type", None) is not None:
+        return _parity_landmark_g2o(path, data)
     n = len(data.T_init)
     _, chi2_b, iters_b, wall_b, _ = solve_pose_graph_standin(
         data, max_iters=50 if n <= 1000 else 30
@@ -79,6 +81,55 @@ def _parity_g2o(path):
         baseline_wall_s=wall_b,
         speedup=wall_b / wall if wall else None,
         parity=chi2 <= chi2_b * 1.01,
+    )
+
+
+def _parity_landmark_g2o(path, data):
+    """2D landmark SLAM files (VERTEX_XY/EDGE_SE2_XY, Victoria-Park
+    family): baseline is the independent scipy GN over the full
+    pose+landmark system (tests/scipy_ref.py)."""
+    import jax
+
+    from pyslam_tpu.graph import build
+    from pyslam_tpu.solver import Options, route_auto, solve_auto
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+    )
+    import scipy_ref
+
+    n = len(data.T_init)
+    t0 = time.perf_counter()
+    _, _, chi2_b, _ = scipy_ref.solve_landmark_slam_2d(
+        data, max_iters=25 if n <= 1000 else 15
+    )
+    wall_b = time.perf_counter() - t0
+    g = build.landmark_slam_2d(data)
+    opts = Options(method="lm", max_iters=30)
+
+    def run():
+        s, info = solve_auto(g, opts)
+        jax.block_until_ready(s.blocks["poses"].values)
+        return info
+
+    run()
+    t0 = time.perf_counter()
+    info = run()
+    wall = time.perf_counter() - t0
+    chi2 = float(info.chi2)
+    return dict(
+        file=os.path.basename(path),
+        kind="g2o_landmark_se2",
+        n_poses=n,
+        n_landmarks=len(data.lm_init),
+        n_obs=len(data.obs),
+        route=route_auto(g),
+        chi2=chi2,
+        baseline_chi2=float(chi2_b),
+        wall_s=wall,
+        baseline_wall_s=wall_b,
+        speedup=wall_b / wall if wall else None,
+        parity=bool(chi2 <= float(chi2_b) * 1.01),
     )
 
 
@@ -154,6 +205,10 @@ def selftest(tmpdir):
     g2o.write_g2o(
         os.path.join(tmpdir, "sphere_mini.g2o"),
         synth.se3_sphere(n_poses=400, seed=2),
+    )
+    g2o.write_g2o_landmarks(
+        os.path.join(tmpdir, "landmark_mini.g2o"),
+        synth.landmark_slam_2d(n_poses=80, n_landmarks=40, obs_type="xy", seed=6),
     )
     bal.write_bal(
         os.path.join(tmpdir, "problem-8-64-mini.txt"),
