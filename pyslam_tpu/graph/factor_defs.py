@@ -280,6 +280,22 @@ def landmark_xy_se2(data, T, l, compute_jacobians=True):
     return r, (J_T, J_l)
 
 
+@register_factor("landmark_xyz_se3")
+def landmark_xyz_se3(data, T, l, compute_jacobians=True):
+    """3D relative-position landmark factor: r = sqrt_info * (act(T, l) -
+    obs), the landmark observed as a body-frame position (AprilTag /
+    motion-capture-marker / lidar-feature observations — no camera model).
+    Slots: (se3 pose, 3-dof euclidean landmark).  The 3D analogue of
+    landmark_xy_se2."""
+    p = se3.act(T, l)
+    r = _bmv(data["sqrt_info"], p - data["obs"])
+    if not compute_jacobians:
+        return r, None
+    J_T = _bmm(data["sqrt_info"], se3.odot(p))
+    J_l = _bmm(data["sqrt_info"], T[..., :3, :3])
+    return r, (J_T, J_l)
+
+
 @register_factor("bearing_range_se2")
 def bearing_range_se2(data, T, l, compute_jacobians=True):
     """Bearing-range landmark factor: with p = act(T, l) the body-frame

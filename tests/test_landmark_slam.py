@@ -269,3 +269,73 @@ def test_covariances_on_2dof_landmarks():
     np.testing.assert_allclose(L[4], Sig[8:10, 8:10], rtol=1e-8)
     B = np.asarray(pose_covariance_block(solved, 2, 5))
     np.testing.assert_allclose(B, Sig[20 + 6 : 20 + 9, 20 + 15 : 20 + 18], rtol=1e-8)
+
+
+def test_landmark_xyz_se3_jacobians_and_solve():
+    """3D relative-position landmark factor: Jacobians vs autodiff, and a
+    tiny 3D landmark-SLAM graph (odometry + body-frame landmark positions)
+    solved through the Schur routing to the noise floor."""
+    from pyslam_tpu.graph.core import FactorBatch, FactorGraph, VariableBlock
+    from pyslam_tpu.lie import se3
+    from pyslam_tpu.losses import L2Loss
+
+    rng = np.random.default_rng(9)
+    kern = FACTOR_KERNELS["landmark_xyz_se3"]
+    F = 6
+    T = se3.exp(jnp.asarray(rng.normal(0, 0.4, (F, 6))))
+    l = jnp.asarray(rng.normal(0, 2.0, (F, 3)))
+    data = dict(
+        obs=jnp.asarray(rng.normal(0, 2.0, (F, 3))),
+        sqrt_info=jnp.asarray(np.tile(np.eye(3) * 5, (F, 1, 1))),
+    )
+    r, (J_T, J_l) = kern(data, T, l, compute_jacobians=True)
+
+    def r_of(eps, dl, i):
+        Ti = se3.exp(eps[None])[0] @ T[i]
+        ri, _ = kern(
+            jax.tree_util.tree_map(lambda a: a[i : i + 1], data),
+            Ti[None], l[i : i + 1] + dl[None], compute_jacobians=False,
+        )
+        return ri[0]
+
+    for i in range(F):
+        z6, z3 = jnp.zeros(6), jnp.zeros(3)
+        np.testing.assert_allclose(
+            J_T[i], jax.jacfwd(lambda e: r_of(e, z3, i))(z6), rtol=1e-6, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            J_l[i], jax.jacfwd(lambda d: r_of(z6, d, i))(z3), rtol=1e-6, atol=1e-9
+        )
+
+    # tiny 3D landmark SLAM: 8 poses on a line, 12 landmarks, noisy obs
+    n, L = 8, 12
+    T_gt = np.stack([np.eye(4) for _ in range(n)])
+    for k in range(n):
+        T_gt[k][:3, 3] = [-0.5 * k, 0, 0]  # world-to-body: body at (0.5k,0,0)
+    lm_gt = rng.uniform(-1, 1, (L, 3)) + np.array([2.0, 0, 0])
+    oi = np.repeat(np.arange(n), L)
+    oj = np.tile(np.arange(L), n)
+    p_local = np.einsum("mij,mj->mi", T_gt[oi][:, :3, :3], lm_gt[oj]) + T_gt[oi][:, :3, 3]
+    obs = p_local + rng.normal(0, 0.01, p_local.shape)
+    blocks = {
+        "poses": VariableBlock.create(
+            "se3",
+            jnp.asarray(T_gt + rng.normal(0, 0.0, T_gt.shape), jnp.float64),
+            np.eye(n, dtype=bool)[0],
+        ),
+        "landmarks": VariableBlock.create(
+            "euclidean", jnp.asarray(lm_gt + rng.normal(0, 0.2, lm_gt.shape), jnp.float64)
+        ),
+    }
+    batch = FactorBatch.create(
+        "landmark_xyz_se3", ("poses", "landmarks"), (oi, oj),
+        {"obs": jnp.asarray(obs, jnp.float64),
+         "sqrt_info": jnp.asarray(np.tile(np.eye(3) * 100, (len(oi), 1, 1)), jnp.float64)},
+        L2Loss(),
+    )
+    g = FactorGraph(blocks, [batch])
+    solved, info = solve_auto(g, Options(method="lm", max_iters=15))
+    # noise floor: E[chi2] ~ 0.5 * residual count
+    assert float(info.chi2) < 0.75 * len(oi) * 3
+    lm_err = np.abs(np.asarray(solved.blocks["landmarks"].values) - lm_gt).max()
+    assert lm_err < 0.02
