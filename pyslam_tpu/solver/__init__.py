@@ -133,7 +133,10 @@ def route_auto(
     """Name of the solve path ``solve_auto`` picks for this graph (+mesh).
 
     Single-chip routes: ``dense`` / ``sparse_chol`` / ``ell`` /
-    ``schur_dense`` / ``schur_pcg`` / ``schur_large``.
+    ``schur_dense`` / ``schur_sparse`` (exact multifrontal factorization of
+    the reduced camera system — many-poses/few-landmarks graphs with sparse
+    co-observation) / ``schur_pcg`` / ``schur_sqrt`` (f32 mono low-parallax
+    conditioning) / ``schur_large``.
     Mesh routes (VERDICT r2 next #3 — the system, not the user, picks the
     sharding strategy): ``factor_parallel`` (tiny graphs: replicating is
     free, factor eval dominates), ``pose_sharded`` (single-block graphs
