@@ -329,3 +329,53 @@ class TestSim3Covariance:
             np.testing.assert_allclose(
                 margs[i], C[7 * i : 7 * i + 7, 7 * i : 7 * i + 7], atol=1e-6
             )
+
+
+def test_sim3_landmark_graph_through_schur_routing(rng):
+    """Composability: a Sim(3)-pose landmark graph built with ONLY an
+    autodiff-registered factor flows through the dof-generic Schur routing
+    (7-dof pose blocks eliminated against 3-dof landmarks) and converges —
+    no Schur path is se3-specialized on the single-chip side."""
+    import numpy as np
+
+    from pyslam_tpu.graph.core import (
+        FactorBatch,
+        FactorGraph,
+        VariableBlock,
+        register_autodiff_factor,
+    )
+    from pyslam_tpu.losses import L2Loss
+    from pyslam_tpu.solver import Options, route_auto, solve_auto
+
+    if "sim3_landmark_xyz" not in __import__("pyslam_tpu").graph.core.FACTOR_KERNELS:
+        def resid(data, S, l):
+            p = jnp.einsum("...ij,...j->...i", S[..., :3, :3], l) + S[..., :3, 3]
+            return p - data["obs"]
+
+        register_autodiff_factor("sim3_landmark_xyz", resid, ("sim3", "euclidean"))
+
+    n, L = 6, 30
+    S_gt = np.stack([np.eye(4)] * n)
+    for k in range(n):
+        S_gt[k][:3, 3] = [-k, 0, 0]
+    lm = rng.uniform(-1, 1, (L, 3)) + [2, 0, 0]
+    oi = np.repeat(np.arange(n), L)
+    oj = np.tile(np.arange(L), n)
+    obs = np.einsum("mij,mj->mi", S_gt[oi][:, :3, :3], lm[oj]) + S_gt[oi][:, :3, 3]
+    obs += rng.normal(0, 0.005, obs.shape)
+    blocks = {
+        "poses": VariableBlock.create(
+            "sim3", jnp.asarray(S_gt, jnp.float64), np.eye(n, dtype=bool)[0]
+        ),
+        "landmarks": VariableBlock.create(
+            "euclidean", jnp.asarray(lm + rng.normal(0, 0.1, lm.shape), jnp.float64)
+        ),
+    }
+    batch = FactorBatch.create(
+        "sim3_landmark_xyz", ("poses", "landmarks"), (oi, oj),
+        {"obs": jnp.asarray(obs, jnp.float64)}, L2Loss(),
+    )
+    g = FactorGraph(blocks, [batch])
+    assert route_auto(g) == "schur_dense"
+    solved, info = solve_auto(g, Options(method="lm", max_iters=15))
+    assert float(info.chi2) < 0.01 * float(g.chi2())
