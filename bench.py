@@ -46,12 +46,13 @@ def measure_baseline(data, force=False):
     return result
 
 
-def _init_watchdog(timeout_s=900):
+def _watchdog(timeout_s, phase):
     """The axon TPU tunnel has been observed to hang backend init
     indefinitely when the remote service is down (r3: >20 min without
-    returning).  If init does not complete within the timeout, emit an
-    honest zero-result JSON line and exit nonzero so the driver records a
-    failed bench instead of hanging the round."""
+    returning), and a killed-mid-compile client can wedge it for the next
+    process.  If the guarded phase does not complete within the timeout,
+    emit an honest zero-result JSON line and exit nonzero so the driver
+    records a failed bench instead of hanging the round."""
     import threading
 
     done = threading.Event()
@@ -65,7 +66,7 @@ def _init_watchdog(timeout_s=900):
                         "value": 0.0,
                         "unit": "x",
                         "vs_baseline": 0.0,
-                        "error": f"tpu backend init exceeded {timeout_s}s (tunnel down)",
+                        "error": f"tpu {phase} exceeded {timeout_s}s (tunnel down/wedged)",
                     }
                 ),
                 flush=True,
@@ -80,9 +81,13 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.pyslam_tpu_jax_cache"))
-    wd = _init_watchdog()
+    wd = _watchdog(900, "backend init")
     jax.devices()  # force backend init under the watchdog
     wd.set()
+    # second guard: the whole measured run (compile ~40 s cached, solve
+    # ~ms; 30 min is far beyond any healthy run, even with a cold compile
+    # cache and a moody remote-compile service)
+    wd_run = _watchdog(1800, "bench run")
 
     from pyslam_tpu.graph import build
     from pyslam_tpu.io import synth
@@ -111,6 +116,7 @@ def main():
     s, info = run()
     wall = time.perf_counter() - t0
 
+    wd_run.set()
     chi2 = float(info.chi2)
     iters = int(info.iterations)
     # 0.1% gate (tightened from 1% in round 2: the f32 solve reaches the
