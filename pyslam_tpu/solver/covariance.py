@@ -175,6 +175,22 @@ def marginal_covariances_direct(
     return 0.5 * (out + jnp.swapaxes(out, -1, -2))
 
 
+def _reduced_pieces(graph, pose_name, lm_name):
+    """Shared head of the two S-solvers: assembled parts, eliminated-
+    landmark inverse, and the aux dict the landmark-marginal identities
+    consume."""
+    from .schur import _binv, ba_assemble
+
+    parts, _, _ = ba_assemble(graph, pose_name, lm_name)
+    Hpp, W = parts["Hpp"], parts["W"]
+    Hll_inv = _binv(jnp.linalg.cholesky(parts["Hll"]))
+    aux = dict(
+        C=Hpp.shape[0], dp=Hpp.shape[1], Hll_inv=Hll_inv, W=W,
+        ci=parts["cam_idx"], li=parts["pt_idx"],
+    )
+    return parts, Hll_inv, aux
+
+
 def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
     """Selective-solve closures over the REDUCED camera system S = Hpp -
     W Hll^-1 W^T.  By the block-inverse identity, (H^-1)_pose-pose == S^-1,
@@ -191,14 +207,12 @@ def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
     preconditioner stays diagonal-only (PP off-diagonals never land on a
     diagonal block for i != j; an approximate preconditioner only costs CG
     iterations, never correctness)."""
-    from .schur import _binv, _binv_apply, _seg, ba_assemble
+    from .schur import _binv_apply, _seg
 
-    parts, _, _ = ba_assemble(graph, pose_name, lm_name)
+    parts, Hll_inv, aux = _reduced_pieces(graph, pose_name, lm_name)
     Hpp, W = parts["Hpp"], parts["W"]
-    ci, li = parts["cam_idx"], parts["pt_idx"]
-    C, dp = Hpp.shape[0], Hpp.shape[1]
-    L_ll = jnp.linalg.cholesky(parts["Hll"])
-    Hll_inv = _binv(L_ll)
+    ci, li = aux["ci"], aux["li"]
+    C, dp = aux["C"], aux["dp"]
     Y = jnp.einsum("mij,mjk->mik", W, Hll_inv[li])
     D_blk = Hpp - _seg(jnp.einsum("mik,mjk->mij", Y, W), ci, C)
     # Self-loop (i == j) between factors would contribute to the diagonal of
@@ -231,7 +245,6 @@ def _schur_S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters):
     def solve_col(col_idx):
         return solve_rhs(jnp.zeros(C * dp, Hpp.dtype).at[col_idx].set(1.0))
 
-    aux = dict(C=C, dp=dp, Hll_inv=Hll_inv, W=W, ci=ci, li=li)
     return solve_col, solve_rhs, aux
 
 
@@ -242,7 +255,6 @@ def _schur_S_solver_sparse(graph, pose_name, lm_name, leaf_size=32):
     level-scheduled triangular solves — no PCG tolerance in the answer.
     The right choice on many-poses/few-landmarks graphs (the same regimes
     route_auto sends to 'schur_sparse')."""
-    from .schur import _binv, ba_assemble
     from .schur_sparse import (
         assemble_S_ell,
         build_schur_sparse_plan,
@@ -250,22 +262,20 @@ def _schur_S_solver_sparse(graph, pose_name, lm_name, leaf_size=32):
     )
     from .sparse_chol import _factorize, _solve_factored
 
-    parts, _, _ = ba_assemble(graph, pose_name, lm_name)
-    Hpp, W = parts["Hpp"], parts["W"]
-    ci, li = parts["cam_idx"], parts["pt_idx"]
-    C, dp = Hpp.shape[0], Hpp.shape[1]
-    Hll_inv = _binv(jnp.linalg.cholesky(parts["Hll"]))
+    parts, Hll_inv, aux = _reduced_pieces(graph, pose_name, lm_name)
+    C, dp = aux["C"], aux["dp"]
     plan = build_schur_sparse_plan(graph, pose_name, lm_name, leaf_size)
-    He = assemble_S_ell(plan, plan_tables(plan), Hpp, parts["PP"], W, Hll_inv)
+    He = assemble_S_ell(
+        plan, plan_tables(plan), parts["Hpp"], parts["PP"], parts["W"], Hll_inv
+    )
     factors = _factorize(plan.chol, He)
 
     def solve_rhs(b):
         return _solve_factored(plan.chol, factors, b)
 
     def solve_col(col_idx):
-        return solve_rhs(jnp.zeros(C * dp, Hpp.dtype).at[col_idx].set(1.0))
+        return solve_rhs(jnp.zeros(C * dp, parts["Hpp"].dtype).at[col_idx].set(1.0))
 
-    aux = dict(C=C, dp=dp, Hll_inv=Hll_inv, W=W, ci=ci, li=li)
     return solve_col, solve_rhs, aux
 
 

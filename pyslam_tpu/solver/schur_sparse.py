@@ -158,9 +158,10 @@ def build_schur_sparse_plan(
     chol = build_chol_plan(dummy, pose_name, leaf_size=leaf_size)
     ell = chol.ell  # the SAME store the factorization gathers from
 
-    # maps[batch][entry]: entries for slot pairs (0,0), (0,1), (1,1)
-    (_, _, _, _), (_, _, pp_ab, pp_ba), (_, _, _, _) = ell.maps[0]
-    (_, _, _, _), (_, _, pair_ab, _), (_, _, _, _) = ell.maps[1]
+    # maps[batch] has one entry per slot pair (0,0), (0,1), (1,1); the
+    # (0,1) entry carries (slot_a, slot_b, flat_pos_ab, flat_pos_ba)
+    _, _, pp_ab, pp_ba = ell.maps[0][1]
+    _, _, pair_ab, _ = ell.maps[1][1]
     diag_pos = np.arange(C, dtype=np.int64) * ell.K
     n_edges = int(ell.valid.sum() - C)
 
