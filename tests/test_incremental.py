@@ -170,3 +170,42 @@ class TestIncrementalLandmarks:
         tail = np.asarray(sm.poses()[-5:])
         err = jnp.abs(se2.log(jnp.asarray(tail) @ se2.inv(jnp.asarray(T_b[-5:]))))
         assert float(jnp.max(err)) < 0.1
+
+
+def test_incremental_visual_ba_with_camera_extras():
+    """obs_kind='reprojection' with the camera pytree riding in obs_extras:
+    online visual BA through the smoother (static per-batch data must
+    survive graph rebuilds and marginalization splits)."""
+    from pyslam_tpu.sensors import StereoCamera
+    from pyslam_tpu.solver import IncrementalSmoother
+    from pyslam_tpu.solver import Options as O
+
+    data = synth.ba_synthetic(n_cams=6, n_pts=30, seed=0)
+    cam = StereoCamera(**data.camera)
+    sm = IncrementalSmoother(
+        kind="se3", obs_kind="reprojection",
+        options=O(method="lm", max_iters=10), obs_extras={"camera": cam},
+    )
+    lm_id = {}
+    obs_by_cam = {}
+    for m in range(len(data.cam_idx)):
+        obs_by_cam.setdefault(int(data.cam_idx[m]), []).append(m)
+    info = None
+    for k in range(6):
+        i = sm.add_pose(data.T_init[k])
+        if k:
+            sm.add_between(
+                k - 1, k, data.T_gt[k] @ np.linalg.inv(data.T_gt[k - 1]),
+                np.eye(6) * 50,
+            )
+        for m in obs_by_cam.get(k, []):
+            lj = int(data.pt_idx[m])
+            if lj not in lm_id:
+                lm_id[lj] = sm.add_landmark(data.pts_init[lj])
+            sm.add_observation(i, lm_id[lj], data.obs[m], np.eye(3))
+        _, info = sm.update()
+    assert np.isfinite(float(info.chi2))
+    # converged near the observation-noise floor, poses near gt
+    T_err = np.abs(sm.poses() - data.T_gt).max()
+    assert T_err < 0.05, T_err
+    assert sm.compiles <= 5
