@@ -143,19 +143,28 @@ def marginal_covariances_direct(
     (no PCG tolerance) and O(fill) memory.  The right choice whenever a
     CholPlan is affordable (stiff/mid-size graphs; the same regimes
     solve_auto routes to sparse_chol)."""
-    from .sparse_chol import _factorize, _solve_factored, build_chol_plan
+    from .sparse_chol import (
+        _factorize,
+        _solve_factored,
+        build_chol_plan,
+        selected_inverse_marginals,
+    )
 
     if block_name is None:
         (block_name,) = graph.blocks.keys()
     blk = graph.blocks[block_name]
     d = blk.dof
-    if indices is None:
-        indices = np.arange(blk.n)
-    indices = np.asarray(indices)
     if plan is None:
         plan = build_chol_plan(graph, block_name, leaf_size=leaf_size)
     He, _, _ = assemble_ell(graph, plan.ell)
     factors = _factorize(plan, He)
+    if indices is None:
+        # ALL marginals: the Takahashi selected-inverse sweep gets every
+        # diagonal block in ~2x the factorization cost — nb*d column
+        # solves would be infeasible at 50k poses
+        out = selected_inverse_marginals(plan, factors)
+        return 0.5 * (out + jnp.swapaxes(out, -1, -2))
+    indices = np.asarray(indices)
     off = graph.offsets()[block_name]
     D = plan.nb * d
 

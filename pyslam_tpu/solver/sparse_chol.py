@@ -512,6 +512,88 @@ def _solve_factored(plan: CholPlan, factors, g):
     return xvec[:nb].reshape(-1)
 
 
+def selected_inverse_marginals(plan: CholPlan, factors):
+    """ALL (d, d) marginal covariance blocks of H^-1 in one top-down sweep
+    over the multifrontal factors — the Takahashi / selected-inversion
+    recursion, wave-scheduled on the MXU.
+
+    Column solves cost O(nb * d * fill) total (one solve per tangent dof —
+    infeasible at 50k poses); this computes every diagonal block in ~2x the
+    FACTORIZATION cost.  The recursion mirrors ``_factorize`` exactly, run
+    in reverse: where the factorization's extend-add GATHERS each node's
+    child-update pool entries into the parent front (tbl_l/tbl_r), the
+    inverse sweep SCATTERS the parent's Sigma-front entries back through
+    the same tables, and each node then reads its boundary covariance
+    Sigma_BB from its own (contiguous) pool slot.
+
+    Per node, with the reduced frontal system [[F11, F12], [F21, .]] and
+    U = F11^-1 F12 = L11^-T L21^T (the multifrontal Schur-complement
+    property makes F11/F21 the FULLY reduced blocks):
+
+        Sigma_CB = -U Sigma_BB
+        Sigma_CC = F11^-1 + U Sigma_BB U^T
+
+    Padding stays inert: padded eliminated cols carry a unit diagonal
+    (Sigma = identity, masked out by the caller), padded boundary rows of
+    L21 are zero so their U columns vanish, and unwritten pool entries are
+    zero.  Root nodes have an empty boundary (Sigma_BB = 0)."""
+    nb, d = plan.nb, plan.d
+    dev_waves = _device_waves(plan)
+    dtype = factors[0][0].dtype
+    # forward pool bases (same layout the factorization used)
+    bases = [1]
+    for (kpad, bpad, N, *_ ) in dev_waves:
+        bases.append(bases[-1] + N * bpad * bpad)
+    pool = jnp.zeros((1 + plan.pool_total, d, d), dtype)
+    out = jnp.zeros((nb + 1, d, d), dtype)
+    eye = None
+    for (kpad, bpad, N, ci, bi, col_pad, tbl_orig, tbl_l, tbl_r), (L11, L21), base in zip(
+        reversed(dev_waves), reversed(factors), reversed(bases[:-1])
+    ):
+        f = kpad + bpad
+        k, b = kpad * d, bpad * d
+        # this node's Sigma_BB, scattered by its parent (zeros at roots)
+        grid = (
+            base
+            + jnp.arange(N)[:, None, None] * (bpad * bpad)
+            + jnp.arange(bpad)[None, :, None] * bpad
+            + jnp.arange(bpad)[None, None, :]
+        )
+        Sbb = pool[grid]  # (N, bpad, bpad, d, d)
+        Sbb = jnp.transpose(Sbb, (0, 1, 3, 2, 4)).reshape(N, b, b)
+        # U = L11^-T L21^T  (k, b);  F11^-1 = L11^-T L11^-1
+        U = solve_triangular(
+            jnp.swapaxes(L11, -1, -2), jnp.swapaxes(L21, -1, -2), lower=False
+        )
+        if eye is None or eye.shape[-1] != k:
+            eye = jnp.eye(k, dtype=dtype)
+        Linv = solve_triangular(L11, jnp.broadcast_to(eye, (N, k, k)), lower=True)
+        F11inv = jnp.einsum("nki,nkj->nij", Linv, Linv)
+        USbb = jnp.einsum("nkb,nbc->nkc", U, Sbb)
+        Scc = F11inv + jnp.einsum("nkc,nbc->nkb", USbb, U)
+        Scb = -USbb
+        # Sigma-front in (N, f, f, d, d) block layout
+        Sf = jnp.concatenate(
+            [
+                jnp.concatenate([Scc, Scb], axis=2),
+                jnp.concatenate([jnp.swapaxes(Scb, -1, -2), Sbb], axis=2),
+            ],
+            axis=1,
+        )
+        Sf = jnp.transpose(
+            Sf.reshape(N, f, d, f, d), (0, 1, 3, 2, 4)
+        )  # (N, f, f, d, d)
+        # eliminated-variable marginals (padded cols index the dump slot nb)
+        diag_blocks = Sf[:, jnp.arange(kpad), jnp.arange(kpad)]  # (N, kpad, d, d)
+        out = out.at[ci.reshape(-1)].set(diag_blocks.reshape(N * kpad, d, d))
+        # hand children their Sigma_BB through the SAME tables the
+        # factorization gathered their updates with (index 0 = dump slot,
+        # written benignly by every non-entry)
+        pool = pool.at[tbl_l.reshape(-1)].set(Sf.reshape(-1, d, d))
+        pool = pool.at[tbl_r.reshape(-1)].set(Sf.reshape(-1, d, d))
+    return out[:nb]
+
+
 def sparse_chol_solve(plan: CholPlan, He, g, lam, opt: _lm.Options):
     """One exact linear solve of (He + damping) dx = g."""
     if opt.method == "lm":

@@ -121,3 +121,38 @@ class TestPlanStructure:
         # last wave is the root: its boundary must be all padding
         *_, root_wave = plan.waves
         assert (root_wave[4] == plan.nb).all()
+
+
+class TestSelectedInverse:
+    """Takahashi selected inversion (sparse_chol.selected_inverse_marginals):
+    ALL marginal blocks in one top-down sweep over the multifrontal factors."""
+
+    def test_all_marginals_equal_dense_inverse(self):
+        from pyslam_tpu.solver import full_covariance, solve
+        from pyslam_tpu.solver.covariance import marginal_covariances_direct
+
+        data = synth.se2_loop(n_poses=120, n_loops=10, seed=0)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, _ = solve(g, Options(method="gn", max_iters=25))
+        Sig = np.asarray(full_covariance(solved))
+        M = np.asarray(marginal_covariances_direct(solved))  # selinv path
+        for i in range(0, 120, 7):
+            np.testing.assert_allclose(
+                M[i], Sig[3 * i : 3 * i + 3, 3 * i : 3 * i + 3], atol=1e-12
+            )
+        # the anchored pose keeps its unit block (masking convention)
+        np.testing.assert_allclose(M[0], np.eye(3), atol=1e-12)
+
+    def test_subset_request_stays_on_column_solves(self):
+        from pyslam_tpu.solver import solve
+        from pyslam_tpu.solver.covariance import marginal_covariances_direct
+
+        data = synth.se2_loop(n_poses=60, n_loops=6, seed=1)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, _ = solve(g, Options(method="gn", max_iters=20))
+        M_all = np.asarray(marginal_covariances_direct(solved))
+        M_sub = np.asarray(
+            marginal_covariances_direct(solved, indices=np.array([3, 41]))
+        )
+        np.testing.assert_allclose(M_sub[0], M_all[3], atol=1e-12)
+        np.testing.assert_allclose(M_sub[1], M_all[41], atol=1e-12)
