@@ -278,6 +278,9 @@ def _schur_S_solver_sparse(graph, pose_name, lm_name, leaf_size=32):
         plan, plan_tables(plan), parts["Hpp"], parts["PP"], parts["W"], Hll_inv
     )
     factors = _factorize(plan.chol, He)
+    # the factored S also powers the all-poses selected-inverse shortcut
+    aux["chol_plan"] = plan.chol
+    aux["chol_factors"] = factors
 
     def solve_rhs(b):
         return _solve_factored(plan.chol, factors, b)
@@ -311,6 +314,14 @@ def pose_marginal_covariances(
     the unit block ba_assemble's masking gives them."""
     solve_col, _, aux = _S_solver(graph, pose_name, lm_name, pcg_rtol, pcg_max_iters, method)
     C, dp = aux["C"], aux["dp"]
+    if indices is None and method == "sparse":
+        # ALL pose marginals: Sigma_pp = S^-1 diag blocks, via the
+        # Takahashi sweep over the factored sparse S (~2x factorization
+        # cost instead of C*dp column solves)
+        from .sparse_chol import selected_inverse_marginals
+
+        out = selected_inverse_marginals(aux["chol_plan"], aux["chol_factors"])
+        return 0.5 * (out + jnp.swapaxes(out, -1, -2))
     if indices is None:
         indices = np.arange(C)
     indices = np.asarray(indices)

@@ -201,3 +201,22 @@ def test_sparse_S_covariances_match_dense_inverse():
     np.testing.assert_allclose(L[4], Sig[8:10, 8:10], rtol=1e-9)
     B = np.asarray(pose_covariance_block(solved, 2, 5, method="sparse"))
     np.testing.assert_allclose(B, Sig[20 + 6 : 20 + 9, 20 + 15 : 20 + 18], rtol=1e-9)
+
+
+def test_all_pose_marginals_via_selinv_on_S():
+    """pose_marginal_covariances(method='sparse', indices=None) routes to
+    the Takahashi sweep over the factored sparse S — every diagonal block
+    of S^-1 equals the dense inverse."""
+    from pyslam_tpu.solver import full_covariance, solve_auto
+    from pyslam_tpu.solver.covariance import pose_marginal_covariances
+
+    data = synth.landmark_slam_2d(n_poses=15, n_landmarks=10, max_range=9.0, seed=2)
+    g = build.landmark_slam_2d(data, dtype=jnp.float64)
+    solved, _ = solve_auto(g, Options(method="gn", max_iters=20))
+    Sig = np.asarray(full_covariance(solved))
+    P = np.asarray(pose_marginal_covariances(solved, method="sparse"))
+    for i in range(15):
+        np.testing.assert_allclose(
+            P[i], Sig[20 + 3 * i : 20 + 3 * i + 3, 20 + 3 * i : 20 + 3 * i + 3],
+            atol=1e-11,
+        )
