@@ -184,6 +184,32 @@ def marginal_covariances_direct(
     return 0.5 * (out + jnp.swapaxes(out, -1, -2))
 
 
+def covariance_blocks_direct(
+    graph: FactorGraph,
+    pairs,
+    block_name: str | None = None,
+    plan=None,
+    leaf_size: int = 32,
+):
+    """((k, d, d) marginals for all variables, (len(pairs), d, d) cross
+    blocks) for (u, v) pairs WITHIN THE FACTORIZATION FILL — one Takahashi
+    sweep, no column solves.  Original graph edges (odometry pairs) are
+    always in the fill, so this covers the classic use: relative-pose
+    uncertainty Sigma_ii + Sigma_jj - Sigma_ij - Sigma_ji for loop-closure
+    gating.  Out-of-fill pairs raise — use covariance_block (column
+    solves) for arbitrary pairs."""
+    from .sparse_chol import _factorize, build_chol_plan, selected_inverse_marginals
+
+    if block_name is None:
+        (block_name,) = graph.blocks.keys()
+    if plan is None:
+        plan = build_chol_plan(graph, block_name, leaf_size=leaf_size)
+    He, _, _ = assemble_ell(graph, plan.ell)
+    factors = _factorize(plan, He)
+    diag, blocks = selected_inverse_marginals(plan, factors, pairs=pairs)
+    return 0.5 * (diag + jnp.swapaxes(diag, -1, -2)), blocks
+
+
 def _reduced_pieces(graph, pose_name, lm_name):
     """Shared head of the two S-solvers: assembled parts, eliminated-
     landmark inverse, and the aux dict the landmark-marginal identities

@@ -512,7 +512,46 @@ def _solve_factored(plan: CholPlan, factors, g):
     return xvec[:nb].reshape(-1)
 
 
-def selected_inverse_marginals(plan: CholPlan, factors):
+def locate_fill_pairs(plan: CholPlan, pairs):
+    """Host: map (u, v) variable pairs to (wave, slot, p, q) positions in
+    the Sigma-fronts of the selected-inverse sweep.  A pair is coverable
+    iff it lies in the FILL pattern — u and v share a front at the node
+    where the earlier-eliminated one is a column (original edges,
+    e.g. odometry pairs, always qualify).  Raises on out-of-fill pairs."""
+    where = {}
+    for wi, (kpad, bpad, N, cols_idx, bnd_idx, *_rest) in enumerate(plan.waves):
+        for s in range(N):
+            front = {}
+            for p, var in enumerate(cols_idx[s]):
+                if var < plan.nb:
+                    front[int(var)] = p
+            for p, var in enumerate(bnd_idx[s]):
+                if var < plan.nb:
+                    front[int(var)] = kpad + p
+            for var, p in front.items():
+                if p < kpad:  # eliminated here: this node OWNS the var
+                    where[var] = (wi, s, front)
+    out = []
+    for u, v in pairs:
+        u, v = int(u), int(v)
+        hit = None
+        for first, second, swapped in ((u, v, False), (v, u, True)):
+            wi, s, front = where[first]
+            if second in front:
+                # swapped extractions read Sigma_vu = Sigma_uv^T — the
+                # sweep transposes them back before returning
+                hit = (wi, s, front[first], front[second], swapped)
+                break
+        if hit is None:
+            raise ValueError(
+                f"pair ({u}, {v}) is outside the factorization fill; use a "
+                "column solve (covariance_block) for arbitrary pairs"
+            )
+        out.append(hit)
+    return out
+
+
+def selected_inverse_marginals(plan: CholPlan, factors, pairs=None):
     """ALL (d, d) marginal covariance blocks of H^-1 in one top-down sweep
     over the multifrontal factors — the Takahashi / selected-inversion
     recursion, wave-scheduled on the MXU.
@@ -536,10 +575,23 @@ def selected_inverse_marginals(plan: CholPlan, factors):
     Padding stays inert: padded eliminated cols carry a unit diagonal
     (Sigma = identity, masked out by the caller), padded boundary rows of
     L21 are zero so their U columns vanish, and unwritten pool entries are
-    zero.  Root nodes have an empty boundary (Sigma_BB = 0)."""
+    zero.  Root nodes have an empty boundary (Sigma_BB = 0).
+
+    ``pairs``: optional (u, v) variable pairs WITHIN THE FILL (see
+    locate_fill_pairs) — their (d, d) cross blocks Sigma_uv are read out
+    of the Sigma-fronts during the same sweep; returns (diag, blocks)."""
     nb, d = plan.nb, plan.d
     dev_waves = _device_waves(plan)
     dtype = factors[0][0].dtype
+    pair_req = None
+    if pairs is not None:
+        located = locate_fill_pairs(plan, pairs)
+        pair_req = {}  # wave -> (slots, ps, qs, out_ids)
+        swapped = np.zeros(len(pairs), bool)
+        for out_id, (wi, s, p, q, sw) in enumerate(located):
+            pair_req.setdefault(wi, []).append((s, p, q, out_id))
+            swapped[out_id] = sw
+        pair_out = jnp.zeros((len(pairs), d, d), dtype)
     # forward pool bases (same layout the factorization used)
     bases = [1]
     for (kpad, bpad, N, *_ ) in dev_waves:
@@ -547,9 +599,9 @@ def selected_inverse_marginals(plan: CholPlan, factors):
     pool = jnp.zeros((1 + plan.pool_total, d, d), dtype)
     out = jnp.zeros((nb + 1, d, d), dtype)
     eye = None
-    for (kpad, bpad, N, ci, bi, col_pad, tbl_orig, tbl_l, tbl_r), (L11, L21), base in zip(
-        reversed(dev_waves), reversed(factors), reversed(bases[:-1])
-    ):
+    for wi in reversed(range(len(dev_waves))):
+        (kpad, bpad, N, ci, bi, col_pad, tbl_orig, tbl_l, tbl_r) = dev_waves[wi]
+        (L11, L21), base = factors[wi], bases[wi]
         f = kpad + bpad
         k, b = kpad * d, bpad * d
         # this node's Sigma_BB, scattered by its parent (zeros at roots)
@@ -586,11 +638,22 @@ def selected_inverse_marginals(plan: CholPlan, factors):
         # eliminated-variable marginals (padded cols index the dump slot nb)
         diag_blocks = Sf[:, jnp.arange(kpad), jnp.arange(kpad)]  # (N, kpad, d, d)
         out = out.at[ci.reshape(-1)].set(diag_blocks.reshape(N * kpad, d, d))
+        if pair_req is not None and wi in pair_req:
+            req = pair_req[wi]
+            ss = jnp.asarray([r[0] for r in req], jnp.int32)
+            ps = jnp.asarray([r[1] for r in req], jnp.int32)
+            qs = jnp.asarray([r[2] for r in req], jnp.int32)
+            oi = jnp.asarray([r[3] for r in req], jnp.int32)
+            pair_out = pair_out.at[oi].set(Sf[ss, ps, qs])
         # hand children their Sigma_BB through the SAME tables the
         # factorization gathered their updates with (index 0 = dump slot,
         # written benignly by every non-entry)
         pool = pool.at[tbl_l.reshape(-1)].set(Sf.reshape(-1, d, d))
         pool = pool.at[tbl_r.reshape(-1)].set(Sf.reshape(-1, d, d))
+    if pairs is not None:
+        sw = jnp.asarray(swapped)[:, None, None]
+        pair_out = jnp.where(sw, jnp.swapaxes(pair_out, -1, -2), pair_out)
+        return out[:nb], pair_out
     return out[:nb]
 
 

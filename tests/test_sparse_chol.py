@@ -156,3 +156,29 @@ class TestSelectedInverse:
         )
         np.testing.assert_allclose(M_sub[0], M_all[3], atol=1e-12)
         np.testing.assert_allclose(M_sub[1], M_all[41], atol=1e-12)
+
+    def test_fill_pair_cross_blocks(self):
+        """Within-fill (u, v) cross blocks out of the same sweep (the
+        relative-pose-uncertainty use case) equal the dense inverse —
+        including the swapped-extraction orientation — and out-of-fill
+        pairs raise with the column-solve alternative named."""
+        from pyslam_tpu.solver import full_covariance, solve
+        from pyslam_tpu.solver.covariance import covariance_blocks_direct
+
+        data = synth.se2_loop(n_poses=80, n_loops=8, seed=0)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, _ = solve(g, Options(method="gn", max_iters=25))
+        Sig = np.asarray(full_covariance(solved))
+        pairs = [(5, 6), (6, 5), (20, 21), (40, 41), (10, 10)]
+        _, blocks = covariance_blocks_direct(solved, pairs)
+        for (u, v), B in zip(pairs, np.asarray(blocks)):
+            np.testing.assert_allclose(
+                B, Sig[3 * u : 3 * u + 3, 3 * v : 3 * v + 3], atol=1e-12
+            )
+
+        # a distant pair on a pure chain is genuinely outside the fill
+        data = synth.se2_loop(n_poses=80, n_loops=0, seed=0)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, _ = solve(g, Options(method="gn", max_iters=25))
+        with pytest.raises(ValueError, match="outside the factorization fill"):
+            covariance_blocks_direct(solved, [(1, 75)])
