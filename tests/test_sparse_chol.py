@@ -182,3 +182,18 @@ class TestSelectedInverse:
         solved, _ = solve(g, Options(method="gn", max_iters=25))
         with pytest.raises(ValueError, match="outside the factorization fill"):
             covariance_blocks_direct(solved, [(1, 75)])
+
+    def test_se3_six_dof_marginals(self):
+        """dof-generality: the sweep works unchanged on 6-dof SE(3) blocks."""
+        from pyslam_tpu.solver import full_covariance, solve
+        from pyslam_tpu.solver.covariance import marginal_covariances_direct
+
+        data = synth.se3_sphere(n_poses=60, seed=1)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, _ = solve(g, Options(method="lm", max_iters=25))
+        Sig = np.asarray(full_covariance(solved))
+        M = np.asarray(marginal_covariances_direct(solved))
+        for i in range(0, 60, 11):
+            np.testing.assert_allclose(
+                M[i], Sig[6 * i : 6 * i + 6, 6 * i : 6 * i + 6], atol=1e-11
+            )
