@@ -121,7 +121,7 @@ class TestParityHarness:
             rows = parity.selftest(str(tmp_path / "ds"))
         finally:
             sys.path.pop(0)
-        assert len(rows) == 3
+        assert len(rows) == 4  # manhattan, sphere, landmark, BAL
         assert all(r["parity"] for r in rows)
 
 
