@@ -197,3 +197,25 @@ class TestSelectedInverse:
             np.testing.assert_allclose(
                 M[i], Sig[6 * i : 6 * i + 6, 6 * i : 6 * i + 6], atol=1e-11
             )
+
+    def test_logdet_matches_dense(self):
+        from pyslam_tpu.solver import solve
+        from pyslam_tpu.solver.assemble import assemble_dense, unit_diag_where_dead
+        from pyslam_tpu.solver.bcsr import assemble_ell
+        from pyslam_tpu.solver.sparse_chol import (
+            _factorize,
+            build_chol_plan,
+            factor_logdet,
+        )
+
+        data = synth.se2_loop(n_poses=90, n_loops=9, seed=2)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, _ = solve(g, Options(method="gn", max_iters=20))
+        plan = build_chol_plan(solved)
+        He, _, _ = assemble_ell(solved, plan.ell)
+        ld = float(factor_logdet(plan, _factorize(plan, He)))
+        H, _, _ = assemble_dense(solved)
+        H = unit_diag_where_dead(H)
+        sign, ld_ref = np.linalg.slogdet(np.asarray(H))
+        assert sign > 0
+        np.testing.assert_allclose(ld, ld_ref, rtol=1e-10)
