@@ -84,10 +84,6 @@ def main():
     wd = _watchdog(900, "backend init")
     jax.devices()  # force backend init under the watchdog
     wd.set()
-    # second guard: the whole measured run (compile ~40 s cached, solve
-    # ~ms; 30 min is far beyond any healthy run, even with a cold compile
-    # cache and a moody remote-compile service)
-    wd_run = _watchdog(1800, "bench run")
 
     from pyslam_tpu.graph import build
     from pyslam_tpu.io import synth
@@ -95,7 +91,13 @@ def main():
     from pyslam_tpu.solver.bcsr import build_ell_direct, solve_ell
 
     data = synth.se3_sphere(n_poses=2500, seed=0)
-    baseline = measure_baseline(data)
+    baseline = measure_baseline(data)  # CPU scipy; NOT under the TPU guard
+
+    # second guard, armed only around the TPU compile + measured run: a
+    # killed-mid-compile client can wedge the tunnel AFTER init succeeded
+    # (observed r3).  45 min covers two cold compiles even at the measured
+    # worst-case remote-compile slowdown (~280 s per fresh shape).
+    wd_run = _watchdog(2700, "bench compile+run")
 
     g = build.pose_graph(data)  # f32, the TPU-native production path
     plan = build_ell_direct(g)

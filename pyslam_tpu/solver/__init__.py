@@ -50,6 +50,7 @@ __all__ += ["solve_gnc", "GNCInfo", "FixedLagSmoother", "IncrementalSmoother"]
 from .bcsr import EllDirect, assemble_ell, build_ell_direct, solve_ell, sym_block_inv  # noqa: E402
 from .covariance import (  # noqa: E402
     covariance_block,
+    covariance_blocks_direct,
     full_covariance,
     landmark_covariance_block,
     landmark_marginal_covariances,
@@ -70,6 +71,7 @@ __all__ += [
     "marginal_covariances",
     "marginal_covariances_direct",
     "covariance_block",
+    "covariance_blocks_direct",
     "pose_covariance_block",
     "pose_marginal_covariances",
     "landmark_marginal_covariances",

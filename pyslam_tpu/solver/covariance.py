@@ -130,12 +130,29 @@ def covariance_block(
     return jnp.swapaxes(X.reshape(d, nb, d)[:, i, :], 0, 1)  # rows i -> (d, d)
 
 
+def _plan_and_factors(graph, block_name, plan, leaf_size, factors=None):
+    """Shared head of the direct-covariance entry points: resolve the
+    block, build/reuse the multifrontal plan, assemble, factorize (or
+    reuse caller-provided factors for repeated online queries)."""
+    from .sparse_chol import _factorize, build_chol_plan
+
+    if block_name is None:
+        (block_name,) = graph.blocks.keys()
+    if plan is None:
+        plan = build_chol_plan(graph, block_name, leaf_size=leaf_size)
+    if factors is None:
+        He, _, _ = assemble_ell(graph, plan.ell)
+        factors = _factorize(plan, He)
+    return block_name, plan, factors
+
+
 def marginal_covariances_direct(
     graph: FactorGraph,
     block_name: str | None = None,
     indices=None,
     plan=None,
     leaf_size: int = 32,
+    factors=None,
 ):
     """(k, dof, dof) marginal covariance blocks via the multifrontal sparse
     direct factorization (solver/sparse_chol.py): factor H once, then each
@@ -143,21 +160,12 @@ def marginal_covariances_direct(
     (no PCG tolerance) and O(fill) memory.  The right choice whenever a
     CholPlan is affordable (stiff/mid-size graphs; the same regimes
     solve_auto routes to sparse_chol)."""
-    from .sparse_chol import (
-        _factorize,
-        _solve_factored,
-        build_chol_plan,
-        selected_inverse_marginals,
-    )
+    from .sparse_chol import _solve_factored, selected_inverse_marginals
 
-    if block_name is None:
-        (block_name,) = graph.blocks.keys()
-    blk = graph.blocks[block_name]
-    d = blk.dof
-    if plan is None:
-        plan = build_chol_plan(graph, block_name, leaf_size=leaf_size)
-    He, _, _ = assemble_ell(graph, plan.ell)
-    factors = _factorize(plan, He)
+    block_name, plan, factors = _plan_and_factors(
+        graph, block_name, plan, leaf_size, factors
+    )
+    d = graph.blocks[block_name].dof
     if indices is None:
         # ALL marginals: the Takahashi selected-inverse sweep gets every
         # diagonal block in ~2x the factorization cost — nb*d column
@@ -167,9 +175,10 @@ def marginal_covariances_direct(
     indices = np.asarray(indices)
     off = graph.offsets()[block_name]
     D = plan.nb * d
+    dtype = factors[0][0].dtype
 
     def solve_col(col_idx):
-        e = jnp.zeros(D, He.dtype).at[col_idx].set(1.0)
+        e = jnp.zeros(D, dtype).at[col_idx].set(1.0)
         return _solve_factored(plan, factors, e)
 
     col_ids = (off + indices[:, None] * d + np.arange(d)[None, :]).reshape(-1)
@@ -190,6 +199,7 @@ def covariance_blocks_direct(
     block_name: str | None = None,
     plan=None,
     leaf_size: int = 32,
+    factors=None,
 ):
     """((k, d, d) marginals for all variables, (len(pairs), d, d) cross
     blocks) for (u, v) pairs WITHIN THE FACTORIZATION FILL — one Takahashi
@@ -198,14 +208,11 @@ def covariance_blocks_direct(
     uncertainty Sigma_ii + Sigma_jj - Sigma_ij - Sigma_ji for loop-closure
     gating.  Out-of-fill pairs raise — use covariance_block (column
     solves) for arbitrary pairs."""
-    from .sparse_chol import _factorize, build_chol_plan, selected_inverse_marginals
+    from .sparse_chol import selected_inverse_marginals
 
-    if block_name is None:
-        (block_name,) = graph.blocks.keys()
-    if plan is None:
-        plan = build_chol_plan(graph, block_name, leaf_size=leaf_size)
-    He, _, _ = assemble_ell(graph, plan.ell)
-    factors = _factorize(plan, He)
+    block_name, plan, factors = _plan_and_factors(
+        graph, block_name, plan, leaf_size, factors
+    )
     diag, blocks = selected_inverse_marginals(plan, factors, pairs=pairs)
     return 0.5 * (diag + jnp.swapaxes(diag, -1, -2)), blocks
 

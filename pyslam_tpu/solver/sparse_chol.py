@@ -517,29 +517,49 @@ def locate_fill_pairs(plan: CholPlan, pairs):
     the Sigma-fronts of the selected-inverse sweep.  A pair is coverable
     iff it lies in the FILL pattern — u and v share a front at the node
     where the earlier-eliminated one is a column (original edges,
-    e.g. odometry pairs, always qualify).  Raises on out-of-fill pairs."""
-    where = {}
+    e.g. odometry pairs, always qualify).  Raises ValueError on
+    out-of-fill or out-of-range pairs.
+
+    Cost is proportional to the QUERY, not the fill: an O(nb) owner map
+    from the cols tables, then front dicts only for the (at most two)
+    candidate owner nodes per pair."""
+    nb = plan.nb
+    owner = np.full(nb, -1, np.int64)  # var -> flat node id (wave-major)
+    node_of = []  # flat node id -> (wave, slot)
     for wi, (kpad, bpad, N, cols_idx, bnd_idx, *_rest) in enumerate(plan.waves):
         for s in range(N):
-            front = {}
-            for p, var in enumerate(cols_idx[s]):
-                if var < plan.nb:
-                    front[int(var)] = p
-            for p, var in enumerate(bnd_idx[s]):
-                if var < plan.nb:
-                    front[int(var)] = kpad + p
-            for var, p in front.items():
-                if p < kpad:  # eliminated here: this node OWNS the var
-                    where[var] = (wi, s, front)
+            c = cols_idx[s]
+            owner[c[c < nb]] = len(node_of)
+            node_of.append((wi, s))
+
+    fronts: dict[int, dict] = {}  # flat node id -> {var: front position}
+
+    def front_of(nid):
+        f = fronts.get(nid)
+        if f is None:
+            wi, s = node_of[nid]
+            kpad, bpad, N, cols_idx, bnd_idx, *_rest = plan.waves[wi]
+            f = {int(v): p for p, v in enumerate(cols_idx[s]) if v < nb}
+            f.update(
+                {int(v): kpad + p for p, v in enumerate(bnd_idx[s]) if v < nb}
+            )
+            fronts[nid] = f
+        return f
+
     out = []
     for u, v in pairs:
         u, v = int(u), int(v)
+        if not (0 <= u < nb and 0 <= v < nb):
+            raise ValueError(
+                f"pair ({u}, {v}) out of range for {nb} variables"
+            )
         hit = None
         for first, second, swapped in ((u, v, False), (v, u, True)):
-            wi, s, front = where[first]
+            front = front_of(int(owner[first]))
             if second in front:
                 # swapped extractions read Sigma_vu = Sigma_uv^T — the
                 # sweep transposes them back before returning
+                wi, s = node_of[int(owner[first])]
                 hit = (wi, s, front[first], front[second], swapped)
                 break
         if hit is None:

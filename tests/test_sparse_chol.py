@@ -219,3 +219,29 @@ class TestSelectedInverse:
         sign, ld_ref = np.linalg.slogdet(np.asarray(H))
         assert sign > 0
         np.testing.assert_allclose(ld, ld_ref, rtol=1e-10)
+
+    def test_out_of_range_pairs_raise_value_error(self):
+        from pyslam_tpu.solver import covariance_blocks_direct, solve
+
+        data = synth.se2_loop(n_poses=30, n_loops=3, seed=3)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, _ = solve(g, Options(method="gn", max_iters=10))
+        for bad in [(0, 30), (-1, 5)]:
+            with pytest.raises(ValueError, match="out of range"):
+                covariance_blocks_direct(solved, [bad])
+
+    def test_factor_reuse_across_queries(self):
+        """Online gating reuses one factorization for repeated queries."""
+        from pyslam_tpu.solver import covariance_blocks_direct, solve
+        from pyslam_tpu.solver.bcsr import assemble_ell
+        from pyslam_tpu.solver.sparse_chol import _factorize, build_chol_plan
+
+        data = synth.se2_loop(n_poses=30, n_loops=3, seed=3)
+        g = build.pose_graph(data, dtype=jnp.float64)
+        solved, _ = solve(g, Options(method="gn", max_iters=10))
+        plan = build_chol_plan(solved)
+        He, _, _ = assemble_ell(solved, plan.ell)
+        factors = _factorize(plan, He)
+        _, b1 = covariance_blocks_direct(solved, [(4, 5)], plan=plan, factors=factors)
+        _, b2 = covariance_blocks_direct(solved, [(4, 5)])
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-13)
