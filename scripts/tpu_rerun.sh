@@ -16,4 +16,6 @@ echo "== all configs (bench/run.py 1-8) =="
 timeout 7200 python bench/run.py --configs 1,2,3,4,5,6,7,8
 echo "== SPARSE_SCHUR vs PCG =="
 timeout 1800 python bench/sparse_schur_compare.py
+echo "== covariance: selinv vs column solves =="
+timeout 1800 python bench/covariance_bench.py
 echo "== done; results in bench/results.jsonl =="
