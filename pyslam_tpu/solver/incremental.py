@@ -327,6 +327,43 @@ class IncrementalSmoother:
             raise ValueError("no landmark block (construct with obs_kind=...)")
         return self._L[: self.nl].copy()
 
+    def pose_marginals(self):
+        """(n, dof, dof) marginal covariances of the live poses at the
+        current estimate — the online gating/uncertainty readout.  Pose-only
+        graphs use the exact multifrontal selected inversion; landmark
+        graphs use S-solves on the reduced camera system; graphs carrying
+        multi-slot marginalization priors fall back to the dense inverse
+        (window-scale after marginalization)."""
+        import numpy as np_
+
+        g = self._graph(
+            n=self.n, m=self.m,
+            nl=self.nl if self.obs_kind is not None else None,
+            mo=self.mo if self.obs_kind is not None else None,
+        )
+        dof = self._dof
+        if self.obs_kind is None and all(
+            len(set(fb.slots)) == 1 for fb in self._prior_batches
+        ):
+            from .covariance import marginal_covariances_direct
+
+            return np_.asarray(marginal_covariances_direct(g))
+        if self.obs_kind is not None and all(
+            fb.slots in (("poses",), ("poses", "poses"), ("poses", "landmarks"))
+            for fb in self._prior_batches
+        ):
+            from .covariance import pose_marginal_covariances
+
+            return np_.asarray(pose_marginal_covariances(g))
+        from .covariance import full_covariance
+
+        Sig = np_.asarray(full_covariance(g))
+        off = g.offsets()["poses"]
+        return np_.stack(
+            [Sig[off + i * dof : off + (i + 1) * dof,
+                 off + i * dof : off + (i + 1) * dof] for i in range(self.n)]
+        )
+
     # -------------------------------------------------------- marginalizing
     def marginalize_oldest(self, keep_last: int):
         """Retire old poses into a dense FEJ prior (graph/marginalize.py),

@@ -209,3 +209,23 @@ def test_incremental_visual_ba_with_camera_extras():
     T_err = np.abs(sm.poses() - data.T_gt).max()
     assert T_err < 0.05, T_err
     assert sm.compiles <= 5
+
+
+def test_pose_marginals_match_dense_inverse():
+    """Online uncertainty readout: sm.pose_marginals() equals the dense
+    inverse on both pose-only and landmark graphs."""
+    from pyslam_tpu.solver import full_covariance
+
+    data = synth.se2_loop(n_poses=20, n_loops=3, seed=5)
+    sm = IncrementalSmoother(kind="se2", options=Options(method="gn", max_iters=15))
+    sm.add_pose(data.T_init[0])
+    for k in range(1, 20):
+        sm.add_pose(data.T_meas[k - 1] @ sm.poses()[k - 1])
+        sm.add_between(k - 1, k, data.T_meas[k - 1], data.sqrt_info[k - 1])
+    sm.update()
+    M = sm.pose_marginals()
+    Sig = np.asarray(full_covariance(sm._graph(n=sm.n, m=sm.m)))
+    for i in range(20):
+        np.testing.assert_allclose(
+            M[i], Sig[3 * i : 3 * i + 3, 3 * i : 3 * i + 3], atol=1e-12
+        )
