@@ -45,7 +45,6 @@ import numpy as np
 from ..graph.core import FactorBatch, FactorGraph, VariableBlock
 from ..losses import L2Loss
 from . import lm as _lm
-from .bcsr import build_ell_direct
 from .plan_cache import ClosureCache, content_key
 from .schur import _back_substitute, _binv, _concat_dx, _schur_reduce, ba_assemble
 from .sparse_chol import CholPlan, _factorize, _solve_factored, build_chol_plan
