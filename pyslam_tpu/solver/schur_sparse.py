@@ -217,6 +217,7 @@ def schur_solve_sparse(parts, g, lam, opt: _lm.Options, plan: SchurSparsePlan,
 
 
 _CLOSURES = ClosureCache()
+_PLANS = ClosureCache()
 
 
 def solve_schur_sparse(
@@ -232,7 +233,16 @@ def solve_schur_sparse(
     O(S-fill) memory instead of (C*dp)^2.  Right for many-poses /
     few-landmarks graphs whose co-observation structure is sparse."""
     if plan is None:
-        plan = build_schur_sparse_plan(graph, pose_name, lm_name, leaf_size)
+        # content-keyed plan reuse: repeated solves over the same sparsity
+        # (GNC outer iterations reweight factors but never move indices)
+        # skip the host pair-enumeration + nested-dissection rebuild
+        pkey = (
+            "plan", pose_name, lm_name, leaf_size,
+            tuple(content_key(i) for fb in graph.batches for i in fb.indices),
+        )
+        if pkey not in _PLANS:
+            _PLANS[pkey] = build_schur_sparse_plan(graph, pose_name, lm_name, leaf_size)
+        plan = _PLANS[pkey]
     key = (
         "schur_sparse", pose_name, lm_name,
         content_key(plan.chol.ell),
