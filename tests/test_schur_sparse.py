@@ -220,3 +220,32 @@ def test_all_pose_marginals_via_selinv_on_S():
             P[i], Sig[20 + 3 * i : 20 + 3 * i + 3, 20 + 3 * i : 20 + 3 * i + 3],
             atol=1e-11,
         )
+
+
+def test_gnc_composes_with_one_plan_build():
+    """GNC outer iterations reweight but never move indices: the content-
+    keyed plan cache must build the sparse-Schur plan exactly once, and
+    the planted wrong associations must still be caught."""
+    import dataclasses
+
+    from pyslam_tpu.solver import solve_gnc
+    from pyslam_tpu.solver.schur_sparse import _PLANS
+
+    data = synth.landmark_slam_2d(n_poses=120, n_landmarks=50, max_range=9.0, seed=11)
+    rng = np.random.default_rng(0)
+    bad = rng.choice(len(data.obs_pose), size=5, replace=False)
+    obs_lm = np.array(data.obs_lm)
+    L = int(obs_lm.max()) + 1
+    for m in bad:
+        obs_lm[m] = (obs_lm[m] + 1 + rng.integers(L - 1)) % L
+    g = build.landmark_slam_2d(
+        dataclasses.replace(data, obs_lm=obs_lm), dtype=jnp.float64
+    )
+    n_before = len(_PLANS)
+    _, info = solve_gnc(
+        g, Options(method="lm", max_iters=8), robustify=[0],
+        solve_fn=lambda gg, oo: solve_schur_sparse(gg, oo),
+    )
+    assert len(_PLANS) - n_before <= 1  # one sparsity -> one plan
+    w = np.asarray(info.weights[0])
+    assert set(bad.tolist()) <= set(np.flatnonzero(w < 0.5).tolist())
