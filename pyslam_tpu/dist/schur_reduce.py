@@ -437,4 +437,140 @@ def solve_schur_sharded(
     return solved, float(solved.chi2()), history
 
 
-__all__ = ["ShardedBA", "shard_ba", "make_sharded_schur_step", "solve_schur_sharded"]
+def sharded_pose_marginals(
+    graph: FactorGraph,
+    mesh: Mesh,
+    indices=None,
+    axis: str = "l",
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    partition: Partition | None = None,
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+    chunk: int = 64,
+):
+    """(k, dp, dp) pose marginal covariances of a SHARDED camera+landmark
+    graph — distributed covariance over the same landmark-sharded layout
+    the solve uses.  Sigma_pp = S^-1, so each requested tangent column is
+    one SCHUR_JACOBI-preconditioned PCG solve whose matvec does chip-local
+    work plus ONE psum per application (identical comm pattern to the
+    solver's inner loop).  Landmark elimination stays chip-local; no chip
+    ever materializes the landmark side of H.
+
+    Constant (gauge-anchor) poses return unit blocks, matching the
+    single-chip ``pose_marginal_covariances`` masking convention."""
+    sb = shard_ba(graph, mesh, axis, pose_name, lm_name, partition)
+    C, dp, dl = sb.C, sb.dp, sb.dl
+    kind, loss = sb.kind, sb.loss
+    static_data = sb.static_data
+    free_p = sb.free_p
+    unary = sb.unary
+
+    def _seg(vals, idx, nseg):
+        return jax.ops.segment_sum(vals, idx, num_segments=nseg)
+
+    in_specs = (
+        P(),  # poses
+        P(axis),  # lm_slab
+        jax.tree_util.tree_map(lambda _: P(axis), sb.obs_data),
+        P(axis),  # cam_idx
+        P(axis),  # pt_local
+        P(axis),  # weight
+        P(axis),  # free_l
+        P(),  # col ids (replicated)
+    )
+
+    @partial(shard_map, mesh=sb.mesh, in_specs=in_specs, out_specs=P(), check_vma=False)
+    def solve_cols(poses, lm_slab, od, ci, pl, w_pad, free_l, col_ids):
+        Lb = lm_slab.shape[0]
+        dtype = poses.dtype
+        fl = free_l.astype(dtype)
+        fp = free_p.astype(dtype)
+        data = {**od, **static_data}
+        r, (Jc, Jl) = FACTOR_KERNELS[kind](
+            data, poses[ci], lm_slab[pl], compute_jacobians=True
+        )
+        w = loss.weight(r) * w_pad[:, None]
+        Hpp = jax.lax.psum(_seg(jnp.einsum("fmi,fm,fmj->fij", Jc, w, Jc), ci, C), axis)
+        Hll = _seg(jnp.einsum("fmi,fm,fmj->fij", Jl, w, Jl), pl, Lb)
+        W = jnp.einsum("fmi,fm,fmj->fij", Jc, w, Jl)
+        # replicated unary / between contributions (GN: no damping)
+        couplings = []
+        for ukind, uidx, udata, uloss, uw in unary:
+            if isinstance(uidx, tuple):
+                ru, (Ja, Jb) = FACTOR_KERNELS[ukind](
+                    udata, poses[uidx[0]], poses[uidx[1]], compute_jacobians=True
+                )
+                wu = uloss.weight(ru) * uw[:, None]
+                pi, pj = uidx
+                Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", Ja, wu, Ja), pi, C)
+                Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", Jb, wu, Jb), pj, C)
+                PP = jnp.einsum("fmi,fm,fmj->fij", Ja, wu, Jb)
+                couplings.append(
+                    (PP * fp[pi][:, None, None] * fp[pj][:, None, None], pi, pj)
+                )
+            else:
+                ru, (J,) = FACTOR_KERNELS[ukind](
+                    udata, poses[uidx], compute_jacobians=True
+                )
+                wu = uloss.weight(ru) * uw[:, None]
+                Hpp = Hpp + _seg(jnp.einsum("fmi,fm,fmj->fij", J, wu, J), uidx, C)
+        eye_p = jnp.eye(dp, dtype=dtype)
+        eye_l = jnp.eye(dl, dtype=dtype)
+        Hpp = Hpp * fp[:, None, None] + (1.0 - fp)[:, None, None] * eye_p
+        dead = (jnp.einsum("nii->n", Hll) == 0.0).astype(dtype)
+        live = fl * (1.0 - dead)
+        Hll = Hll * live[:, None, None] + (1.0 - live)[:, None, None] * eye_l
+        W = W * fp[ci][:, None, None] * live[pl][:, None, None]
+
+        L_ll = jnp.linalg.cholesky(Hll)
+        Hll_inv = _binv(L_ll)
+        Y = jnp.einsum("mij,mjk->mik", W, Hll_inv[pl])
+        D = Hpp - jax.lax.psum(_seg(jnp.einsum("mik,mjk->mij", Y, W), ci, C), axis)
+        L_d = jnp.linalg.cholesky(D)
+
+        def matvec(x):
+            xb = x.reshape(C, dp)
+            y = jnp.einsum("cij,cj->ci", Hpp, xb)
+            for PP, pi, pj in couplings:
+                y = y + _seg(jnp.einsum("eij,ej->ei", PP, xb[pj]), pi, C)
+                y = y + _seg(jnp.einsum("eij,ei->ej", PP, xb[pi]), pj, C)
+            tt = _seg(jnp.einsum("mij,mi->mj", W, xb[ci]), pl, Lb)
+            tt = jnp.einsum("lij,lj->li", Hll_inv, tt)
+            y = y - jax.lax.psum(_seg(jnp.einsum("mij,mj->mi", W, tt[pl]), ci, C), axis)
+            return y.reshape(-1)
+
+        def precond(rr):
+            return _binv_apply(L_d, rr.reshape(C, dp)).reshape(-1)
+
+        def solve_col(col):
+            e = jnp.zeros(C * dp, dtype).at[col].set(1.0)
+            x, _ = pcg_solve(
+                matvec, e, precond=precond, rtol=pcg_rtol, max_iters=pcg_max_iters
+            )
+            return x
+
+        return jax.vmap(solve_col)(col_ids)  # (k, C*dp), replicated
+
+    if indices is None:
+        indices = np.arange(C)
+    indices = np.asarray(indices)
+    col_ids = (indices[:, None] * dp + np.arange(dp)[None, :]).reshape(-1)
+    cols_per_chunk = max(dp, chunk - chunk % dp)
+    pieces = []
+    for s in range(0, len(col_ids), cols_per_chunk):
+        pieces.append(
+            solve_cols(
+                sb.poses, sb.lm_slab, sb.obs_data, sb.cam_idx, sb.pt_local,
+                sb.weight, sb.free_l,
+                jnp.asarray(col_ids[s : s + cols_per_chunk], jnp.int32),
+            )
+        )
+    X = jnp.concatenate(pieces, axis=0).reshape(len(indices), dp, C, dp)
+    rows = jnp.asarray(indices, jnp.int32)
+    out = X[jnp.arange(len(indices)), :, rows, :]
+    return 0.5 * (out + jnp.swapaxes(out, -1, -2))
+
+
+__all__ = ["ShardedBA", "shard_ba", "make_sharded_schur_step", "solve_schur_sharded",
+           "sharded_pose_marginals"]

@@ -273,3 +273,35 @@ class TestShardedPoseManifolds:
         _, chi2_s, _ = solve_schur_sharded(g, mesh, Options(method="lm", max_iters=10))
         _, info_1 = solve_auto(g, Options(method="lm", max_iters=10))
         np.testing.assert_allclose(float(chi2_s), float(info_1.chi2), rtol=1e-9)
+
+
+class TestShardedCovariance:
+    """Distributed covariance (round-3): pose marginals over the sharded
+    layout equal the single-chip S-solve answers — the solve's comm pattern
+    (one psum per matvec), no chip ever holding the landmark side of H."""
+
+    def test_ba_matches_single_chip(self):
+        from pyslam_tpu.dist.schur_reduce import sharded_pose_marginals
+        from pyslam_tpu.solver import solve_auto
+        from pyslam_tpu.solver.covariance import pose_marginal_covariances
+
+        data = synth.ba_synthetic(n_cams=10, n_pts=80, seed=2)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        solved, _ = solve_auto(g, Options(method="gn", max_iters=15))
+        Ms = np.asarray(sharded_pose_marginals(solved, make_mesh_l()))
+        M1 = np.asarray(pose_marginal_covariances(solved))
+        np.testing.assert_allclose(Ms, M1, atol=1e-12)
+
+    def test_full_slam_with_between_factors(self):
+        from pyslam_tpu.dist.schur_reduce import sharded_pose_marginals
+        from pyslam_tpu.solver import solve_auto
+        from pyslam_tpu.solver.covariance import pose_marginal_covariances
+
+        data = synth.landmark_slam_2d(n_poses=25, n_landmarks=15, max_range=9.0, seed=4)
+        g = build.landmark_slam_2d(data, dtype=jnp.float64)
+        solved, _ = solve_auto(g, Options(method="gn", max_iters=20))
+        Ms = np.asarray(sharded_pose_marginals(solved, make_mesh_l(), indices=np.arange(25)))
+        M1 = np.asarray(pose_marginal_covariances(solved))
+        np.testing.assert_allclose(Ms, M1, atol=1e-12)
+        # anchor keeps its unit block
+        np.testing.assert_allclose(Ms[0], np.eye(3), atol=1e-12)
