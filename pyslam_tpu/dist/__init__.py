@@ -22,7 +22,8 @@ from .mesh import make_mesh, init_distributed
 from .partitioner import Partition, cut_stats, partition_landmarks, partition_poses_bfs
 from .pose_sharded import shard_pose_graph, solve_pose_sharded
 from .schur_cm import solve_schur_cm
-from .schur_reduce import shard_ba, sharded_pose_marginals, solve_schur_sharded
+from .schur_reduce import (shard_ba, sharded_landmark_marginals,
+                           sharded_pose_marginals, solve_schur_sharded)
 
 __all__ = [
     "make_mesh",
@@ -38,6 +39,7 @@ __all__ = [
     "shard_ba",
     "solve_schur_sharded",
     "sharded_pose_marginals",
+    "sharded_landmark_marginals",
     "solve_schur_cm",
     "shard_pose_graph",
     "solve_pose_sharded",

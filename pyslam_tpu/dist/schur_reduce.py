@@ -437,29 +437,24 @@ def solve_schur_sharded(
     return solved, float(solved.chi2()), history
 
 
-def sharded_pose_marginals(
-    graph: FactorGraph,
-    mesh: Mesh,
-    indices=None,
-    axis: str = "l",
-    pose_name: str = "poses",
-    lm_name: str = "landmarks",
-    partition: Partition | None = None,
-    pcg_rtol: float = 1e-10,
-    pcg_max_iters: int = 500,
-    chunk: int = 64,
-):
-    """(k, dp, dp) pose marginal covariances of a SHARDED camera+landmark
-    graph — distributed covariance over the same landmark-sharded layout
-    the solve uses.  Sigma_pp = S^-1, so each requested tangent column is
-    one SCHUR_JACOBI-preconditioned PCG solve whose matvec does chip-local
-    work plus ONE psum per application (identical comm pattern to the
-    solver's inner loop).  Landmark elimination stays chip-local; no chip
-    ever materializes the landmark side of H.
+def _marginal_in_specs(sb: ShardedBA, axis: str):
+    return (
+        P(),  # poses
+        P(axis),  # lm_slab
+        jax.tree_util.tree_map(lambda _: P(axis), sb.obs_data),
+        P(axis),  # cam_idx
+        P(axis),  # pt_local
+        P(axis),  # weight
+        P(axis),  # free_l
+        P(),  # query ids (replicated)
+    )
 
-    Constant (gauge-anchor) poses return unit blocks, matching the
-    single-chip ``pose_marginal_covariances`` masking convention."""
-    sb = shard_ba(graph, mesh, axis, pose_name, lm_name, partition)
+
+def _make_S_pieces_builder(sb: ShardedBA, axis: str):
+    """Returns build(local arrays) -> (matvec, precond, aux) — the GN
+    (undamped) reduced-system pieces inside a shard_map body, shared by the
+    distributed pose- and landmark-marginal entry points.  Identical
+    assembly/masking semantics to make_sharded_schur_step."""
     C, dp, dl = sb.C, sb.dp, sb.dl
     kind, loss = sb.kind, sb.loss
     static_data = sb.static_data
@@ -469,19 +464,7 @@ def sharded_pose_marginals(
     def _seg(vals, idx, nseg):
         return jax.ops.segment_sum(vals, idx, num_segments=nseg)
 
-    in_specs = (
-        P(),  # poses
-        P(axis),  # lm_slab
-        jax.tree_util.tree_map(lambda _: P(axis), sb.obs_data),
-        P(axis),  # cam_idx
-        P(axis),  # pt_local
-        P(axis),  # weight
-        P(axis),  # free_l
-        P(),  # col ids (replicated)
-    )
-
-    @partial(shard_map, mesh=sb.mesh, in_specs=in_specs, out_specs=P(), check_vma=False)
-    def solve_cols(poses, lm_slab, od, ci, pl, w_pad, free_l, col_ids):
+    def build(poses, lm_slab, od, ci, pl, w_pad, free_l):
         Lb = lm_slab.shape[0]
         dtype = poses.dtype
         fl = free_l.astype(dtype)
@@ -543,6 +526,45 @@ def sharded_pose_marginals(
         def precond(rr):
             return _binv_apply(L_d, rr.reshape(C, dp)).reshape(-1)
 
+        aux = dict(Hll_inv=Hll_inv, W=W, ci=ci, pl=pl, Lb=Lb)
+        return matvec, precond, aux
+
+    return build
+
+
+def sharded_pose_marginals(
+    graph: FactorGraph,
+    mesh: Mesh,
+    indices=None,
+    axis: str = "l",
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    partition: Partition | None = None,
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+    chunk: int = 64,
+):
+    """(k, dp, dp) pose marginal covariances of a SHARDED camera+landmark
+    graph — distributed covariance over the same landmark-sharded layout
+    the solve uses.  Sigma_pp = S^-1, so each requested tangent column is
+    one SCHUR_JACOBI-preconditioned PCG solve whose matvec does chip-local
+    work plus ONE psum per application (identical comm pattern to the
+    solver's inner loop).  Landmark elimination stays chip-local; no chip
+    ever materializes the landmark side of H.
+
+    Constant (gauge-anchor) poses return unit blocks, matching the
+    single-chip ``pose_marginal_covariances`` masking convention."""
+    sb = shard_ba(graph, mesh, axis, pose_name, lm_name, partition)
+    C, dp = sb.C, sb.dp
+    _builder = _make_S_pieces_builder(sb, axis)
+
+    in_specs = _marginal_in_specs(sb, axis)
+
+    @partial(shard_map, mesh=sb.mesh, in_specs=in_specs, out_specs=P(), check_vma=False)
+    def solve_cols(poses, lm_slab, od, ci, pl, w_pad, free_l, col_ids):
+        matvec, precond, _aux = _builder(poses, lm_slab, od, ci, pl, w_pad, free_l)
+        dtype = poses.dtype
+
         def solve_col(col):
             e = jnp.zeros(C * dp, dtype).at[col].set(1.0)
             x, _ = pcg_solve(
@@ -572,5 +594,68 @@ def sharded_pose_marginals(
     return 0.5 * (out + jnp.swapaxes(out, -1, -2))
 
 
+def sharded_landmark_marginals(
+    graph: FactorGraph,
+    mesh: Mesh,
+    indices,
+    axis: str = "l",
+    pose_name: str = "poses",
+    lm_name: str = "landmarks",
+    partition: Partition | None = None,
+    pcg_rtol: float = 1e-10,
+    pcg_max_iters: int = 500,
+):
+    """(k, dl, dl) landmark marginal covariances of a SHARDED graph, by the
+    block-inverse identity Sigma_ll,ii = (Hll^-1)_ii + B_i^T S^-1 B_i with
+    B_i = [W Hll^-1] block-column i.  B_i and (Hll^-1)_ii live entirely on
+    the landmark's owner chip (observations are co-located); one psum
+    replicates them, then the dl S-solves run with the solver's own
+    one-psum-per-matvec pattern.  Unobserved landmarks return the masked
+    unit block, matching the single-chip convention."""
+    sb = shard_ba(graph, mesh, axis, pose_name, lm_name, partition)
+    C, dp, dl = sb.C, sb.dp, sb.dl
+    _builder = _make_S_pieces_builder(sb, axis)
+    slots = np.asarray(sb.lm_perm)[np.asarray(indices)]  # global slab slots
+
+    in_specs = _marginal_in_specs(sb, axis)
+
+    @partial(shard_map, mesh=sb.mesh, in_specs=in_specs, out_specs=P(), check_vma=False)
+    def solve_lms(poses, lm_slab, od, ci, pl, w_pad, free_l, slots_q):
+        matvec, precond, aux = _builder(poses, lm_slab, od, ci, pl, w_pad, free_l)
+        Hll_inv, W, Lb = aux["Hll_inv"], aux["W"], aux["Lb"]
+        dtype = poses.dtype
+        rank = jax.lax.axis_index(axis)
+
+        def one(g):
+            local = g - rank * Lb
+            mine = jnp.logical_and(local >= 0, local < Lb)
+            lc = jnp.clip(local, 0, Lb - 1)
+            m = mine.astype(dtype)
+            Hi = jax.lax.psum(Hll_inv[lc] * m, axis)  # (dl, dl)
+            sel = ((pl == lc) & mine).astype(dtype)
+            Bm = jnp.einsum("mij,jk->mik", W * sel[:, None, None], Hll_inv[lc])
+            B = jax.lax.psum(
+                jax.ops.segment_sum(Bm, ci, num_segments=C), axis
+            ).reshape(C * dp, dl)
+
+            def solve_rhs(b):
+                x, _ = pcg_solve(
+                    matvec, b, precond=precond, rtol=pcg_rtol,
+                    max_iters=pcg_max_iters,
+                )
+                return x
+
+            X = jax.vmap(solve_rhs, in_axes=1, out_axes=1)(B)  # (C*dp, dl)
+            cov = Hi + B.T @ X
+            return 0.5 * (cov + cov.T)
+
+        return jax.vmap(one)(slots_q)
+
+    return solve_lms(
+        sb.poses, sb.lm_slab, sb.obs_data, sb.cam_idx, sb.pt_local,
+        sb.weight, sb.free_l, jnp.asarray(slots, jnp.int32),
+    )
+
+
 __all__ = ["ShardedBA", "shard_ba", "make_sharded_schur_step", "solve_schur_sharded",
-           "sharded_pose_marginals"]
+           "sharded_pose_marginals", "sharded_landmark_marginals"]

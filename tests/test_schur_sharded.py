@@ -305,3 +305,16 @@ class TestShardedCovariance:
         np.testing.assert_allclose(Ms, M1, atol=1e-12)
         # anchor keeps its unit block
         np.testing.assert_allclose(Ms[0], np.eye(3), atol=1e-12)
+
+    def test_landmark_marginals_match_single_chip(self):
+        from pyslam_tpu.dist.schur_reduce import sharded_landmark_marginals
+        from pyslam_tpu.solver import solve_auto
+        from pyslam_tpu.solver.covariance import landmark_marginal_covariances
+
+        data = synth.ba_synthetic(n_cams=10, n_pts=80, seed=2)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        solved, _ = solve_auto(g, Options(method="gn", max_iters=15))
+        idx = np.array([0, 7, 33, 79])
+        Ls = np.asarray(sharded_landmark_marginals(solved, make_mesh_l(), idx))
+        L1 = np.asarray(landmark_marginal_covariances(solved, idx))
+        np.testing.assert_allclose(Ls, L1, atol=1e-12)
