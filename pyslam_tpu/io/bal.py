@@ -59,9 +59,21 @@ def _R_to_rodrigues(R):
 
 
 def read_bal(path: str) -> BALData:
-    """Parse a BAL problem file."""
-    with open(path) as f:
-        vals = np.array(f.read().split(), dtype=np.float64)
+    """Parse a BAL problem file.
+
+    Tokenisation goes through the native C++ parser when built
+    (pyslam_tpu.native.parse_doubles — one from_chars pass; Venice-scale
+    files are ~25M tokens, where CPython's split+float dominates load
+    time), with the pure-Python path as fallback and reference.
+    """
+    from .. import native
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    if native.available():
+        vals = native.parse_doubles(raw)
+    else:
+        vals = np.array(raw.split(), dtype=np.float64)
     nc, np_, nm = int(vals[0]), int(vals[1]), int(vals[2])
     cur = 3
     obs_block = vals[cur : cur + 4 * nm].reshape(nm, 4)

