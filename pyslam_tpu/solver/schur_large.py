@@ -207,6 +207,12 @@ class LargeBA:
     w_pad: jnp.ndarray
     cam_starts: jnp.ndarray = None  # (C+1,) camera range bounds
     unary: tuple = ()
+    # dual-order layout: landmark-sort permutation of the (camera-sorted)
+    # observation axis, so the S-matvec's landmark-direction reductions run
+    # as cumsum + boundary diffs too (see _mv_ops)
+    lorder: jnp.ndarray = None  # (Mp,) int32
+    ci_l: jnp.ndarray = None  # (Mp,) camera index in landmark order
+    lm_starts: jnp.ndarray = None  # (L+1,) landmark range bounds
 
 
 def prepare_large_ba(
@@ -263,6 +269,15 @@ def prepare_large_ba(
     else:
         kname = fb.kind
 
+    ci_sorted = np.concatenate([
+        np.asarray(fb.indices[0], np.int32)[order],
+        np.full(pad, pb.n - 1, np.int32),
+    ]) if pad else np.asarray(fb.indices[0], np.int32)[order]
+    li_sorted = pad0(np.asarray(fb.indices[1], np.int32))
+    # landmark-sort permutation of the camera-sorted axis (padding rows have
+    # li = 0 and zero weight: they land inside landmark 0's range and
+    # contribute exact zeros to its sums)
+    lorder = np.argsort(li_sorted, kind="stable").astype(np.int32)
     return LargeBA(
         kind=kname,
         loss=fb.loss,
@@ -276,18 +291,17 @@ def prepare_large_ba(
         free_l=jnp.asarray((~np.asarray(lb.const_mask)).astype(np.asarray(pb.values).dtype)),
         obs_data=obs_data,
         trails=tuple(sorted(obs_trails.items())),
-        ci=jnp.asarray(np.concatenate([
-            np.asarray(fb.indices[0], np.int32)[order],
-            np.full(pad, pb.n - 1, np.int32),  # padding keeps sortedness
-        ]) if pad else np.asarray(fb.indices[0], np.int32)[order]),
-        li=jnp.asarray(pad0(np.asarray(fb.indices[1], np.int32))),
+        ci=jnp.asarray(ci_sorted),
+        li=jnp.asarray(li_sorted),
         w_pad=jnp.asarray(pad0(np.asarray(fb.weight))),
-        cam_starts=jnp.asarray(np.searchsorted(
-            np.concatenate([np.asarray(fb.indices[0], np.int32)[order],
-                            np.full(pad, pb.n - 1, np.int32)]) if pad
-            else np.asarray(fb.indices[0], np.int32)[order],
-            np.arange(pb.n + 1),
-        ).astype(np.int32)),
+        cam_starts=jnp.asarray(
+            np.searchsorted(ci_sorted, np.arange(pb.n + 1)).astype(np.int32)
+        ),
+        lorder=jnp.asarray(lorder),
+        ci_l=jnp.asarray(ci_sorted[lorder]),
+        lm_starts=jnp.asarray(
+            np.searchsorted(li_sorted[lorder], np.arange(lb.n + 1)).astype(np.int32)
+        ),
         unary=tuple(
             (u.kind, jnp.asarray(u.indices[0]), dict(u.data), u.loss, u.weight)
             for u in unary
@@ -301,16 +315,37 @@ def prepare_large_ba(
     )
 
 
-def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP=None, pi=None, pj=None):
+def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP=None, pi=None, pj=None,
+            W_l=None, ci_l=None, lm_starts=None):
     """Shared component-major operator closures.  ``PP/pi/pj`` carry the
-    (possibly zero-length) pose-pose coupling blocks of between factors."""
+    (possibly zero-length) pose-pose coupling blocks of between factors.
 
-    def W_T_dot_cam(xc6):
+    Dual-order mode (``W_l/ci_l/lm_starts`` given): ``W_l`` is W's columns
+    permuted into LANDMARK-sorted order, so the landmark-direction reduction
+    in ``W_T_dot_cam`` is a cumsum + boundary diff like every
+    camera-direction one — XLA's scatter lowering costs ~38 ms per multi-M
+    element reduction on this chip regardless of segment count, the cumsum
+    ~6 ms (docs/PERFORMANCE.md).  The permutation is static host data; the
+    one per-iteration cost is re-gathering W_l after masking
+    (_schur_prepare)."""
+
+    def W_T_dot_cam(xb):
+        """(C, 6) -> (3, L): accumulate W^T x per landmark."""
+        if W_l is not None:
+            xg = [xb[:, i][ci_l] for i in range(6)]
+            t = []
+            for j in range(3):
+                acc = jnp.zeros(ci_l.shape[0], W_l.dtype)
+                for i in range(6):
+                    acc = acc + W_l[3 * i + j] * xg[i]
+                t.append(_sum_C(acc, lm_starts))
+            return jnp.stack(t)
+        xg = [xb[:, i][ci] for i in range(6)]
         t = []
         for j in range(3):
             acc = jnp.zeros(ci.shape[0], W.dtype)
             for i in range(6):
-                acc = acc + W[3 * i + j] * xc6[i]
+                acc = acc + W[3 * i + j] * xg[i]
             t.append(jax.ops.segment_sum(acc, li, num_segments=L))
         return jnp.stack(t)
 
@@ -322,9 +357,6 @@ def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP=None, pi=None, pj=None):
             cols.append(_sum_C(acc, cam_starts))
         return jnp.stack(cols, axis=1)
 
-    def gather_cam(xb):
-        return [xb[:, i][ci] for i in range(6)]
-
     def matvec(x):
         xb = x.reshape(C, 6)
         y = jnp.einsum("cij,cj->ci", Hpp, xb)
@@ -335,17 +367,20 @@ def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP=None, pi=None, pj=None):
             y = y + jax.ops.segment_sum(
                 jnp.einsum("eij,ei->ej", PP, xb[pi]), pj, num_segments=C
             )
-        t1 = W_T_dot_cam(gather_cam(xb))
+        t1 = W_T_dot_cam(xb)
         t2 = _apply33_flat(Hinv, t1)
         y = y - W_dot_lm(t2)
         return y.reshape(-1)
 
-    return W_T_dot_cam, W_dot_lm, gather_cam, matvec
+    return W_T_dot_cam, W_dot_lm, matvec
 
 
-@partial(jax.jit, static_argnames=("method", "C", "L"))
-def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj, cam_starts, lam):
-    """Mask constants, damp, invert Hll, reduced gradient, SCHUR_JACOBI."""
+@partial(jax.jit, static_argnames=("method", "C", "L", "dual"))
+def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj, cam_starts, lam, lorder=None, dual=False):
+    """Mask constants, damp, invert Hll, reduced gradient, SCHUR_JACOBI.
+    ``dual=True`` additionally emits W_l — the masked W re-gathered into
+    landmark-sorted column order (18 one-dimensional row gathers; the
+    lane-axis form W[:, lorder] faults the TPU runtime at multi-M scale)."""
     dtype = Hpp.dtype
     eye6 = jnp.eye(6, dtype=dtype)
     Hpp = Hpp * free_p[:, None, None] + (1.0 - free_p)[:, None, None] * eye6
@@ -367,7 +402,7 @@ def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, 
             Hll = Hll.at[k].set(Hll[k] * (1.0 + lam))
     Hinv = _inv33_flat(Hll)
 
-    _, W_dot_lm, _, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
+    _, W_dot_lm, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
     g_red = g_p - W_dot_lm(_apply33_flat(Hinv, g_l))
 
     Wc = [W[3 * i : 3 * i + 3] for i in range(6)]
@@ -387,15 +422,18 @@ def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, 
     from .bcsr import sym_block_inv
 
     Dinv = sym_block_inv(D)
-    return Hpp, Hinv, W, PP, g_l, g_red, Dinv, live
+    W_l = jnp.stack([W[k][lorder] for k in range(18)]) if dual else W
+    return Hpp, Hinv, W, PP, g_l, g_red, Dinv, live, W_l
 
 
 @partial(jax.jit, static_argnames=("C", "L", "S"))
-def _pcg_segment(C, L, S, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, state):
+def _pcg_segment(C, L, S, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, state,
+                 W_l=None, ci_l=None, lm_starts=None):
     """Advance PCG by up to S iterations (bounded program runtime: the TPU
     runtime in this environment kills single programs running for minutes,
     so the CG loop is driven from the host in segments)."""
-    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP, pi, pj)
+    _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP, pi, pj,
+                           W_l, ci_l, lm_starts)
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
@@ -427,7 +465,6 @@ def _pcg_segment(C, L, S, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, st
 
 @partial(jax.jit, static_argnames=("C", "L"))
 def _pcg_init(C, L, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, b):
-    _, _, _, matvec = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP, pi, pj)
     r0 = b  # x0 = 0
     z0 = jnp.einsum("cij,cj->ci", Dinv, r0.reshape(C, 6)).reshape(-1)
     x0 = jnp.zeros_like(b)
@@ -435,11 +472,13 @@ def _pcg_init(C, L, Hpp, Hinv, W, PP, ci, li, pi, pj, cam_starts, Dinv, b):
 
 
 @partial(jax.jit, static_argnames=("C", "L"))
-def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, cam_starts, g_l, live, free_p, poses, lms, dx_p_flat):
-    W_T_dot_cam, _, gather_cam, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
+def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, cam_starts, g_l, live, free_p, poses, lms, dx_p_flat,
+                     W_l=None, ci_l=None, lm_starts=None):
+    W_T_dot_cam, _, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts,
+                                W_l=W_l, ci_l=ci_l, lm_starts=lm_starts)
     # (couplings not needed: back-substitution only uses W and Hll^-1)
     dx_p = dx_p_flat.reshape(C, 6) * free_p[:, None]
-    dx_l = _apply33_flat(Hinv, g_l - W_T_dot_cam(gather_cam(dx_p))) * live[None]
+    dx_l = _apply33_flat(Hinv, g_l - W_T_dot_cam(dx_p)) * live[None]
     new_poses = retract("se3", poses, dx_p)
     new_lms = lms + dx_l.T
     dx_norm = jnp.sqrt(jnp.sum(dx_p**2) + jnp.sum(dx_l**2))
@@ -451,12 +490,15 @@ def _schur_solve_large(
     Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l, ci, li, pi, pj,
     cam_starts, lam,
     pcg_segment: int = 25,
+    lorder=None, ci_l=None, lm_starts=None, dual=False,
 ):
     """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub."""
-    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live = _schur_prepare(
+    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l = _schur_prepare(
         method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
-        cam_starts, lam,
+        cam_starts, lam, lorder=lorder, dual=dual,
     )
+    if not dual:
+        W_l = ci_l = lm_starts = None
     state, r0 = _pcg_init(
         C, L, Hpp_d, Hinv, W_m, PP_m, ci, li, pi, pj, cam_starts, Dinv,
         g_red.reshape(-1),
@@ -466,14 +508,16 @@ def _schur_solve_large(
     while done < pcg_max_iters:
         S = min(pcg_segment, pcg_max_iters - done)
         state, rnorm = _pcg_segment(
-            C, L, S, Hpp_d, Hinv, W_m, PP_m, ci, li, pi, pj, cam_starts, Dinv, state
+            C, L, S, Hpp_d, Hinv, W_m, PP_m, ci, li, pi, pj, cam_starts, Dinv, state,
+            W_l, ci_l, lm_starts,
         )
         done += S
         if float(rnorm) <= tol:
             break
     dx_p_flat = state[0]
     return _backsub_retract(
-        C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, g_l_m, live, free_p, poses, lms, dx_p_flat
+        C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, g_l_m, live, free_p, poses, lms, dx_p_flat,
+        W_l, ci_l, lm_starts,
     )
 
 
@@ -536,17 +580,31 @@ def solve_schur_large(
     lm_name: str = "landmarks",
     pcg_rtol: float = 1e-4,
     pcg_max_iters: int = 30,
+    speculative: bool = True,
+    dual_order: bool = True,
 ):
     """Venice-scale single-chip Schur LM.  Default CG budget is the
     measured knee at Venice scale: 30 its @ 1e-4 gives chi2 within 0.001%
     of 100 its @ 1e-6 at 3x the speed.  Returns
-    (solved_graph, final_chi2, cost_history)."""
+    (solved_graph, final_chi2, cost_history).
+
+    ``dual_order=True`` (default) keeps a second, landmark-sorted copy of
+    the coupling block W so BOTH reduction directions of the S-matvec run
+    as cumsums instead of scatters (see _mv_ops); costs one 18-row gather
+    per LM iteration plus W-sized memory.
+
+    ``speculative=True`` (default) drives the speculative-linearization
+    host loop: each iteration pays exactly one gradient linearization (at
+    the trial point) instead of a gradient pass at the current point plus a
+    cost-only pass at the trial — the trial pass IS the next iteration's
+    linearization when the step accepts.  Same iterate sequence; one fewer
+    full streaming sweep of the observation set per iteration."""
     lb = prepare_large_ba(graph, n_chunks, pose_name, lm_name)
     dtype = np.asarray(lb.poses).dtype
 
-    from .host_loop import host_lm_loop
+    from .host_loop import host_lm_loop, host_lm_loop_speculative
 
-    def lm_step(state, lam):
+    def linearize(state):
         poses, lms = state
         chi2, Hpp, g_p, Hll, g_l, W = _linearize_stream(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, True, lb.trails,
@@ -564,21 +622,46 @@ def solve_schur_large(
                 PP = jnp.concatenate([c[0] for c in coup])
                 pi = jnp.concatenate([c[1] for c in coup])
                 pj = jnp.concatenate([c[2] for c in coup])
+        return chi2, Hpp, g_p, Hll, g_l, W, PP, pi, pj
+
+    def solve_from(state, lin, lam):
+        poses, lms = state
+        _chi2, Hpp, g_p, Hll, g_l, W, PP, pi, pj = lin
         new_poses, new_lms, dx_norm = _schur_solve_large(
             options.method, pcg_rtol, pcg_max_iters, lb.C, lb.L,
             Hpp, g_p, Hll, g_l, W, PP, poses, lms, lb.free_p, lb.free_l,
             lb.ci, lb.li, pi, pj, lb.cam_starts, jnp.asarray(lam, dtype),
+            lorder=lb.lorder, ci_l=lb.ci_l, lm_starts=lb.lm_starts,
+            dual=dual_order,
         )
-        del Hpp, g_p, Hll, g_l, W
-        cost_new = _linearize_stream(
-            lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, False, lb.trails,
-            new_poses, new_lms, lb.obs_data, lb.ci, lb.li, lb.w_pad, lb.cam_starts,
-        )
-        if lb.unary:
-            cost_new = cost_new + _unary_contrib(lb.unary, new_poses, lb.C, False)[0]
-        return (new_poses, new_lms), chi2, cost_new, dx_norm
+        return (new_poses, new_lms), dx_norm
 
-    (poses, lms), history, _info = host_lm_loop(lm_step, (lb.poses, lb.lms), options)
+    if speculative:
+        (poses, lms), history, _info = host_lm_loop_speculative(
+            linearize, solve_from, (lb.poses, lb.lms), options
+        )
+    else:
+
+        def lm_step(state, lam):
+            lin = linearize(state)
+            trial, dx_norm = solve_from(state, lin, lam)
+            chi2 = lin[0]
+            del lin
+            new_poses, new_lms = trial
+            cost_new = _linearize_stream(
+                lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, False, lb.trails,
+                new_poses, new_lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
+                lb.cam_starts,
+            )
+            if lb.unary:
+                cost_new = cost_new + _unary_contrib(
+                    lb.unary, new_poses, lb.C, False
+                )[0]
+            return trial, chi2, cost_new, dx_norm
+
+        (poses, lms), history, _info = host_lm_loop(
+            lm_step, (lb.poses, lb.lms), options
+        )
 
     pb = graph.blocks[pose_name]
     lb_blk = graph.blocks[lm_name]

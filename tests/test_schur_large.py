@@ -164,3 +164,54 @@ class TestSchurLargeBetween:
         )
         assert hist[-1] < hist[0]
         np.testing.assert_allclose(chi2, float(i_ref.chi2), rtol=1e-6)
+
+
+class TestSpeculativeLoop:
+    def test_speculative_matches_classic_history(self):
+        """The speculative-linearization loop (one gradient pass per
+        iteration, no cost-only pass) must walk the identical iterate
+        sequence: same accepted-cost history, same converged chi2
+        (solver/host_loop.py host_lm_loop_speculative)."""
+        g = stereo_graph(seed=7)
+        opts = Options(method="lm", max_iters=15)
+        _, chi2_a, hist_a = solve_schur_large(g, opts, n_chunks=4, speculative=False)
+        _, chi2_b, hist_b = solve_schur_large(g, opts, n_chunks=4, speculative=True)
+        assert len(hist_a) == len(hist_b)
+        np.testing.assert_allclose(hist_a, hist_b, rtol=1e-12)
+        np.testing.assert_allclose(chi2_a, chi2_b, rtol=1e-12)
+
+    def test_speculative_matches_classic_history_gn(self):
+        g = stereo_graph(seed=9)
+        opts = Options(method="gn", max_iters=8)
+        _, chi2_a, hist_a = solve_schur_large(g, opts, n_chunks=2, speculative=False)
+        _, chi2_b, hist_b = solve_schur_large(g, opts, n_chunks=2, speculative=True)
+        assert len(hist_a) == len(hist_b)
+        np.testing.assert_allclose(hist_a, hist_b, rtol=1e-12)
+        np.testing.assert_allclose(chi2_a, chi2_b, rtol=1e-12)
+
+
+class TestDualOrder:
+    def test_dual_order_matches(self):
+        """Landmark-direction cumsum matvec (dual-order W) must reproduce
+        the scatter matvec: same accepted-cost history and converged chi2.
+        The two reductions order float adds differently, so mid-history
+        costs agree to roundoff (observed 2e-9 relative in f64), not
+        bitwise."""
+        g = stereo_graph(seed=13)
+        opts = Options(method="lm", max_iters=12)
+        _, chi2_a, hist_a = solve_schur_large(
+            g, opts, n_chunks=4, dual_order=False
+        )
+        _, chi2_b, hist_b = solve_schur_large(
+            g, opts, n_chunks=4, dual_order=True
+        )
+        assert len(hist_a) == len(hist_b)
+        np.testing.assert_allclose(hist_a, hist_b, rtol=1e-6)
+        np.testing.assert_allclose(chi2_a, chi2_b, rtol=1e-8)
+
+    def test_dual_order_bal(self):
+        g = bal_graph(seed=2)
+        opts = Options(method="lm", max_iters=10)
+        _, chi2_a, _ = solve_schur_large(g, opts, n_chunks=3, dual_order=False)
+        _, chi2_b, _ = solve_schur_large(g, opts, n_chunks=3, dual_order=True)
+        np.testing.assert_allclose(chi2_a, chi2_b, rtol=1e-9)
