@@ -142,5 +142,116 @@ def main():
     bench("gather xb[ci] (one (Mp,6) gather)", lambda: j_g6(xb, d_ci))
 
 
+# Appended: padded-gather matvec variants (round 4). The row-gather matvec
+# pays ~39 ms PER GATHER at Mp=5M; a single (Mp, k) gather with k lanes
+# costs ~11 ms because it is one op (lane padding to 128 costs HBM bytes,
+# not ops). These variants measure complete directions built that way.
+def variants():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import time, os
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.pyslam_tpu_jax_cache")
+    )
+    C, L, Mp = 1700, 1000000, 5000000
+    rng = np.random.default_rng(0)
+    ci = np.sort(rng.integers(0, C, Mp)).astype(np.int32)
+    li = rng.integers(0, L, Mp).astype(np.int32)
+    lorder = np.argsort(li, kind="stable").astype(np.int32)
+    ci_l = ci[lorder]
+    cam_starts = np.searchsorted(ci, np.arange(C + 1)).astype(np.int32)
+    lm_starts = np.searchsorted(li[lorder], np.arange(L + 1)).astype(np.int32)
+    W = jnp.asarray(rng.standard_normal((18, Mp)), jnp.float32)
+    W_l = jnp.asarray(np.asarray(W)[:, lorder])
+    xb = jnp.asarray(rng.standard_normal((C, 6)), jnp.float32)
+    t3T = jnp.asarray(rng.standard_normal((L, 3)), jnp.float32)
+    d = dict(ci=jnp.asarray(ci), li=jnp.asarray(li), ci_l=jnp.asarray(ci_l),
+             cs=jnp.asarray(cam_starts), ls=jnp.asarray(lm_starts),
+             lorder=jnp.asarray(lorder))
+
+    def bench(name, fn, *a):
+        out = fn(*a); jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter(); out = fn(*a); jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name:40s} {best*1000:9.2f} ms")
+        return out
+
+    def cbdiff(a, starts):
+        tot = jnp.concatenate([jnp.zeros(1, a.dtype), jnp.cumsum(a)])
+        return tot[starts[1:]] - tot[starts[:-1]]
+
+    # W^T x, dual order, one padded gather + lane slices
+    def wt_dual_padded(Wlm, xbv, cil, ls):
+        xg = xbv[cil]                       # (Mp, 6) one gather
+        t = []
+        for j in range(3):
+            a = Wlm[j] * xg[:, 0]
+            for i in range(1, 6):
+                a = a + Wlm[3 * i + j] * xg[:, i]
+            t.append(cbdiff(a, ls))
+        return jnp.stack(t)
+
+    # same but transpose gathered block to component-major first
+    def wt_dual_padded_T(Wlm, xbv, cil, ls):
+        xg = xbv[cil].T                     # (6, Mp)
+        t = []
+        for j in range(3):
+            a = Wlm[j] * xg[0]
+            for i in range(1, 6):
+                a = a + Wlm[3 * i + j] * xg[i]
+            t.append(cbdiff(a, ls))
+        return jnp.stack(t)
+
+    # batched cumsum: build (3, Mp) accs then one cumsum(axis=1)
+    def wt_dual_padded_batched(Wlm, xbv, cil, ls):
+        xg = xbv[cil]
+        accs = jnp.stack([
+            sum(Wlm[3 * i + j] * xg[:, i] for i in range(6)) for j in range(3)
+        ])                                   # (3, Mp)
+        tot = jnp.concatenate(
+            [jnp.zeros((3, 1), accs.dtype), jnp.cumsum(accs, axis=1)], axis=1)
+        return tot[:, ls[1:]] - tot[:, ls[:-1]]
+
+    # W x_lm, one padded gather
+    def wdl_padded(Wm, t3t, li_, cs):
+        tg = t3t[li_]                        # (Mp, 3) one gather
+        cols = []
+        for i in range(6):
+            a = Wm[3 * i] * tg[:, 0] + Wm[3 * i + 1] * tg[:, 1] + Wm[3 * i + 2] * tg[:, 2]
+            cols.append(cbdiff(a, cs))
+        return jnp.stack(cols, axis=1)
+
+    # scatter version with padded gather (no dual copy needed)
+    def wt_scatter_padded(Wm, xbv, ci_, li_):
+        xg = xbv[ci_]
+        t = []
+        for j in range(3):
+            a = sum(Wm[3 * i + j] * xg[:, i] for i in range(6))
+            t.append(jax.ops.segment_sum(a, li_, num_segments=L))
+        return jnp.stack(t)
+
+    # one-gather W_l regather via (Mp, 18) padded transpose round-trip
+    def regather_padded(Wm, lo):
+        return Wm.T[lo].T                    # (18, Mp) -> (Mp,18) gather -> back
+
+    j1 = jax.jit(wt_dual_padded); j2 = jax.jit(wdl_padded)
+    j3 = jax.jit(wt_scatter_padded); j4 = jax.jit(regather_padded)
+    j5 = jax.jit(wt_dual_padded_T); j6 = jax.jit(wt_dual_padded_batched)
+    bench("W_T_dot_cam dual PADDED gather", j1, W_l, xb, d["ci_l"], d["ls"])
+    bench("W_T_dot_cam dual PADDED + transpose", j5, W_l, xb, d["ci_l"], d["ls"])
+    bench("W_T_dot_cam dual PADDED batched-cumsum", j6, W_l, xb, d["ci_l"], d["ls"])
+    bench("W_dot_lm PADDED gather", j2, W, t3T, d["li"], d["cs"])
+    bench("W_T_dot_cam scatter PADDED gather", j3, W, xb, d["ci"], d["li"])
+    bench("regather W_l one padded gather", j4, W, d["lorder"])
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if "--variants" in _s.argv:
+        variants()
+    else:
+        main()

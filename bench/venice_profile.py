@@ -88,6 +88,7 @@ def main():
         lambda: _linearize_stream(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, True, lb.trails,
             lb.poses, lb.lms, lb.obs_data, lb.ci, lb.li, lb.w_pad, lb.cam_starts,
+            lb.lorder, lb.lm_starts,
         ),
     )
 

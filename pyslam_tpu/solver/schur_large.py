@@ -92,14 +92,21 @@ def _apply33_flat(h, x):
 @partial(jax.jit, static_argnames=("kind", "loss", "n_chunks", "C", "L", "want_grad", "trails"))
 def _linearize_stream(
     kind, loss, n_chunks, C, L, want_grad, trails, poses, lms, obs_data, ci, li, w_pad,
-    cam_starts=None,
+    cam_starts=None, lorder=None, lm_starts=None,
 ):
     """Streamed linearization over observation chunks.
 
     Returns (chi2, Hpp (C,6,6), g_p (C,6), Hll (9,L), g_l (3,L), W (18,Mp))
     — or just chi2 when want_grad=False.  Mp = padded observation count;
     padding rows carry w_pad = 0.
-    """
+
+    Op-shape rules (bench/matvec_profile.py; see _mv_ops): the gradient
+    pass batches the 27 camera-direction reductions of each chunk into ONE
+    (27, chunk) cumsum, accumulates them in a flat (27, C) carry unpacked
+    once after the scan, and EMITS the 9 landmark-direction rows per
+    observation (alongside the 18 W rows) so the landmark reduction is a
+    single post-scan batched (Mp, 9) segment_sum instead of 12 scatters
+    per chunk (exact — see the precision note at the reduction site)."""
     Mp = ci.shape[0]
     chunk = Mp // n_chunks
     dtype = poses.dtype
@@ -129,60 +136,77 @@ def _linearize_stream(
         chi2, _ = jax.lax.scan(body, jnp.zeros((), dtype), jnp.arange(n_chunks))
         return chi2
 
+    # row order of the batched camera reduction: 6 gradient rows then the
+    # 21 upper-triangle Hessian rows
+    cam_pairs = [(i, j) for i in range(6) for j in range(i, 6)]
+    # landmark rows: 3 gradient rows then 6 upper-triangle Hessian rows
+    lm_pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+
     def body(carry, k):
-        chi2, Hpp, g_p, Hll, g_l = carry
+        chi2, cam_acc = carry
         od, cck, llk, wk = chunk_args(k)
         r, (Jc, Jl) = FACTOR_KERNELS[kind](od, poses[cck], lms[llk], compute_jacobians=True)
         w = loss.weight(r) * wk[:, None]
         chi2 = chi2 + jnp.sum(loss.loss(r) * wk[:, None])
         wr = w * r
-        m = r.shape[1]
 
-        # component-major products (m is small and static: 2 or 3)
-        def col(J, i):  # (chunk,) component i summed over residual dim later
+        def col(J, i):  # (chunk, m) component i; residual dim summed below
             return J[:, :, i]
 
-        # camera-block contributions: this chunk is a contiguous range of the
-        # camera-sorted array, so per-camera sums are cumsum boundary diffs
+        # camera rows: ONE (27, chunk) batched cumsum + boundary diff per
+        # chunk (the chunk is a contiguous camera range)
+        rows = [jnp.sum(col(Jc, i) * wr, axis=1) for i in range(6)] + [
+            jnp.sum(col(Jc, i) * w * col(Jc, j), axis=1) for i, j in cam_pairs
+        ]
+        stack = jnp.stack(rows)  # (27, chunk)
         bnd = jnp.clip(cam_starts - k * chunk, 0, chunk)
-        for i in range(6):
-            gi = jnp.sum(col(Jc, i) * wr, axis=1)
-            g_p = g_p.at[:, i].add(-_sum_C(gi, bnd))
-            for j in range(i, 6):
-                hij = jnp.sum(col(Jc, i) * w * col(Jc, j), axis=1)
-                acc = _sum_C(hij, bnd)
-                Hpp = Hpp.at[:, i, j].add(acc)
-                if j > i:
-                    Hpp = Hpp.at[:, j, i].add(acc)
-        # landmark-block contributions (scatter-add: collision-free at ~L
-        # segments)
-        for i in range(3):
-            gi = jnp.sum(col(Jl, i) * wr, axis=1)
-            g_l = g_l.at[i].add(-jax.ops.segment_sum(gi, llk, num_segments=L))
-            for j in range(3):
-                hij = jnp.sum(col(Jl, i) * w * col(Jl, j), axis=1)
-                Hll = Hll.at[3 * i + j].add(
-                    jax.ops.segment_sum(hij, llk, num_segments=L)
-                )
-        # coupling W components, emitted per chunk (18, chunk)
-        Wc = jnp.stack(
-            [
+        tot = jnp.concatenate(
+            [jnp.zeros((27, 1), dtype), jnp.cumsum(stack, axis=1)], axis=1
+        )
+        cam_acc = cam_acc + (tot[:, bnd[1:]] - tot[:, bnd[:-1]])
+
+        # landmark + coupling rows, emitted per observation: 3 g_l, 6 Hll
+        # (symmetric), 18 W
+        out = jnp.stack(
+            [jnp.sum(col(Jl, i) * wr, axis=1) for i in range(3)]
+            + [jnp.sum(col(Jl, i) * w * col(Jl, j), axis=1) for i, j in lm_pairs]
+            + [
                 jnp.sum(col(Jc, i) * w * col(Jl, j), axis=1)
                 for i in range(6)
                 for j in range(3)
             ]
-        )
-        return (chi2, Hpp, g_p, Hll, g_l), Wc
+        )  # (27, chunk)
+        return (chi2, cam_acc), out
 
-    carry0 = (
-        jnp.zeros((), dtype),
-        jnp.zeros((C, 6, 6), dtype),
-        jnp.zeros((C, 6), dtype),
-        jnp.zeros((9, L), dtype),
-        jnp.zeros((3, L), dtype),
-    )
-    (chi2, Hpp, g_p, Hll, g_l), Ws = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
-    W = jnp.moveaxis(Ws, 1, 0).reshape(18, Mp)  # (n_chunks, 18, chunk) -> (18, Mp)
+    carry0 = (jnp.zeros((), dtype), jnp.zeros((27, C), dtype))
+    (chi2, cam_acc), outs = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
+    R = jnp.moveaxis(outs, 1, 0).reshape(27, Mp)  # (n_chunks, 27, chunk) ->
+
+    # unpack camera accumulators
+    g_p = -cam_acc[:6].T  # (C, 6)
+    Hpp = jnp.zeros((C, 6, 6), dtype)
+    for k2, (i, j) in enumerate(cam_pairs):
+        Hpp = Hpp.at[:, i, j].add(cam_acc[6 + k2])
+        if j > i:
+            Hpp = Hpp.at[:, j, i].add(cam_acc[6 + k2])
+
+    # landmark reduction: ONE batched (Mp, 9) segment_sum.  NOT a cumsum:
+    # per-landmark segments average ~5 observations, so an f32
+    # boundary-difference carries ulp(GLOBAL total) error per segment —
+    # measured at Venice scale this flips Hll diagonals negative (non-SPD
+    # blocks -> every LM step rejected; bench/results.jsonl parity:false
+    # row).  Camera segments are ~2700 obs, which is why cumsum is safe in
+    # the camera direction.  One 9-wide scatter costs ~40 ms per linearize
+    # vs the 12-per-chunk scatters this layout replaced.
+    lred = jax.ops.segment_sum(R[:9].T, li, num_segments=L).T  # (9, L)
+    g_l = -lred[:3]
+    Hll = jnp.zeros((9, L), dtype)
+    for k2, (i, j) in enumerate(lm_pairs):
+        Hll = Hll.at[3 * i + j].set(lred[3 + k2])
+        if j > i:
+            Hll = Hll.at[3 * j + i].set(lred[3 + k2])
+
+    W = R[9:]
     return chi2, Hpp, g_p, Hll, g_l, W
 
 
@@ -323,39 +347,50 @@ def _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts, PP=None, pi=None, pj=None,
     Dual-order mode (``W_l/ci_l/lm_starts`` given): ``W_l`` is W's columns
     permuted into LANDMARK-sorted order, so the landmark-direction reduction
     in ``W_T_dot_cam`` is a cumsum + boundary diff like every
-    camera-direction one — XLA's scatter lowering costs ~38 ms per multi-M
-    element reduction on this chip regardless of segment count, the cumsum
-    ~6 ms (docs/PERFORMANCE.md).  The permutation is static host data; the
-    one per-iteration cost is re-gathering W_l after masking
-    (_schur_prepare)."""
+    camera-direction one instead of a scatter.
+
+    Op-shape rules (measured, bench/matvec_profile.py at Mp=5M on TPU v5
+    lite): each multi-M XLA op costs a large FLAT overhead — a 1-D row
+    gather ~39 ms REGARDLESS of source size, a segment_sum ~35-45 ms, a
+    1-D cumsum ~15 ms — so the win is minimizing op COUNT, not bytes:
+    * ONE (Mp, k) padded gather (~11 ms) replaces k row gathers (k*39 ms);
+      the 128-lane padding costs HBM bytes, which are nearly free here.
+    * Batching k cumsums as ONE (k, Mp) cumsum(axis=1) (~20 ms total).
+    Result: W_T_dot_cam 330 -> 70 ms, W_dot_lm 194 -> 64 ms per call."""
 
     def W_T_dot_cam(xb):
         """(C, 6) -> (3, L): accumulate W^T x per landmark."""
         if W_l is not None:
-            xg = [xb[:, i][ci_l] for i in range(6)]
-            t = []
-            for j in range(3):
-                acc = jnp.zeros(ci_l.shape[0], W_l.dtype)
-                for i in range(6):
-                    acc = acc + W_l[3 * i + j] * xg[i]
-                t.append(_sum_C(acc, lm_starts))
-            return jnp.stack(t)
-        xg = [xb[:, i][ci] for i in range(6)]
-        t = []
-        for j in range(3):
-            acc = jnp.zeros(ci.shape[0], W.dtype)
-            for i in range(6):
-                acc = acc + W[3 * i + j] * xg[i]
-            t.append(jax.ops.segment_sum(acc, li, num_segments=L))
-        return jnp.stack(t)
+            xg = xb[ci_l]  # (Mp, 6): one padded gather
+            accs = jnp.stack([
+                sum(W_l[3 * i + j] * xg[:, i] for i in range(6))
+                for j in range(3)
+            ])  # (3, Mp)
+            tot = jnp.concatenate(
+                [jnp.zeros((3, 1), accs.dtype), jnp.cumsum(accs, axis=1)],
+                axis=1,
+            )
+            return tot[:, lm_starts[1:]] - tot[:, lm_starts[:-1]]
+        xg = xb[ci]
+        return jnp.stack([
+            jax.ops.segment_sum(
+                sum(W[3 * i + j] * xg[:, i] for i in range(6)),
+                li, num_segments=L,
+            )
+            for j in range(3)
+        ])
 
     def W_dot_lm(t3):
-        tg = [t3[j][li] for j in range(3)]
-        cols = []
-        for i in range(6):
-            acc = W[3 * i] * tg[0] + W[3 * i + 1] * tg[1] + W[3 * i + 2] * tg[2]
-            cols.append(_sum_C(acc, cam_starts))
-        return jnp.stack(cols, axis=1)
+        tg = t3.T[li]  # (Mp, 3): one padded gather
+        accs = jnp.stack([
+            W[3 * i] * tg[:, 0] + W[3 * i + 1] * tg[:, 1]
+            + W[3 * i + 2] * tg[:, 2]
+            for i in range(6)
+        ])  # (6, Mp)
+        tot = jnp.concatenate(
+            [jnp.zeros((6, 1), accs.dtype), jnp.cumsum(accs, axis=1)], axis=1
+        )
+        return (tot[:, cam_starts[1:]] - tot[:, cam_starts[:-1]]).T
 
     def matvec(x):
         xb = x.reshape(C, 6)
@@ -405,24 +440,36 @@ def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, 
     _, W_dot_lm, _ = _mv_ops(C, L, Hpp, Hinv, W, ci, li, cam_starts)
     g_red = g_p - W_dot_lm(_apply33_flat(Hinv, g_l))
 
-    Wc = [W[3 * i : 3 * i + 3] for i in range(6)]
-    Hg = [Hinv[k][li] for k in range(9)]
-    D = Hpp
+    # SCHUR_JACOBI diagonal: batched op shapes (see _mv_ops op-shape rules) —
+    # ONE (Mp, 9) padded gather for Hinv per obs (was 9 row gathers) and ONE
+    # (21, Mp) cumsum for the 21 upper-triangle reductions (was 21 cumsums)
+    Hg = Hinv.T[li]  # (Mp, 9)
+    vrows = []
+    pairs = []
     for i in range(6):
         u = [
-            Hg[3 * j] * Wc[i][0] + Hg[3 * j + 1] * Wc[i][1] + Hg[3 * j + 2] * Wc[i][2]
+            Hg[:, 3 * j] * W[3 * i] + Hg[:, 3 * j + 1] * W[3 * i + 1]
+            + Hg[:, 3 * j + 2] * W[3 * i + 2]
             for j in range(3)
         ]
         for i2 in range(i, 6):
-            v = Wc[i2][0] * u[0] + Wc[i2][1] * u[1] + Wc[i2][2] * u[2]
-            acc = _sum_C(v, cam_starts)
-            D = D.at[:, i, i2].add(-acc)
-            if i2 > i:
-                D = D.at[:, i2, i].add(-acc)
+            vrows.append(W[3 * i2] * u[0] + W[3 * i2 + 1] * u[1] + W[3 * i2 + 2] * u[2])
+            pairs.append((i, i2))
+    vstack = jnp.stack(vrows)  # (21, Mp)
+    tot = jnp.concatenate(
+        [jnp.zeros((21, 1), vstack.dtype), jnp.cumsum(vstack, axis=1)], axis=1
+    )
+    accs = tot[:, cam_starts[1:]] - tot[:, cam_starts[:-1]]  # (21, C)
+    D = Hpp
+    for k, (i, i2) in enumerate(pairs):
+        D = D.at[:, i, i2].add(-accs[k])
+        if i2 > i:
+            D = D.at[:, i2, i].add(-accs[k])
     from .bcsr import sym_block_inv
 
     Dinv = sym_block_inv(D)
-    W_l = jnp.stack([W[k][lorder] for k in range(18)]) if dual else W
+    # one (Mp, 18) padded gather (measured 114 ms vs 633 ms as 18 row gathers)
+    W_l = W.T[lorder].T if dual else W
     return Hpp, Hinv, W, PP, g_l, g_red, Dinv, live, W_l
 
 
@@ -485,6 +532,62 @@ def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, cam_starts, g_l, live, free_p, 
     return new_poses, new_lms, dx_norm
 
 
+@partial(jax.jit, static_argnames=("method", "C", "L", "max_iters", "dual"))
+def _schur_solve_fused(
+    method, C, L, max_iters, dual, rtol,
+    Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l, ci, li, pi, pj,
+    cam_starts, lam, lorder, ci_l, lm_starts,
+):
+    """Whole Schur solve (prepare + tolerance-checked PCG + back-sub) as ONE
+    program: at the measured ~80 ms/CG-iteration even a 30-iteration solve
+    runs ~2.5 s on device — far under this runtime's minutes-scale program
+    kill — and fusing removes the ~7 host<->device round trips per LM
+    iteration that the segmented path pays (each ~25 ms through the axon
+    tunnel, plus a float() sync).  The segmented path (_pcg_segment) remains
+    for large CG budgets."""
+    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l = _schur_prepare(
+        method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
+        cam_starts, lam, lorder=lorder, dual=dual,
+    )
+    if not dual:
+        W_l = ci_l = lm_starts = None
+    _, _, matvec = _mv_ops(C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, PP_m,
+                           pi, pj, W_l, ci_l, lm_starts)
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
+
+    b = g_red.reshape(-1)
+    z0 = precond(b)
+    tol2 = (rtol * jnp.linalg.norm(b)) ** 2
+
+    def body(state):
+        x, r, z, p, rz, rn2, it = state
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        # breakdown guard: see _pcg_segment
+        ok = (rz > 0.0) & (pAp > 0.0)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = jnp.where(ok, r - alpha * Ap, r)
+        z = precond(r)
+        rz_new = jnp.where(ok, jnp.vdot(r, z), rz)
+        beta = jnp.where(ok, rz_new / jnp.where(ok, rz, 1.0), 0.0)
+        p = jnp.where(ok, z + beta * p, p)
+        return x, r, z, p, rz_new, jnp.vdot(r, r), it + 1
+
+    def cond(state):
+        return (state[6] < max_iters) & (state[5] > tol2)
+
+    state0 = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0), jnp.vdot(b, b),
+              jnp.zeros((), jnp.int32))
+    x = jax.lax.while_loop(cond, body, state0)[0]
+    return _backsub_retract(
+        C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, g_l_m, live, free_p,
+        poses, lms, x, W_l, ci_l, lm_starts,
+    )
+
+
 def _schur_solve_large(
     method, pcg_rtol, pcg_max_iters, C, L,
     Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l, ci, li, pi, pj,
@@ -492,7 +595,16 @@ def _schur_solve_large(
     pcg_segment: int = 25,
     lorder=None, ci_l=None, lm_starts=None, dual=False,
 ):
-    """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub."""
+    """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub.
+    Solves with <= 60 CG iterations run as one fused program
+    (_schur_solve_fused); larger budgets fall back to host-driven segments
+    to keep single-program runtime bounded."""
+    if pcg_max_iters <= 60:
+        return _schur_solve_fused(
+            method, C, L, pcg_max_iters, dual, pcg_rtol,
+            Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l,
+            ci, li, pi, pj, cam_starts, lam, lorder, ci_l, lm_starts,
+        )
     Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l = _schur_prepare(
         method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
         cam_starts, lam, lorder=lorder, dual=dual,
@@ -609,6 +721,7 @@ def solve_schur_large(
         chi2, Hpp, g_p, Hll, g_l, W = _linearize_stream(
             lb.kind, lb.loss, lb.n_chunks, lb.C, lb.L, True, lb.trails,
             poses, lms, lb.obs_data, lb.ci, lb.li, lb.w_pad, lb.cam_starts,
+            lb.lorder, lb.lm_starts,
         )
         PP = jnp.zeros((0, 6, 6), dtype)
         pi = jnp.zeros(0, jnp.int32)
