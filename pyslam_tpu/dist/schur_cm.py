@@ -281,42 +281,60 @@ def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_ite
             chi2, _ = jax.lax.scan(body, jnp.zeros((), dtype), jnp.arange(n_chunks))
             return chi2
 
+        # batched op shapes per solver/schur_large._linearize_stream: one
+        # (27, chunk) camera-direction cumsum per chunk into a flat (27, C)
+        # carry; 27 landmark/coupling rows emitted per observation, with the
+        # 9 landmark-direction rows reduced by ONE post-scan (Mb, 9)
+        # segment_sum (exact — per-landmark segments are too short for
+        # boundary-diff precision; see schur_large's reduction-site note)
+        cam_pairs = [(i, j) for i in range(6) for j in range(i, 6)]
+        lm_pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+
         def body(carry, k):
-            chi2, Hpp, g_p, Hll, g_l = carry
+            chi2, cam_acc = carry
             odk, cck, llk, wk = chunk_args(od, ci, li, w_pad, k)
             r, (Jc, Jl) = FACTOR_KERNELS[kind](odk, poses[cck], lms[llk], compute_jacobians=True)
             w = loss.weight(r) * wk[:, None]
             chi2 = chi2 + jnp.sum(loss.loss(r) * wk[:, None])
             wr = w * r
+            rows = [jnp.sum(Jc[:, :, i] * wr, axis=1) for i in range(6)] + [
+                jnp.sum(Jc[:, :, i] * w * Jc[:, :, j], axis=1) for i, j in cam_pairs
+            ]
+            stack = jnp.stack(rows)  # (27, chunk)
             bnd = jnp.clip(bounds - k * chunk, 0, chunk)
-            for i in range(6):
-                gi = jnp.sum(Jc[:, :, i] * wr, axis=1)
-                g_p = g_p.at[:, i].add(-_sum_C(gi, bnd))
-                for j in range(i, 6):
-                    hij = jnp.sum(Jc[:, :, i] * w * Jc[:, :, j], axis=1)
-                    acc = _sum_C(hij, bnd)
-                    Hpp = Hpp.at[:, i, j].add(acc)
-                    if j > i:
-                        Hpp = Hpp.at[:, j, i].add(acc)
-            for i in range(3):
-                gi = jnp.sum(Jl[:, :, i] * wr, axis=1)
-                g_l = g_l.at[i].add(-jax.ops.segment_sum(gi, llk, num_segments=Lb))
-                for j in range(3):
-                    hij = jnp.sum(Jl[:, :, i] * w * Jl[:, :, j], axis=1)
-                    Hll = Hll.at[3 * i + j].add(jax.ops.segment_sum(hij, llk, num_segments=Lb))
-            Wc = jnp.stack([
-                jnp.sum(Jc[:, :, i] * w * Jl[:, :, j], axis=1)
-                for i in range(6) for j in range(3)
-            ])
-            return (chi2, Hpp, g_p, Hll, g_l), Wc
+            tot = jnp.concatenate(
+                [jnp.zeros((27, 1), dtype), jnp.cumsum(stack, axis=1)], axis=1
+            )
+            cam_acc = cam_acc + (tot[:, bnd[1:]] - tot[:, bnd[:-1]])
+            out = jnp.stack(
+                [jnp.sum(Jl[:, :, i] * wr, axis=1) for i in range(3)]
+                + [jnp.sum(Jl[:, :, i] * w * Jl[:, :, j], axis=1) for i, j in lm_pairs]
+                + [
+                    jnp.sum(Jc[:, :, i] * w * Jl[:, :, j], axis=1)
+                    for i in range(6) for j in range(3)
+                ]
+            )  # (27, chunk)
+            return (chi2, cam_acc), out
 
-        carry0 = (
-            jnp.zeros((), dtype), jnp.zeros((C, 6, 6), dtype), jnp.zeros((C, 6), dtype),
-            jnp.zeros((9, Lb), dtype), jnp.zeros((3, Lb), dtype),
-        )
-        (chi2, Hpp, g_p, Hll, g_l), Ws = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
-        W = jnp.moveaxis(Ws, 1, 0).reshape(18, Mb)
-        return chi2, Hpp, g_p, Hll, g_l, W
+        carry0 = (jnp.zeros((), dtype), jnp.zeros((27, C), dtype))
+        (chi2, cam_acc), outs = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
+        R = jnp.moveaxis(outs, 1, 0).reshape(27, Mb)
+
+        g_p = -cam_acc[:6].T
+        Hpp = jnp.zeros((C, 6, 6), dtype)
+        for k2, (i, j) in enumerate(cam_pairs):
+            Hpp = Hpp.at[:, i, j].add(cam_acc[6 + k2])
+            if j > i:
+                Hpp = Hpp.at[:, j, i].add(cam_acc[6 + k2])
+
+        lred = jax.ops.segment_sum(R[:9].T, li, num_segments=Lb).T  # (9, Lb)
+        g_l = -lred[:3]
+        Hll = jnp.zeros((9, Lb), dtype)
+        for k2, (i, j) in enumerate(lm_pairs):
+            Hll = Hll.at[3 * i + j].set(lred[3 + k2])
+            if j > i:
+                Hll = Hll.at[3 * j + i].set(lred[3 + k2])
+        return chi2, Hpp, g_p, Hll, g_l, R[9:]
 
     in_specs = (
         P(),          # poses
@@ -372,43 +390,54 @@ def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_ite
                 Hll = Hll.at[k].set(Hll[k] * (1.0 + lam))
         Hinv = _inv33_flat(Hll)
 
-        def W_T_dot_cam(xc6):
-            t = []
-            for j in range(3):
-                acc = jnp.zeros(Mb, dtype)
-                for i in range(6):
-                    acc = acc + W[3 * i + j] * xc6[i]
-                t.append(jax.ops.segment_sum(acc, li, num_segments=Lb))
-            return jnp.stack(t)
+        # op-shape rules (solver/schur_large._mv_ops): ONE (Mb, k) padded
+        # gather per direction instead of k row gathers; k reductions as
+        # ONE (k, Mb) batched cumsum; and — sharding bonus — each direction
+        # psums ONE stacked array instead of k separate collectives.
+        def W_T_dot_cam(xb):
+            xg = xb[ci]  # (Mb, 6): one padded gather
+            accs = jnp.stack([
+                sum(W[3 * i + j] * xg[:, i] for i in range(6)) for j in range(3)
+            ]).T  # (Mb, 3)
+            return jax.ops.segment_sum(accs, li, num_segments=Lb).T
 
         def W_dot_lm(t3):
-            tg = [t3[j][li] for j in range(3)]
-            cols = []
-            for i in range(6):
-                acc = W[3 * i] * tg[0] + W[3 * i + 1] * tg[1] + W[3 * i + 2] * tg[2]
-                cols.append(_sum_C(acc, bounds))
-            return jax.lax.psum(jnp.stack(cols, axis=1), axis)
-
-        def gather_cam(xb):
-            return [xb[:, i][ci] for i in range(6)]
+            tg = t3.T[li]  # (Mb, 3): one padded gather
+            accs = jnp.stack([
+                W[3 * i] * tg[:, 0] + W[3 * i + 1] * tg[:, 1] + W[3 * i + 2] * tg[:, 2]
+                for i in range(6)
+            ])  # (6, Mb)
+            tot = jnp.concatenate(
+                [jnp.zeros((6, 1), dtype), jnp.cumsum(accs, axis=1)], axis=1
+            )
+            loc = (tot[:, bounds[1:]] - tot[:, bounds[:-1]]).T  # (C, 6)
+            return jax.lax.psum(loc, axis)
 
         g_red = g_p - W_dot_lm(_apply33_flat(Hinv, g_l))
 
-        # SCHUR_JACOBI
-        Wc = [W[3 * i : 3 * i + 3] for i in range(6)]
-        Hg = [Hinv[k][li] for k in range(9)]
-        D = Hpp
+        # SCHUR_JACOBI: one (Mb, 9) Hinv gather + one (21, Mb) cumsum +
+        # ONE psum of the stacked (21, C) accumulators
+        Hg = Hinv.T[li]  # (Mb, 9)
+        vrows, pairs = [], []
         for i in range(6):
             u = [
-                Hg[3 * j] * Wc[i][0] + Hg[3 * j + 1] * Wc[i][1] + Hg[3 * j + 2] * Wc[i][2]
+                Hg[:, 3 * j] * W[3 * i] + Hg[:, 3 * j + 1] * W[3 * i + 1]
+                + Hg[:, 3 * j + 2] * W[3 * i + 2]
                 for j in range(3)
             ]
             for i2 in range(i, 6):
-                v = Wc[i2][0] * u[0] + Wc[i2][1] * u[1] + Wc[i2][2] * u[2]
-                acc = jax.lax.psum(_sum_C(v, bounds), axis)
-                D = D.at[:, i, i2].add(-acc)
-                if i2 > i:
-                    D = D.at[:, i2, i].add(-acc)
+                vrows.append(W[3 * i2] * u[0] + W[3 * i2 + 1] * u[1] + W[3 * i2 + 2] * u[2])
+                pairs.append((i, i2))
+        vstack = jnp.stack(vrows)  # (21, Mb)
+        tot = jnp.concatenate(
+            [jnp.zeros((21, 1), dtype), jnp.cumsum(vstack, axis=1)], axis=1
+        )
+        accs = jax.lax.psum(tot[:, bounds[1:]] - tot[:, bounds[:-1]], axis)
+        D = Hpp
+        for k2, (i, i2) in enumerate(pairs):
+            D = D.at[:, i, i2].add(-accs[k2])
+            if i2 > i:
+                D = D.at[:, i2, i].add(-accs[k2])
         from ..solver.bcsr import sym_block_inv
 
         Dinv = sym_block_inv(D)
@@ -425,7 +454,7 @@ def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_ite
                 y = y + jax.ops.segment_sum(
                     jnp.einsum("eij,ei->ej", PP, xb[pi]), pj, num_segments=C
                 )
-            t1 = W_T_dot_cam(gather_cam(xb))
+            t1 = W_T_dot_cam(xb)
             t2 = _apply33_flat(Hinv, t1)
             y = y - W_dot_lm(t2)
             return y.reshape(-1)
@@ -438,7 +467,7 @@ def make_cm_step(sb: ShardedCM, options: _lm.Options, pcg_rtol=1e-4, pcg_max_ite
             max_iters=pcg_max_iters,
         )
         dx_p = dx_p.reshape(C, 6) * fp[:, None]
-        tloc = g_l - W_T_dot_cam(gather_cam(dx_p))
+        tloc = g_l - W_T_dot_cam(dx_p)
         dx_l = _apply33_flat(Hinv, tloc) * live[None]
 
         dx_norm = jnp.sqrt(jnp.sum(dx_p**2) + jax.lax.psum(jnp.sum(dx_l**2), axis))

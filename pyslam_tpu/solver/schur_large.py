@@ -694,11 +694,19 @@ def solve_schur_large(
     pcg_max_iters: int = 30,
     speculative: bool = True,
     dual_order: bool = True,
+    plan: "LargeBA | None" = None,
 ):
     """Venice-scale single-chip Schur LM.  Default CG budget is the
     measured knee at Venice scale: 30 its @ 1e-4 gives chi2 within 0.001%
     of 100 its @ 1e-6 at 3x the speed.  Returns
     (solved_graph, final_chi2, cost_history).
+
+    ``plan``: a prebuilt ``prepare_large_ba(graph, n_chunks)`` result to
+    reuse across solves of the same graph STRUCTURE (sort orders, padding,
+    and device uploads depend only on the observation pattern; the plan
+    carries the variable VALUES of the graph it was built from, so pass a
+    plan built from this same graph).  Building it costs ~2 s warm at
+    Venice scale — one-time per graph, like compilation.
 
     ``dual_order=True`` (default) keeps a second, landmark-sorted copy of
     the coupling block W so BOTH reduction directions of the S-matvec run
@@ -711,7 +719,9 @@ def solve_schur_large(
     cost-only pass at the trial — the trial pass IS the next iteration's
     linearization when the step accepts.  Same iterate sequence; one fewer
     full streaming sweep of the observation set per iteration."""
-    lb = prepare_large_ba(graph, n_chunks, pose_name, lm_name)
+    lb = plan if plan is not None else prepare_large_ba(
+        graph, n_chunks, pose_name, lm_name
+    )
     dtype = np.asarray(lb.poses).dtype
 
     from .host_loop import host_lm_loop, host_lm_loop_speculative

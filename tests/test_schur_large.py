@@ -41,6 +41,21 @@ class TestSchurLarge:
         _, b, _ = solve_schur_large(g, opts, n_chunks=7)  # forces padding
         np.testing.assert_allclose(a, b, rtol=1e-9)
 
+    def test_plan_reuse_identical(self):
+        # a prebuilt prepare_large_ba plan must give the bit-identical
+        # solve (same sorts, padding, uploads) as the internal build
+        from pyslam_tpu.solver.schur_large import prepare_large_ba
+
+        g = stereo_graph(seed=9)
+        opts = Options(method="lm", max_iters=6)
+        plan = prepare_large_ba(g, 4)
+        _, a, hist_a = solve_schur_large(g, opts, n_chunks=4)
+        _, b, hist_b = solve_schur_large(g, opts, n_chunks=4, plan=plan)
+        _, c, _ = solve_schur_large(g, opts, n_chunks=4, plan=plan)  # reuse twice
+        assert hist_a == hist_b
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
+
     def test_robust_loss(self):
         g = stereo_graph(loss=HuberLoss(2.0))
         opts = Options(method="lm", max_iters=12)
