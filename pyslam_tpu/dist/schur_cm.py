@@ -16,13 +16,13 @@ Combines the two measured-at-scale designs:
 Linearization streams over observation chunks under ``lax.scan``, so no
 (M, m, dof) Jacobian tensor materializes per chip.
 
-MEASURED CROSSOVER (TPU v5 lite): at 360k observations per device this is
-3x SLOWER than the block-major sharded path (dist/schur_reduce.py, 6.3 vs
-2.0 s/iteration) — the ~40 flat ops per matvec are each launch-latency
-bound below multi-M element counts, same crossover as every other
-component-major-vs-block measurement in this codebase.  Use this path when
-per-device slabs are Venice-sized (multi-M observations, where the block
-layout OOMs); use schur_reduce for smaller shards.
+MEASURED CROSSOVER (TPU v5 lite, round-4 batched op shapes): this path is
+now FASTER than the block-major sharded path (dist/schur_reduce.py) above
+~250k observations per device — 2.70 vs 3.85 s/it at 360k obs (identical
+chi2); schur_reduce still wins below (0.67 vs 1.37 s/it at 60k, 0.94 vs
+1.54 at 150k), where the ~15 flat ops per matvec are each launch-latency
+bound.  route_auto encodes the crossover (cm_obs_crossover) alongside the
+original memory gate (multi-M slabs where the block layout OOMs).
 """
 
 from __future__ import annotations

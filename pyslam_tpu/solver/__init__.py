@@ -131,6 +131,7 @@ def route_auto(
     device_hbm_budget_bytes: int = 10 << 30,
     tiny_dof: int = 2000,
     schur_sparse_pair_budget: int = 2_000_000,
+    cm_obs_crossover: int = 250_000,
 ):
     """Name of the solve path ``solve_auto`` picks for this graph (+mesh).
 
@@ -145,8 +146,12 @@ def route_auto(
     whose ELL store exceeds one chip's HBM budget — below that a replicated
     single-chip solve_ell is strictly faster, measured ~45x at 1 device),
     ``schur_reduce`` (camera+landmark), ``schur_cm`` (camera+landmark
-    whose per-device observation slab exceeds the block-layout budget —
-    the component-major layout is the only one that fits multi-M slabs).
+    whose per-device observation slab exceeds the block-layout memory
+    budget — the component-major layout is the only one that fits multi-M
+    slabs — OR exceeds ``cm_obs_crossover`` observations per device: after
+    the round-4 batched op shapes the component-major path is FASTER above
+    ~250k obs/device, measured 2.70 vs 3.85 s/it at 360k on the real chip;
+    schur_reduce still wins below, 0.67 vs 1.37 s/it at 60k).
     """
     blocks = graph.blocks
     kinds = {name: b.kind for name, b in blocks.items()}
@@ -164,8 +169,12 @@ def route_auto(
             # (W + per-obs Hpp/Hll contributions).  schur_cm's flat
             # component-major layout hardcodes (6, 3)-dof blocks; 9-dof
             # bal_cam9 graphs stay on the dof-generic schur_reduce.
-            slab_bytes = (n_obs // max(n_dev, 1)) * 3 * _TILE_BYTES
-            if slab_bytes > device_hbm_budget_bytes and blocks[pose_name].dof == 6:
+            obs_per_dev = n_obs // max(n_dev, 1)
+            slab_bytes = obs_per_dev * 3 * _TILE_BYTES
+            if blocks[pose_name].dof == 6 and (
+                slab_bytes > device_hbm_budget_bytes
+                or obs_per_dev > cm_obs_crossover
+            ):
                 return "schur_cm"
             return "schur_reduce"
         if len(blocks) == 1:

@@ -104,7 +104,15 @@ class TestRouteMesh:
         assert route_auto(g, mesh=self.mesh) == "pose_sharded"
 
     def test_ba_schur_reduce(self):
-        assert route_auto(fake_ba_graph(1_700, 1_000_000, 4_650_000), mesh=self.mesh) == "schur_reduce"
+        # 600k obs / 8 devices = 75k obs/device: below the measured
+        # component-major speed crossover (~250k), block layout wins
+        assert route_auto(fake_ba_graph(300, 120_000, 600_000), mesh=self.mesh) == "schur_reduce"
+
+    def test_ba_speed_crossover_schur_cm(self):
+        # Venice/8 = 581k obs/device > 250k crossover: component-major is
+        # measured FASTER (2.70 vs 3.85 s/it at 360k, round 4) even though
+        # the block layout would still fit in memory
+        assert route_auto(fake_ba_graph(1_700, 1_000_000, 4_650_000), mesh=self.mesh) == "schur_cm"
 
     def test_ba_beyond_slab_budget_schur_cm(self):
         g = fake_ba_graph(20_000, 20_000_000, 90_000_000)
