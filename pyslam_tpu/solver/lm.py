@@ -71,6 +71,15 @@ class Options:
     trust_radius_init: float = 1.0
     trust_radius_max: float = 1e6
     trust_radius_min: float = 1e-12
+    # --- speculative linearization (round 4) ---
+    # Evaluate each trial point with a FULL linearization instead of a
+    # cost-only chi2 pass: on accept, the trial assembly IS the next
+    # iteration's linearization, so the separate trial-cost sweep is never
+    # paid (rejects cost the same as classic, which re-assembles at the
+    # unchanged point anyway).  Same accept/reject rule; cost comparisons
+    # use the assembly-path chi2 on both sides (the classic loop compares
+    # graph.chi2() against the assembly chi2 — mixed summation orders).
+    speculative: bool = True
 
 
 class SolveInfo(NamedTuple):
@@ -120,7 +129,13 @@ def solve(
     dtype = next(iter(graph.blocks.values())).values.dtype
     K = opt.max_iters
 
-    init_cost = graph.chi2()
+    if opt.speculative:
+        # one assembly before the loop seeds the carried linearization; its
+        # chi2 is the initial cost so every comparison stays on the
+        # assembly summation path
+        H0, g0, init_cost = assemble_fn(graph)
+    else:
+        init_cost = graph.chi2()
     lam0 = opt.trust_radius_init if opt.method == "dogleg" else opt.lambda_init
     state = dict(
         blocks=graph.blocks,
@@ -136,6 +151,8 @@ def solve(
         dx_hist=jnp.full((K,), jnp.nan, dtype),
         acc_hist=jnp.zeros((K,), bool),
     )
+    if opt.speculative:
+        state["H"], state["g"], state["cost_lin"] = H0, g0, init_cost
 
     def cond(s):
         return (s["it"] < K) & (s["status"] == RUNNING)
@@ -144,8 +161,14 @@ def solve(
         # named scopes mark the solver phases in jax.profiler traces
         # (SURVEY.md §5 tracing row)
         g_cur = FactorGraph(s["blocks"], batches)
-        with jax.named_scope("linearize_assemble"):
-            H, g, cost_lin = assemble_fn(g_cur)
+        if opt.speculative:
+            # linearization at the current point is carried in state: it
+            # was computed when this point was the accepted trial (or by
+            # the pre-loop seed), and rejects leave it untouched
+            H, g, cost_lin = s["H"], s["g"], s["cost_lin"]
+        else:
+            with jax.named_scope("linearize_assemble"):
+                H, g, cost_lin = assemble_fn(g_cur)
         with jax.named_scope("linear_solve"):
             dx = solve_fn(H, g, s["lam"], opt)
         if opt.method == "dogleg":
@@ -183,7 +206,10 @@ def solve(
         update_norm = jnp.linalg.norm(dx)
         with jax.named_scope("retract_and_cost"):
             trial_blocks = g_cur.retract_all(dx).blocks
-            cost_new = FactorGraph(trial_blocks, batches).chi2()
+            if opt.speculative:
+                H_t, g_t, cost_new = assemble_fn(FactorGraph(trial_blocks, batches))
+            else:
+                cost_new = FactorGraph(trial_blocks, batches).chi2()
 
         if opt.method == "lm":
             accept = cost_new < cost_lin  # False on NaN -> reject
@@ -255,7 +281,7 @@ def solve(
             )
 
         it = s["it"]
-        return dict(
+        out = dict(
             blocks=blocks,
             best_blocks=best_blocks,
             cost=cost,
@@ -269,6 +295,11 @@ def solve(
             dx_hist=s["dx_hist"].at[it].set(update_norm),
             acc_hist=s["acc_hist"].at[it].set(accept),
         )
+        if opt.speculative:
+            out["H"] = _select_tree(accept, H_t, H)
+            out["g"] = _select_tree(accept, g_t, g)
+            out["cost_lin"] = jnp.where(accept, cost_new, cost_lin)
+        return out
 
     s = jax.lax.while_loop(cond, body, state)
     status = jnp.where(s["status"] == RUNNING, MAX_ITERS, s["status"])

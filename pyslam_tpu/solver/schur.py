@@ -164,7 +164,10 @@ def ba_assemble(graph: FactorGraph, pose_name: str = "poses", lm_name: str = "la
     parts = dict(
         Hpp=Hpp, Hll=Hll, W=W, g_p=g_p, g_l=g_l, cam_idx=cam_idx, pt_idx=pt_idx,
         PP=PP, pp_i=pp_i, pp_j=pp_j,
-        pose_first=pose_first,
+        # array (not Python bool): parts is carried through lax.while_loop
+        # state by the speculative LM loop, so every leaf must be a tracer-
+        # compatible array
+        pose_first=jnp.asarray(pose_first),
     )
     segs = [g_p.reshape(-1), g_l.reshape(-1)]
     g = jnp.concatenate(segs if pose_first else segs[::-1])
@@ -173,7 +176,11 @@ def ba_assemble(graph: FactorGraph, pose_name: str = "poses", lm_name: str = "la
 
 def _concat_dx(parts, dx_p, dx_l):
     segs = [dx_p.reshape(-1), dx_l.reshape(-1)]
-    return jnp.concatenate(segs if parts["pose_first"] else segs[::-1])
+    return jnp.where(
+        parts["pose_first"],
+        jnp.concatenate(segs),
+        jnp.concatenate(segs[::-1]),
+    )
 
 
 def _damp_blocks(H, lam, floor=1e-12):
