@@ -42,10 +42,11 @@ __all__ += ["build_sqrt_plan", "solve_schur_sqrt", "build_chol_plan", "solve_spa
             "build_schur_sparse_plan", "solve_schur_sparse"]
 
 from .gnc import GNCInfo, solve_gnc  # noqa: E402
-from .fixed_lag import FixedLagSmoother  # noqa: E402
+from .fixed_lag import FixedLagLandmarkSmoother, FixedLagSmoother  # noqa: E402
 from .incremental import IncrementalSmoother  # noqa: E402
 
-__all__ += ["solve_gnc", "GNCInfo", "FixedLagSmoother", "IncrementalSmoother"]
+__all__ += ["solve_gnc", "GNCInfo", "FixedLagSmoother",
+            "FixedLagLandmarkSmoother", "IncrementalSmoother"]
 
 from .bcsr import EllDirect, assemble_ell, build_ell_direct, solve_ell, sym_block_inv  # noqa: E402
 from .covariance import (  # noqa: E402

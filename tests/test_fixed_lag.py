@@ -199,3 +199,210 @@ class TestFixedLagSim3:
             np.asarray(sim3.log(jnp.asarray(T_batch) @ sim3.inv(jnp.asarray(T_win))))
         )
         assert err.max() < 0.05
+
+
+# ---------------------------------------------------------------------------
+# FixedLagLandmarkSmoother (VIO-style window with landmark slots)
+# ---------------------------------------------------------------------------
+from pyslam_tpu.solver.fixed_lag import FixedLagLandmarkSmoother  # noqa: E402
+
+
+def _drive_lm(sm, data, n):
+    """Stream poses + landmark observations chronologically; returns the
+    data-landmark-index -> smoother-landmark-id map."""
+    chain = {(int(i), int(j)): k
+             for k, (i, j) in enumerate(zip(data.edges_i, data.edges_j))}
+    obs_by_pose = {}
+    for k, pi in enumerate(data.obs_pose):
+        obs_by_pose.setdefault(int(pi), []).append(k)
+    lm_added = {}
+
+    def feed(t):
+        for k in obs_by_pose.get(t, []):
+            lj = int(data.obs_lm[k])
+            if lj not in lm_added:
+                lm_added[lj] = sm.add_landmark(data.lm_init[lj])
+            if lm_added[lj] in sm.landmark_ids():  # may have been evicted
+                sm.add_observation(t, lm_added[lj], data.obs[k],
+                                   data.obs_sqrt_info[k])
+
+    sm.add_pose(data.T_init[0])
+    feed(0)
+    for t in range(1, n):
+        sm.add_odometry(data.T_meas[chain[(t - 1, t)]],
+                        data.sqrt_info[chain[(t - 1, t)]])
+        feed(t)
+        sm.update()
+    return lm_added
+
+
+class TestLandmarkWindowNoMarginalization:
+    def test_equals_batch_gn(self):
+        # window covers everything -> the smoother IS batch GN over the
+        # two-block (pose + landmark) graph
+        n = 12
+        data = synth.landmark_slam_2d(n_poses=n, n_landmarks=8,
+                                      obs_type="xy", seed=0)
+        sm = FixedLagLandmarkSmoother(
+            window=n, lm_slots=8, obs_kind="landmark_xy_se2", kind="se2",
+            gn_iters=8, dtype=jnp.float64, anchor_sqrt_info=1e6)
+        lm_added = _drive_lm(sm, data, n)
+        for _ in range(3):
+            sm.update()
+        g = build.landmark_slam_2d(data, dtype=jnp.float64)
+        s, _ = solve_auto(g, Options(method="gn", max_iters=25,
+                                     min_cost_decrease=0.9999))
+        np.testing.assert_allclose(
+            sm.poses(), np.asarray(s.blocks["poses"].values), atol=5e-6)
+        L_b = np.asarray(s.blocks["landmarks"].values)
+        for lj, lid in lm_added.items():
+            np.testing.assert_allclose(sm.landmark(lid), L_b[lj], atol=5e-6)
+
+
+class TestLandmarkWindowMarginalization:
+    def test_sliding_window_tracks_batch(self):
+        # window 8 of 40 poses, 12 slots for 20 landmarks: pose AND landmark
+        # marginalization both active; the window estimate must stay at
+        # marginalization-approximation level of the batch solve (measured
+        # 0.08), far below odometry drift (~0.39)
+        n = 40
+        data = synth.landmark_slam_2d(n_poses=n, n_landmarks=20,
+                                      obs_type="xy", seed=1)
+        sm = FixedLagLandmarkSmoother(
+            window=8, lm_slots=12, obs_kind="landmark_xy_se2", kind="se2",
+            gn_iters=4, dtype=jnp.float64, anchor_sqrt_info=1e5,
+            obs_capacity=96)
+        lm_added = _drive_lm(sm, data, n)
+        g = build.landmark_slam_2d(data, dtype=jnp.float64)
+        s, _ = solve_auto(g, Options(method="gn", max_iters=40,
+                                     min_cost_decrease=0.9999))
+        T_b = np.asarray(s.blocks["poses"].values)
+        ids = list(sm.window_ids())
+        pos_err = np.linalg.norm(
+            sm.poses()[:, :2, 2] - T_b[ids][:, :2, 2], axis=1).max()
+        drift = np.linalg.norm(
+            data.T_init[ids][:, :2, 2] - T_b[ids][:, :2, 2], axis=1).max()
+        assert pos_err < 0.15
+        assert pos_err < drift / 3
+        # live landmarks track the batch estimates too
+        L_b = np.asarray(s.blocks["landmarks"].values)
+        live = {lj: lid for lj, lid in lm_added.items()
+                if lid in sm.landmark_ids()}
+        assert live  # slot pool is live
+        lme = max(np.linalg.norm(sm.landmark(lid) - L_b[lj])
+                  for lj, lid in live.items())
+        assert lme < 0.1
+
+    def test_one_compile_per_structure(self):
+        n = 30
+        data = synth.landmark_slam_2d(n_poses=n, n_landmarks=16,
+                                      obs_type="xy", seed=2)
+        sm = FixedLagLandmarkSmoother(
+            window=6, lm_slots=10, obs_kind="landmark_xy_se2", kind="se2",
+            gn_iters=2, dtype=jnp.float64, obs_capacity=64)
+        _drive_lm(sm, data, n)
+        assert sm._update_jit._cache_size() == 1
+        assert sm._marg_jit._cache_size() == 1
+        # eviction ran (20 landmarks through 10 slots) on one executable
+        assert sm._retire_jit is not None
+        assert sm._retire_jit._cache_size() == 1
+
+    def test_deterministic(self):
+        n = 25
+        data = synth.landmark_slam_2d(n_poses=n, n_landmarks=12,
+                                      obs_type="xy", seed=3)
+
+        def run():
+            sm = FixedLagLandmarkSmoother(
+                window=6, lm_slots=8, obs_kind="landmark_xy_se2", kind="se2",
+                gn_iters=2, dtype=jnp.float64, obs_capacity=64)
+            _drive_lm(sm, data, n)
+            return sm.poses()
+
+        np.testing.assert_array_equal(run(), run())
+
+    def test_explicit_retire_and_slot_reuse(self):
+        n = 10
+        data = synth.landmark_slam_2d(n_poses=n, n_landmarks=6,
+                                      obs_type="xy", seed=4)
+        sm = FixedLagLandmarkSmoother(
+            window=n, lm_slots=6, obs_kind="landmark_xy_se2", kind="se2",
+            gn_iters=4, dtype=jnp.float64)
+        lm_added = _drive_lm(sm, data, n)
+        before = sm.poses()
+        lid = lm_added[min(lm_added)]
+        slot = sm._lm_id2slot[lid]
+        sm.retire_landmark(lid)
+        assert lid not in sm.landmark_ids()
+        with pytest.raises(KeyError):
+            sm.landmark(lid)
+        # retirement preserves the information: window solution unchanged
+        # to marginalization-approximation level
+        sm.update()
+        np.testing.assert_allclose(sm.poses(), before, atol=1e-3)
+        # the freed slot is reused
+        new_id = sm.add_landmark(np.zeros(2))
+        assert sm._lm_id2slot[new_id] == slot
+
+
+class TestLandmarkWindowSE3:
+    def test_xyz_landmarks_window_tracks_truth(self):
+        # small SE(3) circle observing xyz point landmarks (mocap-marker
+        # model): sliding window stays near ground truth while raw odometry
+        # drifts
+        rng = np.random.default_rng(0)
+        from pyslam_tpu.lie import se3 as se3_ops
+        n, L = 24, 10
+        angles = 2 * np.pi * np.arange(n) / n
+        # world-to-body circle poses
+        T_gt = []
+        for a in angles:
+            xi = np.array([0, 0, a, 2.0 * np.cos(a), 2.0 * np.sin(a), 0.0])
+            # build body-to-world then invert
+            Tbw = np.asarray(se3_ops.exp(jnp.asarray(
+                np.concatenate([xi[3:], xi[:3]])[None]))[0])
+            T_gt.append(np.linalg.inv(Tbw))
+        T_gt = np.stack(T_gt)
+        lms = rng.uniform(-3, 3, (L, 3))
+        # odometry with noise
+        si_o = np.eye(6) / 0.01
+        T_init = [T_gt[0]]
+        meas = []
+        for t in range(1, n):
+            Tm = T_gt[t] @ np.linalg.inv(T_gt[t - 1])
+            noise = 0.01 * rng.standard_normal(6)
+            Tm = np.asarray(se3_ops.exp(jnp.asarray(noise[None]))[0]) @ Tm
+            meas.append(Tm)
+            T_init.append(Tm @ T_init[-1])
+        T_init = np.stack(T_init)
+        si_l = np.eye(3) / 0.02
+        sm = FixedLagLandmarkSmoother(
+            window=8, lm_slots=L, obs_kind="landmark_xyz_se3", kind="se3",
+            gn_iters=4, dtype=jnp.float64, anchor_sqrt_info=1e5,
+            obs_capacity=8 * L)
+        lid = {}
+        def feed(t):
+            for j in range(L):
+                p = T_gt[t, :3, :3] @ lms[j] + T_gt[t, :3, 3]
+                p = p + 0.02 * rng.standard_normal(3)
+                if j not in lid:
+                    # first-observation init through the odometry pose
+                    Ti = np.linalg.inv(T_init[t])
+                    lid[j] = sm.add_landmark(Ti[:3, :3] @ p + Ti[:3, 3])
+                sm.add_observation(t, lid[j], p, si_l)
+        sm.add_pose(T_init[0]); feed(0)
+        for t in range(1, n):
+            sm.add_odometry(meas[t - 1], si_o)
+            feed(t)
+            sm.update()
+        ids = list(sm.window_ids())
+        err = np.linalg.norm(sm.poses()[:, :3, 3] - T_gt[ids][:, :3, 3],
+                             axis=1).max()
+        drift = np.linalg.norm(T_init[ids][:, :3, 3] - T_gt[ids][:, :3, 3],
+                               axis=1).max()
+        assert err < 0.05
+        assert err < drift  # landmark observations beat dead reckoning
+        # landmark estimates converged near truth
+        lerr = max(np.linalg.norm(sm.landmark(lid[j]) - lms[j])
+                   for j in range(L))
+        assert lerr < 0.05
