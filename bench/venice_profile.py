@@ -108,7 +108,7 @@ def main():
             lorder=lb.lorder, dual=args.dual,
         ),
     )
-    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l = prep
+    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l, _D = prep
     ci_l, lm_starts = (lb.ci_l, lb.lm_starts) if args.dual else (None, None)
     if not args.dual:
         W_l = None

@@ -231,6 +231,10 @@ class LargeBA:
     w_pad: jnp.ndarray
     cam_starts: jnp.ndarray = None  # (C+1,) camera range bounds
     unary: tuple = ()
+    M: int = 0  # real (unpadded) observation count
+    # lazily-built co-observation pair tables for the dense-S direct solve
+    # (build_dense_pairs); None until linear="dense" first needs them
+    pairs: "DensePairs | None" = None
     # dual-order layout: landmark-sort permutation of the (camera-sorted)
     # observation axis, so the S-matvec's landmark-direction reductions run
     # as cumsum + boundary diffs too (see _mv_ops)
@@ -303,6 +307,7 @@ def prepare_large_ba(
     # contribute exact zeros to its sums)
     lorder = np.argsort(li_sorted, kind="stable").astype(np.int32)
     return LargeBA(
+        M=M,
         kind=kname,
         loss=fb.loss,
         C=pb.n,
@@ -470,7 +475,9 @@ def _schur_prepare(method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, 
     Dinv = sym_block_inv(D)
     # one (Mp, 18) padded gather (measured 114 ms vs 633 ms as 18 row gathers)
     W_l = W.T[lorder].T if dual else W
-    return Hpp, Hinv, W, PP, g_l, g_red, Dinv, live, W_l
+    # D is returned alongside Dinv: it is the exact block diagonal of the
+    # reduced camera system S, which the dense-S direct solve reuses
+    return Hpp, Hinv, W, PP, g_l, g_red, Dinv, live, W_l, D
 
 
 @partial(jax.jit, static_argnames=("C", "L", "S"))
@@ -532,6 +539,174 @@ def _backsub_retract(C, L, Hpp, Hinv, W, ci, li, cam_starts, g_l, live, free_p, 
     return new_poses, new_lms, dx_norm
 
 
+@dataclasses.dataclass
+class DensePairs:
+    """Co-observation pair tables for the dense-S direct solve.
+
+    One row per unordered observation pair (a, b), a != b, sharing a
+    landmark, oriented so camera(a) <= camera(b).  ``q`` is the flat
+    upper-triangle bucket cam_a * C + cam_b; ``w`` zeroes padding rows.
+    Host-built once per observation pattern (like the plan itself)."""
+
+    P: int  # padded pair count (multiple of n_pair_chunks)
+    n_pair_chunks: int
+    pair_a: jnp.ndarray  # (P,) int32 index into the camera-sorted Mp axis
+    pair_b: jnp.ndarray  # (P,) int32
+    pair_q: jnp.ndarray  # (P,) int32 bucket = cam_a * C + cam_b
+    pair_w: jnp.ndarray  # (P,) 1.0 real / 0.0 padding
+
+
+def build_dense_pairs(plan: LargeBA, n_pair_chunks: int = 4) -> DensePairs:
+    """Enumerate co-observation pairs of ``plan``'s graph on the host.
+
+    Venice scale (~4.65M obs, ~5 obs/landmark) yields ~10M pairs in a few
+    seconds of vectorized numpy — one-time per observation pattern.  The
+    reduced camera system S then assembles on device as
+    S = D - sym(sum_pairs T_a W_b^T) with T = W.Hll^-1 (see
+    _dense_S_from_parts); D (the a == b terms) comes from _schur_prepare's
+    exact SCHUR_JACOBI diagonal."""
+    from .schur_sparse import _coobservation_pairs
+
+    M = plan.M or int(plan.Mp)
+    ci = np.asarray(plan.ci)[:M]
+    li = np.asarray(plan.li)[:M]
+    pa, pb, _ = _coobservation_pairs(ci, li, plan.L)
+    keep = pa < pb  # one row per unordered pair; symmetrization restores (b, a)
+    pa, pb = pa[keep].astype(np.int64), pb[keep].astype(np.int64)
+    i, j = ci[pa].astype(np.int64), ci[pb].astype(np.int64)
+    swap = i > j
+    pa, pb = np.where(swap, pb, pa), np.where(swap, pa, pb)
+    q = (np.minimum(i, j) * plan.C + np.maximum(i, j)).astype(np.int32)
+    P0 = len(pa)
+    P = _ceil_to(max(P0, 1), n_pair_chunks)
+    pad = P - P0
+    w = np.ones(P, np.float32)
+    if pad:
+        pa = np.concatenate([pa, np.zeros(pad, np.int64)])
+        pb = np.concatenate([pb, np.zeros(pad, np.int64)])
+        q = np.concatenate([q, np.zeros(pad, np.int32)])
+        w[P0:] = 0.0
+    return DensePairs(
+        P=P,
+        n_pair_chunks=n_pair_chunks,
+        pair_a=jnp.asarray(pa.astype(np.int32)),
+        pair_b=jnp.asarray(pb.astype(np.int32)),
+        pair_q=jnp.asarray(q),
+        pair_w=jnp.asarray(w),
+    )
+
+
+def _dense_S_from_parts(C, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
+                        pair_a, pair_b, pair_q, pair_w):
+    """Dense reduced camera system S (6C, 6C) from component-major parts.
+
+    Everything stays 2-D to dodge the 21x (8,128)-tile padding of (N,6,6)
+    arrays at multi-M scale: per-observation T = W.Hll^-1 and W are
+    materialized ROW-major (Mp, 18); each pair-chunk does two (Pc, 18)
+    padded gathers, forms the 36 block entries T_a W_b^T as lanes, and one
+    exact (Pc, 36) segment_sum accumulates into a (C^2, 36) bucket array
+    (per-bucket segments average only a handful of pairs, so the cumsum
+    boundary-diff trick is NOT precision-safe here — same reasoning as the
+    landmark reduction in _linearize_stream).  The block diagonal D and the
+    pose-pose couplings PP are folded into the buckets pre-symmetrization
+    (D at half weight: sym doubles the diagonal bucket)."""
+    dtype = W.dtype
+    Mp = W.shape[1]
+    P = pair_a.shape[0]
+    Pc = P // n_pair_chunks
+
+    Wr = W.T  # (Mp, 18) row-major copy: pair gathers must be row gathers
+    Hg = Hinv.T[li]  # (Mp, 9) padded gather
+    # T[m, 3i+k] = sum_j W[3i+j, m] * Hinv[li[m]][j, k]  (lane arithmetic)
+    Tr = jnp.stack(
+        [
+            Wr[:, 3 * i] * Hg[:, k] + Wr[:, 3 * i + 1] * Hg[:, 3 + k]
+            + Wr[:, 3 * i + 2] * Hg[:, 6 + k]
+            for i in range(6)
+            for k in range(3)
+        ],
+        axis=1,
+    )  # (Mp, 18)
+
+    acc = jnp.zeros((C * C, 36), dtype)
+    # unrolled host loop (not lax.scan): avoids double-buffering the
+    # (C^2, 36) carry, and n_pair_chunks is small
+    for k in range(n_pair_chunks):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, k * Pc, Pc, axis=0)
+        pa, pb, q, w = sl(pair_a), sl(pair_b), sl(pair_q), sl(pair_w)
+        Tg = Tr[pa]  # (Pc, 18) padded gather
+        Wg = Wr[pb]
+        blocks = jnp.stack(
+            [
+                (
+                    Tg[:, 3 * i] * Wg[:, 3 * j]
+                    + Tg[:, 3 * i + 1] * Wg[:, 3 * j + 1]
+                    + Tg[:, 3 * i + 2] * Wg[:, 3 * j + 2]
+                )
+                * w
+                for i in range(6)
+                for j in range(6)
+            ],
+            axis=1,
+        )  # (Pc, 36)
+        acc = acc + jax.ops.segment_sum(blocks, q, num_segments=C * C)
+
+    acc = -acc
+    diag_ids = jnp.arange(C, dtype=jnp.int32) * (C + 1)
+    acc = acc.at[diag_ids].add(0.5 * D.reshape(C, 36))
+    if PP is not None and PP.shape[0]:
+        acc = acc.at[pi * C + pj].add(PP.reshape(-1, 36))
+
+    # (C^2, 36) -> (6C, 6C): six slice-reshapes sidestep the 4-D
+    # (C, C, 6, 6) transpose whose (6, 6) minor tiles would pad 21x
+    rows = [acc[:, 6 * r : 6 * r + 6].reshape(C, 6 * C) for r in range(6)]
+    S_pre = jnp.stack(rows, axis=1).reshape(6 * C, 6 * C)
+    return S_pre + S_pre.T
+
+
+@partial(jax.jit, static_argnames=("method", "C", "L", "n_pair_chunks", "dual"))
+def _dense_solve_fused(
+    method, C, L, n_pair_chunks, dual,
+    Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l, ci, li, pi, pj,
+    cam_starts, lam, lorder, ci_l, lm_starts,
+    pair_a, pair_b, pair_q, pair_w,
+):
+    """Whole DIRECT Schur solve as ONE program: prepare + dense-S assembly
+    + Jacobi-equilibrated f32 Cholesky + two triangular solves + back-sub.
+
+    Exact alternative to the PCG path when the camera count is small enough
+    for a dense (6C, 6C) reduced system (Venice: C = 1700 -> 416 MB f32 —
+    one MXU-shaped factorization replaces ~20 latency-bound CG matvecs).
+    A non-SPD S in f32 yields NaNs; the host LM loop treats a NaN trial
+    cost as a rejection, and the resulting lambda increase restores
+    SPD-ness — the same recovery path PCG breakdown uses."""
+    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, _Dinv, live, W_l, D = _schur_prepare(
+        method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
+        cam_starts, lam, lorder=lorder, dual=dual,
+    )
+    if not dual:
+        W_l = ci_l = lm_starts = None
+    S = _dense_S_from_parts(
+        C, n_pair_chunks, D, PP_m, pi, pj, W_m, Hinv, li,
+        pair_a, pair_b, pair_q, pair_w,
+    )
+    # Jacobi equilibration: f32 Cholesky at 6C ~ 10k needs the diagonal
+    # scaled to 1 (BAL Hessians span ~8 orders of magnitude across
+    # rotation/translation/intrinsics columns)
+    d = jnp.diagonal(S)
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, S.dtype)))
+    Ss = S * s[:, None] * s[None, :]
+    Lc = jnp.linalg.cholesky(Ss)
+    b = g_red.reshape(-1) * s
+    y = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
+    x = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
+    dx = x * s
+    return _backsub_retract(
+        C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, g_l_m, live, free_p,
+        poses, lms, dx, W_l, ci_l, lm_starts,
+    )
+
+
 @partial(jax.jit, static_argnames=("method", "C", "L", "max_iters", "dual"))
 def _schur_solve_fused(
     method, C, L, max_iters, dual, rtol,
@@ -545,7 +720,7 @@ def _schur_solve_fused(
     iteration that the segmented path pays (each ~25 ms through the axon
     tunnel, plus a float() sync).  The segmented path (_pcg_segment) remains
     for large CG budgets."""
-    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l = _schur_prepare(
+    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l, _D = _schur_prepare(
         method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
         cam_starts, lam, lorder=lorder, dual=dual,
     )
@@ -594,18 +769,27 @@ def _schur_solve_large(
     cam_starts, lam,
     pcg_segment: int = 25,
     lorder=None, ci_l=None, lm_starts=None, dual=False,
+    pairs: "DensePairs | None" = None,
 ):
     """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub.
     Solves with <= 60 CG iterations run as one fused program
     (_schur_solve_fused); larger budgets fall back to host-driven segments
-    to keep single-program runtime bounded."""
+    to keep single-program runtime bounded.  ``pairs`` selects the dense-S
+    direct path (_dense_solve_fused) instead of PCG."""
+    if pairs is not None:
+        return _dense_solve_fused(
+            method, C, L, pairs.n_pair_chunks, dual,
+            Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l,
+            ci, li, pi, pj, cam_starts, lam, lorder, ci_l, lm_starts,
+            pairs.pair_a, pairs.pair_b, pairs.pair_q, pairs.pair_w,
+        )
     if pcg_max_iters <= 60:
         return _schur_solve_fused(
             method, C, L, pcg_max_iters, dual, pcg_rtol,
             Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l,
             ci, li, pi, pj, cam_starts, lam, lorder, ci_l, lm_starts,
         )
-    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l = _schur_prepare(
+    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l, _D = _schur_prepare(
         method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
         cam_starts, lam, lorder=lorder, dual=dual,
     )
@@ -695,6 +879,8 @@ def solve_schur_large(
     speculative: bool = True,
     dual_order: bool = True,
     plan: "LargeBA | None" = None,
+    linear: str = "pcg",
+    n_pair_chunks: int = 4,
 ):
     """Venice-scale single-chip Schur LM.  Default CG budget is the
     measured knee at Venice scale: 30 its @ 1e-4 gives chi2 within 0.001%
@@ -713,6 +899,12 @@ def solve_schur_large(
     as cumsums instead of scatters (see _mv_ops); costs one 18-row gather
     per LM iteration plus W-sized memory.
 
+    ``linear="dense"`` replaces PCG with an exact direct solve of the
+    reduced camera system: dense (6C, 6C) S assembled from host-enumerated
+    co-observation pairs, equilibrated f32 Cholesky on the MXU
+    (_dense_solve_fused).  Feasible when C is small enough for a dense S
+    (C = 1700 -> 416 MB); the pair tables are built lazily on the plan.
+
     ``speculative=True`` (default) drives the speculative-linearization
     host loop: each iteration pays exactly one gradient linearization (at
     the trial point) instead of a gradient pass at the current point plus a
@@ -722,6 +914,16 @@ def solve_schur_large(
     lb = plan if plan is not None else prepare_large_ba(
         graph, n_chunks, pose_name, lm_name
     )
+    if linear not in ("pcg", "dense"):
+        raise ValueError(f"linear must be 'pcg' or 'dense', got {linear!r}")
+    pairs = None
+    if linear == "dense":
+        # pair tables are part of the observation-pattern plan: lazily
+        # build them once and keep them on the plan object so repeated
+        # solves (and the prebuilt-plan bench protocol) reuse them
+        if lb.pairs is None or lb.pairs.n_pair_chunks != n_pair_chunks:
+            lb.pairs = build_dense_pairs(lb, n_pair_chunks)
+        pairs = lb.pairs
     dtype = np.asarray(lb.poses).dtype
 
     from .host_loop import host_lm_loop, host_lm_loop_speculative
@@ -755,7 +957,7 @@ def solve_schur_large(
             Hpp, g_p, Hll, g_l, W, PP, poses, lms, lb.free_p, lb.free_l,
             lb.ci, lb.li, pi, pj, lb.cam_starts, jnp.asarray(lam, dtype),
             lorder=lb.lorder, ci_l=lb.ci_l, lm_starts=lb.lm_starts,
-            dual=dual_order,
+            dual=dual_order, pairs=pairs,
         )
         return (new_poses, new_lms), dx_norm
 
@@ -795,4 +997,9 @@ def solve_schur_large(
     return solved, history[-1], history
 
 
-__all__ = ["solve_schur_large", "prepare_large_ba"]
+__all__ = [
+    "solve_schur_large",
+    "prepare_large_ba",
+    "build_dense_pairs",
+    "DensePairs",
+]
