@@ -205,6 +205,72 @@ class TestSpeculativeLoop:
         np.testing.assert_allclose(chi2_a, chi2_b, rtol=1e-12)
 
 
+class TestDenseLinear:
+    """linear="dense": exact direct solve of the reduced camera system
+    (dense S from host-enumerated co-observation pairs + equilibrated
+    Cholesky) must reproduce tight-tolerance PCG on problems small enough
+    for both (solver/schur_large._dense_solve_fused)."""
+
+    @pytest.mark.parametrize("graph_fn", [stereo_graph, bal_graph])
+    def test_matches_pcg(self, graph_fn):
+        g = graph_fn()
+        opts = Options(method="lm", max_iters=15)
+        _, chi2_p, _ = solve_schur_large(
+            g, opts, n_chunks=4, pcg_rtol=1e-12, pcg_max_iters=400
+        )
+        _, chi2_d, _ = solve_schur_large(g, opts, n_chunks=4, linear="dense")
+        np.testing.assert_allclose(chi2_d, chi2_p, rtol=1e-10)
+
+    def test_between_factors(self):
+        """PP couplings fold into the dense-S buckets pre-symmetrization."""
+        from pyslam_tpu.graph.core import FactorBatch, FactorGraph
+        from pyslam_tpu.losses import L2Loss
+
+        data = synth.ba_synthetic(n_cams=8, n_pts=64, obs_per_pt=4, seed=12)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        Ti = np.arange(7, dtype=np.int32)
+        Tj = Ti + 1
+        T_obs = np.stack(
+            [data.T_gt[j] @ np.linalg.inv(data.T_gt[i]) for i, j in zip(Ti, Tj)]
+        )
+        between = FactorBatch.create(
+            kind="between_se3",
+            slots=("poses", "poses"),
+            indices=(Ti, Tj),
+            data={
+                "T_obs": jnp.asarray(T_obs, jnp.float64),
+                "sqrt_info": jnp.broadcast_to(
+                    10.0 * jnp.eye(6, dtype=jnp.float64), (7, 6, 6)
+                ),
+            },
+            loss=L2Loss(),
+        )
+        g2 = FactorGraph(dict(g.blocks), [g.batches[0], between])
+        opts = Options(method="lm", max_iters=15)
+        _, chi2_p, _ = solve_schur_large(
+            g2, opts, n_chunks=4, pcg_rtol=1e-12, pcg_max_iters=400
+        )
+        _, chi2_d, _ = solve_schur_large(g2, opts, n_chunks=4, linear="dense")
+        np.testing.assert_allclose(chi2_d, chi2_p, rtol=1e-10)
+
+    def test_plan_caches_pairs_and_speculative_matches(self):
+        from pyslam_tpu.solver.schur_large import prepare_large_ba
+
+        g = stereo_graph(loss=HuberLoss(2.0), seed=5)
+        opts = Options(method="lm", max_iters=10)
+        plan = prepare_large_ba(g, 4)
+        _, a, ha = solve_schur_large(g, opts, n_chunks=4, linear="dense", plan=plan)
+        pairs = plan.pairs
+        assert pairs is not None
+        _, b, hb = solve_schur_large(
+            g, opts, n_chunks=4, linear="dense", plan=plan, speculative=False
+        )
+        assert plan.pairs is pairs  # reused, not rebuilt
+        assert len(ha) == len(hb)
+        np.testing.assert_allclose(ha, hb, rtol=1e-12)
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
 class TestDualOrder:
     def test_dual_order_matches(self):
         """Landmark-direction cumsum matvec (dual-order W) must reproduce
