@@ -189,7 +189,28 @@ def route_auto(
             K_est = 1 + int(np.ceil(2 * n_edges / max(blk.n, 1))) * 2  # max deg ~ 2x avg
             ell_bytes = blk.n * K_est * _TILE_BYTES
             return "pose_sharded" if ell_bytes > device_hbm_budget_bytes else "ell"
-        return "factor_parallel" if graph.total_dof <= tiny_dof else "_single"
+        # Multi-block graphs (VIO pose+vel+bias, sim3+landmark, 3+ blocks):
+        # factor_parallel is DP over residual blocks — block-structure-
+        # agnostic (SURVEY.md §2.3 DP row) — so it is the documented mesh
+        # route up to the dense-solve ceiling (the replicated solve is the
+        # same dense Cholesky the single-chip dense path uses).  Beyond
+        # that ceiling no sharded path speaks 3+-block structure; warn
+        # loudly instead of silently solving replicated (VERDICT r4 #5).
+        if graph.total_dof <= dense_dof_limit:
+            return "factor_parallel"
+        import warnings
+
+        warnings.warn(
+            "route_auto: no sharded path supports this multi-block graph "
+            f"({len(blocks)} variable blocks, total_dof={graph.total_dof} > "
+            f"dense_dof_limit={dense_dof_limit}); solving REPLICATED on a "
+            "single device.  Supported mesh routes: 2-block BA "
+            "(schur_reduce/schur_cm), single-block pose graphs "
+            "(ell/pose_sharded), any-structure graphs up to "
+            "dense_dof_limit (factor_parallel).  See docs/DISTRIBUTED.md.",
+            stacklevel=3,
+        )
+        return "_single"
 
     if is_ba:
         pose_name, lm_name = lie_blocks[0], euc_blocks[0]
@@ -273,6 +294,7 @@ def solve_auto(
     dense_hpl_budget_bytes: int = 1 << 30,
     device_hbm_budget_bytes: int = 10 << 30,
     schur_sparse_pair_budget: int = 2_000_000,
+    cm_obs_crossover: int = 250_000,
 ):
     """Structure-dispatching solve: picks the right linear-algebra path.
 
@@ -301,6 +323,7 @@ def solve_auto(
         dense_hpl_budget_bytes=dense_hpl_budget_bytes,
         device_hbm_budget_bytes=device_hbm_budget_bytes,
         schur_sparse_pair_budget=schur_sparse_pair_budget,
+        cm_obs_crossover=cm_obs_crossover,
     )
     blocks = graph.blocks
     kinds = {name: b.kind for name, b in blocks.items()}

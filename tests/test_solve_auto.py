@@ -123,6 +123,36 @@ class TestRouteMesh:
         assert route_auto(fake_pose_graph(50_000), mesh=m1) == "ell"
         assert route_auto(fake_ba_graph(49, 7_000, 30_000), mesh=m1) == "schur_dense"
 
+    def _fake_vio_graph(self, n_kf):
+        # 3-block VIO shape: se3 poses + euclidean velocities + biases
+        blocks = {
+            "poses": _FakeBlock("se3", n_kf, 6),
+            "vels": _FakeBlock("euclidean", n_kf, 3),
+            "biases": _FakeBlock("euclidean", n_kf, 6),
+        }
+        batches = [
+            _FakeBatch(("poses", "poses", "vels", "vels", "biases"), n_kf - 1),
+            _FakeBatch(("biases", "biases"), n_kf - 1),
+            _FakeBatch(("poses",), n_kf),
+        ]
+        return _FakeGraph(blocks, batches)
+
+    def test_multiblock_midsize_routes_factor_parallel(self):
+        # VERDICT r4 #5: factor_parallel is DP over residual blocks —
+        # block-structure-agnostic — so 3+-block graphs shard through it
+        # up to the dense-solve ceiling (total_dof 15*500 = 7500 < 12000)
+        assert (
+            route_auto(self._fake_vio_graph(500), mesh=self.mesh)
+            == "factor_parallel"
+        )
+
+    def test_multiblock_beyond_dense_ceiling_warns(self):
+        # beyond the replicated-dense-solve ceiling no sharded path speaks
+        # 3+-block structure: must WARN, never silently solve replicated
+        g = self._fake_vio_graph(2_000)  # total_dof 30k > 12k
+        with pytest.warns(UserWarning, match="multi-block"):
+            assert route_auto(g, mesh=self.mesh) == "_single"
+
 
 class TestSolveAutoMesh:
     def test_tiny_pose_graph_end_to_end(self):
@@ -142,6 +172,39 @@ class TestSolveAutoMesh:
         assert ra(g, mesh=mesh) == "schur_reduce"
         solved, hist = solve_auto(g, Options(method="lm", max_iters=15), mesh=mesh)
         assert float(hist[-1]) < float(g.chi2())
+
+    def test_vio_multiblock_end_to_end(self):
+        # a real 3-block (pose+velocity+bias) VIO graph routed through
+        # factor_parallel on the 8-device mesh == the single-device solve
+        import pyslam_tpu.imu as M
+        from pyslam_tpu.solver import route_auto as ra
+
+        d = synth.imu_circle(n_keyframes=8, kf_dt=0.5, imu_rate=100, seed=0)
+        rng = np.random.default_rng(1)
+        T_prior = np.stack(
+            [
+                np.asarray(
+                    __import__("pyslam_tpu.lie.se3", fromlist=["exp"]).exp(
+                        jnp.asarray(rng.normal(size=6) * 2e-3)
+                    )
+                )
+                @ d.T_gt[i]
+                for i in range(8)
+            ]
+        )
+        Spp = np.diag([1 / 2e-3] * 6)
+        g = M.vio_graph(
+            d, T_prior, Spp, T_init=T_prior,
+            v_init=np.zeros((8, 3)), b_init=np.zeros((8, 6)),
+        )
+        mesh = make_mesh(8, axis_name="f")
+        assert ra(g, mesh=mesh) == "factor_parallel"
+        opts = Options(method="lm", max_iters=40)
+        solved, hist = solve_auto(g, opts, mesh=mesh)
+        _, info_ref = solve_auto(g, opts)
+        np.testing.assert_allclose(
+            float(hist[-1]), float(info_ref.chi2), rtol=1e-6
+        )
 
     def test_problem_solve_with_mesh(self):
         from pyslam_tpu import Problem, PoseToPoseResidual, SE2
