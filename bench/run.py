@@ -46,6 +46,17 @@ def _timed(run):
     return out, time.perf_counter() - t0
 
 
+def _wall_ok(wall_s, tpu_gate_s):
+    """Wall-clock regression gate (VERDICT r4 #4): on the real TPU the
+    measured r4 floor × ~1.3-1.4 must hold (floor table in CLAUDE.md; the
+    ±5% tunnel-mood noise fits comfortably inside); on any other backend
+    (CPU CI) wall-clock is not gated — chi2 parity is the only gate there.
+    A 2× wall regression on the TPU flips parity:false."""
+    import jax
+
+    return jax.default_backend() != "tpu" or wall_s < tpu_gate_s
+
+
 def config_1():
     """Small SE(2) loop + Cauchy robust cost (the reference's native scale)."""
     import jax.numpy as jnp
@@ -80,11 +91,12 @@ def config_1():
     return dict(
         config="1_se2_loop_cauchy",
         wall_s=wall,
+        wall_gate_s=0.06,  # r4 floor 27 ms
         iters=int(info.iterations),
         chi2=float(info2.chi2),
         baseline_wall_s=base["wall_s"],
         baseline_chi2=base["chi2"],
-        parity=float(info2.chi2) <= base["chi2"] * 1.01,
+        parity=float(info2.chi2) <= base["chi2"] * 1.01 and _wall_ok(wall, 0.06),
         speedup=base["wall_s"] / wall,
     )
 
@@ -126,11 +138,12 @@ def config_2():
     return dict(
         config="2_m3500_g2o",
         wall_s=wall,
+        wall_gate_s=0.38,  # r4 floor 280-290 ms
         iters=int(info.iterations),
         chi2=chi2,
         baseline_wall_s=base["wall_s"],
         baseline_chi2=base["chi2"],
-        parity=chi2 <= base["chi2"] * 1.01,
+        parity=chi2 <= base["chi2"] * 1.01 and _wall_ok(wall, 0.38),
         speedup=base["wall_s"] / wall,
     )
 
@@ -168,11 +181,12 @@ def config_3():
     return dict(
         config="3_sphere2500",
         wall_s=wall,
+        wall_gate_s=0.13,  # r4 floor 92 ms
         iters=int(info.iterations),
         chi2=chi2,
         baseline_wall_s=base["wall_s"],
         baseline_chi2=base["chi2"],
-        parity=chi2 <= base["chi2"] * 1.001,
+        parity=chi2 <= base["chi2"] * 1.001 and _wall_ok(wall, 0.13),
         speedup=base["wall_s"] / wall,
     )
 
@@ -206,11 +220,12 @@ def config_4():
     return dict(
         config="4_bal_ladybug_schur",
         wall_s=wall,
+        wall_gate_s=0.30,  # r4 floor 220 ms
         iters=int(info.iterations),
         chi2=chi2,
         baseline_wall_s=base["wall_s"],
         baseline_chi2=base["chi2"],
-        parity=chi2 <= base["chi2"] * 1.01,
+        parity=chi2 <= base["chi2"] * 1.01 and _wall_ok(wall, 0.30),
         speedup=base["wall_s"] / wall,
     )
 
@@ -241,14 +256,25 @@ def config_5():
     (chi2, hist), wall = _timed(run)
     g_gt = build.ba_graph(data, init="gt")
     chi2_gt = float(g_gt.chi2())
+    # true optimality gate (VERDICT r4 #2a): chi2 within 0.1% of the
+    # CONVERGED f64 dense-S direct reference (scripts/venice_mini_ref.py,
+    # cached), same standard as configs 1-4 — not just below the
+    # noise-floor ground-truth chi2
+    ref = _cache().get("venice_mini_ref")
+    ref_chi2 = ref["chi2"] if ref else None
+    chi2_ok = (
+        chi2 <= ref_chi2 * 1.001 if ref_chi2 is not None else chi2 <= chi2_gt
+    )
     return dict(
         config="5_venice_mini_sharded",
         wall_s=wall,
+        wall_gate_s=12.0,  # r4 floor 5.9-9.0 s
         iters=len(hist) - 1,
         chi2=chi2,
         chi2_gt=chi2_gt,
+        ref_chi2=ref_chi2,
         n_devices=len(mesh.devices.ravel()),
-        parity=chi2 <= chi2_gt * 1.10,
+        parity=chi2_ok and _wall_ok(wall, 12.0),
         speedup=None,
     )
 
@@ -304,17 +330,26 @@ def config_6():
             lb.poses, lb.lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
         )
     )
+    # true optimality gate (VERDICT r4 #2b): chi2 within 0.1% of the
+    # recorded run-to-convergence optimum (scripts/venice_full_conv.py,
+    # cached); falls back to the noise-floor chi2_gt if the convergence
+    # run has not been recorded yet.  s/it gate at the measured r4 floor
+    # (2.94) x ~1.5.
+    conv = _cache().get("venice_full_conv")
+    conv_chi2 = conv["chi2"] if conv else None
+    chi2_ok = (
+        chi2 <= conv_chi2 * 1.001 if conv_chi2 is not None else chi2 <= chi2_gt
+    )
     return dict(
         config="6_venice_full_1chip",
         wall_s=wall,
         warmup_s=warmup_s,
         iters=iters,
         s_per_it=s_per_it,
-        # regression gates: chi2 must beat ground-truth chi2 AND
-        # steady-state s/it must stay under 20 s (headline: 13 s/it)
         chi2=chi2,
         chi2_gt=chi2_gt,
-        parity=(chi2 <= chi2_gt) and (s_per_it < 20.0),
+        conv_chi2=conv_chi2,
+        parity=chi2_ok and (s_per_it < 4.5 or jax.default_backend() != "tpu"),
         speedup=None,
     )
 
@@ -358,11 +393,12 @@ def config_7():
     return dict(
         config="7_sim3_scale_drift_400",
         wall_s=wall,
+        wall_gate_s=0.08,  # r4 floor 35 ms
         iters=int(info.iterations),
         chi2=float(info.chi2),
         baseline_wall_s=base["wall_s"],
         baseline_chi2=base["chi2"],
-        parity=float(info.chi2) <= base["chi2"] * 1.01,
+        parity=float(info.chi2) <= base["chi2"] * 1.01 and _wall_ok(wall, 0.08),
         speedup=base["wall_s"] / wall,
     )
 
@@ -413,11 +449,12 @@ def config_8():
     return dict(
         config="8_landmark_slam_2d_800",
         wall_s=wall,
+        wall_gate_s=0.30,  # r4 floor 151 ms
         iters=int(info.iterations),
         chi2=float(info.chi2),
         baseline_wall_s=base["wall_s"],
         baseline_chi2=base["chi2"],
-        parity=float(info.chi2) <= base["chi2"] * 1.01,
+        parity=float(info.chi2) <= base["chi2"] * 1.01 and _wall_ok(wall, 0.30),
         speedup=base["wall_s"] / wall,
     )
 
