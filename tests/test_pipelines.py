@@ -120,6 +120,39 @@ class TestRGBDPipeline:
         for k, t in enumerate(steps):
             np.testing.assert_allclose(est[k][:3, 3], -t, atol=3e-3)
 
+    def test_track_batch_matches_sequential(self):
+        """Throughput mode (one vmapped dispatch for K frames) must track
+        the same trajectory as the sequential loop against the same
+        keyframe — identical math, batched dispatch."""
+        steps = [np.array([0.02 * k, 0.01 * np.sin(k / 2), 0.0]) for k in range(5)]
+        frames = [render_rgbd(t) for t in steps]
+
+        seq = DenseRGBDPipeline(
+            RGBDCamera(**CAM), pyrlevels=3, keyframe_trans_thresh=10.0
+        )
+        for im, d in frames:
+            seq.track(im, d)
+
+        bat = DenseRGBDPipeline(
+            RGBDCamera(**CAM), pyrlevels=3, keyframe_trans_thresh=10.0
+        )
+        bat.track(*frames[0])  # keyframe
+        out = bat.track_batch([im for im, _ in frames[1:]])
+        assert len(out) == 4
+        est_seq = np.stack(seq.T_c_w)
+        est_bat = np.stack(bat.T_c_w)
+        # same keyframe, same solver; the batch's motion-model guesses are
+        # extrapolated rather than chained, so agree to solver tolerance
+        np.testing.assert_allclose(est_bat, est_seq, atol=1e-3)
+        for k, t in enumerate(steps):
+            np.testing.assert_allclose(est_bat[k][:3, 3], -t, atol=3e-3)
+
+    def test_track_batch_requires_keyframe(self):
+        pipe = DenseRGBDPipeline(RGBDCamera(**CAM), pyrlevels=2)
+        im, _d = render_rgbd(np.zeros(3))
+        with pytest.raises(RuntimeError, match="keyframe"):
+            pipe.track_batch([im])
+
     def test_keyframe_creation(self):
         pipe = DenseRGBDPipeline(
             RGBDCamera(**CAM), pyrlevels=3, keyframe_trans_thresh=0.02
