@@ -5,10 +5,13 @@ Measures solve_schur_large with linear="pcg" (the round-4 headline path,
 factorization from host-enumerated co-observation pairs,
 solver/schur_large._dense_solve_fused) on the same prebuilt plan.
 
-Protocol matches bench/run.py config_6: one warmup LM iteration absorbs
-compile + axon cold-attach, then a timed steady-state solve; chi2 must
-beat the ground-truth chi2 (same gate).  Appends one JSON row per solver
-to bench/results.jsonl with --record.
+Protocol matches bench/run.py config_6 for the timed solve: one warmup LM
+iteration absorbs compile + axon cold-attach, then a timed steady-state
+solve; chi2 must beat the ground-truth chi2 (same gate).  One deliberate
+difference from config_6: the plan build (prepare_large_ba) is timed
+SEPARATELY and recorded as plan_build_s, whereas config_6 folds it into
+warmup_s — do not cross-compare warmup_s between the two row kinds.
+Appends one JSON row per solver to bench/results.jsonl with --record.
 
 Usage:
     python bench/venice_dense.py --n-cams 400 --n-pts 200000   # probe
@@ -55,7 +58,8 @@ def main():
     )
     g = build.ba_graph(data)
     plan = prepare_large_ba(g, args.n_chunks)
-    print(f"# graph+plan build: {time.perf_counter() - t0:.1f} s", flush=True)
+    plan_build_s = time.perf_counter() - t0
+    print(f"# graph+plan build: {plan_build_s:.1f} s", flush=True)
 
     lb = prepare_large_ba(build.ba_graph(data, init="gt"), args.n_chunks)
     chi2_gt = float(
@@ -68,11 +72,8 @@ def main():
     print(f"# chi2_gt = {chi2_gt:.4g}", flush=True)
 
     rows = []
-    variants = (
-        [("pcg", {}), ("dense", {})] if args.linear == "both"
-        else [(args.linear, {})]
-    )
-    for name, _ in variants:
+    variants = ["pcg", "dense"] if args.linear == "both" else [args.linear]
+    for name in variants:
         common = dict(n_chunks=args.n_chunks, plan=plan)
         if name == "pcg":
             common.update(pcg_rtol=1e-4, pcg_max_iters=20)
@@ -90,11 +91,12 @@ def main():
         row = dict(
             config=f"venice_dense_compare/{name}",
             n_cams=args.n_cams, n_pts=args.n_pts, obs=int(plan.M),
-            wall_s=round(wall, 3), warmup_s=round(warmup_s, 3), iters=iters,
+            wall_s=round(wall, 3), warmup_s=round(warmup_s, 3),
+            plan_build_s=round(plan_build_s, 3), iters=iters,
             s_per_it=round(wall / max(iters, 1), 4),
             chi2=chi2, chi2_gt=chi2_gt, parity=bool(chi2 <= chi2_gt),
             hist=[float(h) for h in hist],
-            device=str(next(iter({d.platform for d in __import__("jax").devices()}))),
+            device=__import__("jax").default_backend(),
         )
         rows.append(row)
         print(json.dumps(row), flush=True)

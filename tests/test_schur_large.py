@@ -219,7 +219,9 @@ class TestDenseLinear:
             g, opts, n_chunks=4, pcg_rtol=1e-12, pcg_max_iters=400
         )
         _, chi2_d, _ = solve_schur_large(g, opts, n_chunks=4, linear="dense")
-        np.testing.assert_allclose(chi2_d, chi2_p, rtol=1e-10)
+        # rtol matches the cross-solver parity precedent (ADVICE r4): two
+        # different LM iterate sequences, not one linear solve
+        np.testing.assert_allclose(chi2_d, chi2_p, rtol=1e-8)
 
     def test_between_factors(self):
         """PP couplings fold into the dense-S buckets pre-symmetrization."""
@@ -251,7 +253,7 @@ class TestDenseLinear:
             g2, opts, n_chunks=4, pcg_rtol=1e-12, pcg_max_iters=400
         )
         _, chi2_d, _ = solve_schur_large(g2, opts, n_chunks=4, linear="dense")
-        np.testing.assert_allclose(chi2_d, chi2_p, rtol=1e-10)
+        np.testing.assert_allclose(chi2_d, chi2_p, rtol=1e-8)
 
     def test_plan_caches_pairs_and_speculative_matches(self):
         from pyslam_tpu.solver.schur_large import prepare_large_ba
