@@ -36,7 +36,10 @@ def main():
     ap.add_argument("--n-cams", type=int, default=1700)
     ap.add_argument("--n-pts", type=int, default=1000000)
     ap.add_argument("--obs-per-pt", type=int, default=5)
-    ap.add_argument("--linear", default="both", choices=["both", "pcg", "dense"])
+    ap.add_argument(
+        "--linear", default="both",
+        choices=["both", "pcg", "dense", "cluster64", "cluster128", "all"],
+    )
     ap.add_argument("--pair-chunks", type=int, default=4)
     ap.add_argument("--n-chunks", type=int, default=128)
     ap.add_argument("--max-iters", type=int, default=10)
@@ -72,11 +75,21 @@ def main():
     print(f"# chi2_gt = {chi2_gt:.4g}", flush=True)
 
     rows = []
-    variants = ["pcg", "dense"] if args.linear == "both" else [args.linear]
+    variants = (
+        ["pcg", "dense"] if args.linear == "both"
+        else ["pcg", "dense", "cluster64", "cluster128"] if args.linear == "all"
+        else [args.linear]
+    )
     for name in variants:
         common = dict(n_chunks=args.n_chunks, plan=plan)
         if name == "pcg":
             common.update(pcg_rtol=1e-4, pcg_max_iters=20)
+        elif name.startswith("cluster"):
+            common.update(
+                pcg_rtol=1e-4, pcg_max_iters=20,
+                precond="cluster", cluster_size=int(name.removeprefix("cluster")),
+                n_pair_chunks=args.pair_chunks,
+            )
         else:
             common.update(linear="dense", n_pair_chunks=args.pair_chunks)
         t0 = time.perf_counter()

@@ -235,6 +235,10 @@ class LargeBA:
     # lazily-built co-observation pair tables for the dense-S direct solve
     # (build_dense_pairs); None until linear="dense" first needs them
     pairs: "DensePairs | None" = None
+    # lazily-built same-cluster pair tables for the cluster block-Jacobi
+    # preconditioner (build_cluster_pairs); keyed by cluster size
+    cpairs: "DensePairs | None" = None
+    cpairs_G: int = 0
     # dual-order layout: landmark-sort permutation of the (camera-sorted)
     # observation axis, so the S-matvec's landmark-direction reductions run
     # as cumsum + boundary diffs too (see _mv_ops)
@@ -596,6 +600,138 @@ def build_dense_pairs(plan: LargeBA, n_pair_chunks: int = 4) -> DensePairs:
     )
 
 
+def build_cluster_pairs(plan: LargeBA, cluster: int, n_pair_chunks: int = 4) -> DensePairs:
+    """Same-cluster subset of the co-observation pairs for the cluster
+    block-Jacobi preconditioner: pairs (a, b) with cam(a)//cluster ==
+    cam(b)//cluster, bucketed by (cluster_id, local_a, local_b) so one
+    segment_sum assembles all (6*cluster, 6*cluster) diagonal blocks of S.
+    ``pair_q`` here is q = cid * cluster^2 + la * cluster + lb."""
+    from .schur_sparse import _coobservation_pairs
+
+    M = plan.M or int(plan.Mp)
+    ci = np.asarray(plan.ci)[:M]
+    li = np.asarray(plan.li)[:M]
+    pa, pb, _ = _coobservation_pairs(ci, li, plan.L)
+    keep = pa < pb
+    pa, pb = pa[keep].astype(np.int64), pb[keep].astype(np.int64)
+    i, j = ci[pa], ci[pb]
+    same = (i // cluster) == (j // cluster)
+    pa, pb, i, j = pa[same], pb[same], i[same], j[same]
+    swap = i > j
+    pa, pb = np.where(swap, pb, pa), np.where(swap, pa, pb)
+    ii, jj = np.minimum(i, j), np.maximum(i, j)
+    q = (
+        (ii // cluster) * cluster * cluster
+        + (ii % cluster) * cluster
+        + (jj % cluster)
+    ).astype(np.int32)
+    P0 = len(pa)
+    P = _ceil_to(max(P0, 1), n_pair_chunks)
+    pad = P - P0
+    w = np.ones(P, np.float32)
+    if pad:
+        pa = np.concatenate([pa, np.zeros(pad, np.int64)])
+        pb = np.concatenate([pb, np.zeros(pad, np.int64)])
+        q = np.concatenate([q, np.zeros(pad, np.int32)])
+        w[P0:] = 0.0
+    return DensePairs(
+        P=P,
+        n_pair_chunks=n_pair_chunks,
+        pair_a=jnp.asarray(pa.astype(np.int32)),
+        pair_b=jnp.asarray(pb.astype(np.int32)),
+        pair_q=jnp.asarray(q),
+        pair_w=jnp.asarray(w),
+    )
+
+
+def _cluster_precond_factors(C, G, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
+                             pair_a, pair_b, pair_q, pair_w):
+    """Cholesky factors of the (6G, 6G) cluster-diagonal blocks of S.
+
+    Same lane-major pair assembly as _dense_S_from_parts, restricted to
+    same-cluster pairs: K = ceil(C/G) blocks.  Returns (Lc (K, 6G, 6G),
+    s (K, 6G)) with Jacobi equilibration scales s (the f32 Cholesky at
+    6G ~ a few hundred needs the diagonal scaled to 1, same reasoning as
+    the dense-S solve).  Cameras past C in the padded last cluster get
+    unit diagonal."""
+    dtype = W.dtype
+    K = -(-C // G)
+    Cp = K * G
+
+    Wr = W.T  # (Mp, 18)
+    Hg = Hinv.T[li]  # (Mp, 9)
+    Tr = jnp.stack(
+        [
+            Wr[:, 3 * i] * Hg[:, k] + Wr[:, 3 * i + 1] * Hg[:, 3 + k]
+            + Wr[:, 3 * i + 2] * Hg[:, 6 + k]
+            for i in range(6)
+            for k in range(3)
+        ],
+        axis=1,
+    )  # (Mp, 18)
+
+    P = pair_a.shape[0]
+    Pc = P // n_pair_chunks
+    acc = jnp.zeros((K * G * G, 36), dtype)
+    for k in range(n_pair_chunks):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, k * Pc, Pc, axis=0)
+        pa, pb, q, w = sl(pair_a), sl(pair_b), sl(pair_q), sl(pair_w)
+        Tg = Tr[pa]
+        Wg = Wr[pb]
+        blocks = jnp.stack(
+            [
+                (
+                    Tg[:, 3 * i] * Wg[:, 3 * j]
+                    + Tg[:, 3 * i + 1] * Wg[:, 3 * j + 1]
+                    + Tg[:, 3 * i + 2] * Wg[:, 3 * j + 2]
+                )
+                * w
+                for i in range(6)
+                for j in range(6)
+            ],
+            axis=1,
+        )
+        acc = acc + jax.ops.segment_sum(blocks, q, num_segments=K * G * G)
+
+    acc = -acc
+    # fold D (diag, half weight pre-sym) and same-cluster PP couplings
+    cam = jnp.arange(Cp, dtype=jnp.int32)
+    diag_ids = (cam // G) * G * G + (cam % G) * G + (cam % G)
+    Dp = jnp.concatenate(
+        [D.reshape(C, 36), jnp.tile(0.5 * jnp.eye(6, dtype=dtype).reshape(1, 36), (Cp - C, 1))]
+    ) if Cp > C else D.reshape(C, 36)
+    acc = acc.at[diag_ids].add(0.5 * Dp)
+    if PP is not None and PP.shape[0]:
+        same = (pi // G) == (pj // G)
+        wpp = same.astype(dtype)[:, None]
+        qpp = (pi // G) * G * G + (pi % G) * G + (pj % G)
+        acc = acc.at[qpp].add(PP.reshape(-1, 36) * wpp)
+
+    # (K*G*G, 36) -> (K, 6G, 6G) then symmetrize
+    rows = [acc[:, 6 * r : 6 * r + 6].reshape(K, G, G, 6) for r in range(6)]
+    # rows[r][k, a, b, c] = S[k, 6a + r, 6b + c]
+    S = jnp.stack(rows, axis=3)  # (K, G, G, 6, 6) with [k, a, b, r, c]
+    S = jnp.transpose(S, (0, 1, 3, 2, 4)).reshape(K, 6 * G, 6 * G)
+    S = S + jnp.swapaxes(S, 1, 2)
+    d = jnp.diagonal(S, axis1=1, axis2=2)
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, dtype)))
+    Ss = S * s[:, :, None] * s[:, None, :]
+    Lc = jnp.linalg.cholesky(Ss)
+    return Lc, s
+
+
+def _cluster_apply(Lc, s, r, C, G):
+    """M^-1 r with the cluster Cholesky factors: batched triangular solves."""
+    K = Lc.shape[0]
+    rp = jnp.concatenate([r.reshape(C, 6), jnp.zeros((K * G - C, 6), r.dtype)])
+    x = rp.reshape(K, 6 * G) * s
+    y = jax.scipy.linalg.solve_triangular(Lc, x[:, :, None], lower=True)
+    z = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(Lc, 1, 2), y, lower=False
+    )[:, :, 0]
+    return (z * s).reshape(K * G, 6)[:C].reshape(-1)
+
+
 def _dense_S_from_parts(C, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
                         pair_a, pair_b, pair_q, pair_w):
     """Dense reduced camera system S (6C, 6C) from component-major parts.
@@ -707,11 +843,14 @@ def _dense_solve_fused(
     )
 
 
-@partial(jax.jit, static_argnames=("method", "C", "L", "max_iters", "dual"))
+@partial(jax.jit, static_argnames=("method", "C", "L", "max_iters", "dual",
+                                   "cluster", "n_cpair_chunks"))
 def _schur_solve_fused(
     method, C, L, max_iters, dual, rtol,
     Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l, ci, li, pi, pj,
     cam_starts, lam, lorder, ci_l, lm_starts,
+    cluster=0, n_cpair_chunks=0,
+    cpair_a=None, cpair_b=None, cpair_q=None, cpair_w=None,
 ):
     """Whole Schur solve (prepare + tolerance-checked PCG + back-sub) as ONE
     program: at the measured ~80 ms/CG-iteration even a 30-iteration solve
@@ -719,8 +858,13 @@ def _schur_solve_fused(
     kill — and fusing removes the ~7 host<->device round trips per LM
     iteration that the segmented path pays (each ~25 ms through the axon
     tunnel, plus a float() sync).  The segmented path (_pcg_segment) remains
-    for large CG budgets."""
-    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l, _D = _schur_prepare(
+    for large CG budgets.
+
+    ``cluster`` > 0 selects the camera-cluster block-Jacobi preconditioner
+    (dense (6G, 6G) cluster-diagonal blocks of S from same-cluster
+    co-observation pairs, batched Cholesky) instead of the per-camera
+    SCHUR_JACOBI diagonal."""
+    Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l, D = _schur_prepare(
         method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
         cam_starts, lam, lorder=lorder, dual=dual,
     )
@@ -729,8 +873,18 @@ def _schur_solve_fused(
     _, _, matvec = _mv_ops(C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, PP_m,
                            pi, pj, W_l, ci_l, lm_starts)
 
-    def precond(r):
-        return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
+    if cluster:
+        Lc, sc = _cluster_precond_factors(
+            C, cluster, n_cpair_chunks, D, PP_m, pi, pj, W_m, Hinv, li,
+            cpair_a, cpair_b, cpair_q, cpair_w,
+        )
+
+        def precond(r):
+            return _cluster_apply(Lc, sc, r, C, cluster)
+    else:
+
+        def precond(r):
+            return jnp.einsum("cij,cj->ci", Dinv, r.reshape(C, 6)).reshape(-1)
 
     b = g_red.reshape(-1)
     z0 = precond(b)
@@ -770,12 +924,15 @@ def _schur_solve_large(
     pcg_segment: int = 25,
     lorder=None, ci_l=None, lm_starts=None, dual=False,
     pairs: "DensePairs | None" = None,
+    cluster: int = 0,
+    cpairs: "DensePairs | None" = None,
 ):
     """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub.
     Solves with <= 60 CG iterations run as one fused program
     (_schur_solve_fused); larger budgets fall back to host-driven segments
     to keep single-program runtime bounded.  ``pairs`` selects the dense-S
-    direct path (_dense_solve_fused) instead of PCG."""
+    direct path (_dense_solve_fused) instead of PCG; ``cluster``/``cpairs``
+    select the cluster block-Jacobi PCG preconditioner (fused path only)."""
     if pairs is not None:
         return _dense_solve_fused(
             method, C, L, pairs.n_pair_chunks, dual,
@@ -784,10 +941,18 @@ def _schur_solve_large(
             pairs.pair_a, pairs.pair_b, pairs.pair_q, pairs.pair_w,
         )
     if pcg_max_iters <= 60:
+        ck = {}
+        if cluster and cpairs is not None:
+            ck = dict(
+                cluster=cluster, n_cpair_chunks=cpairs.n_pair_chunks,
+                cpair_a=cpairs.pair_a, cpair_b=cpairs.pair_b,
+                cpair_q=cpairs.pair_q, cpair_w=cpairs.pair_w,
+            )
         return _schur_solve_fused(
             method, C, L, pcg_max_iters, dual, pcg_rtol,
             Hpp, g_p, Hll, g_l, W, PP, poses, lms, free_p, free_l,
             ci, li, pi, pj, cam_starts, lam, lorder, ci_l, lm_starts,
+            **ck,
         )
     Hpp_d, Hinv, W_m, PP_m, g_l_m, g_red, Dinv, live, W_l, _D = _schur_prepare(
         method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
@@ -881,6 +1046,8 @@ def solve_schur_large(
     plan: "LargeBA | None" = None,
     linear: str = "pcg",
     n_pair_chunks: int = 4,
+    precond: str = "jacobi",
+    cluster_size: int = 64,
 ):
     """Venice-scale single-chip Schur LM.  Default CG budget is the
     measured knee at Venice scale: 30 its @ 1e-4 gives chi2 within 0.001%
@@ -905,6 +1072,14 @@ def solve_schur_large(
     (_dense_solve_fused).  Feasible when C is small enough for a dense S
     (C = 1700 -> 416 MB); the pair tables are built lazily on the plan.
 
+    ``precond="cluster"`` replaces the per-camera SCHUR_JACOBI diagonal
+    with camera-cluster block-Jacobi: dense (6G, 6G) cluster-diagonal
+    blocks of S (G = ``cluster_size`` consecutive cameras) assembled from
+    same-cluster co-observation pairs each iteration, factored with one
+    batched Cholesky, applied via batched triangular solves.  Exact on the
+    cluster diagonal, so CG needs fewer iterations on camera graphs with
+    strong local coupling; pair tables cached on the plan.
+
     ``speculative=True`` (default) drives the speculative-linearization
     host loop: each iteration pays exactly one gradient linearization (at
     the trial point) instead of a gradient pass at the current point plus a
@@ -916,6 +1091,8 @@ def solve_schur_large(
     )
     if linear not in ("pcg", "dense"):
         raise ValueError(f"linear must be 'pcg' or 'dense', got {linear!r}")
+    if precond not in ("jacobi", "cluster"):
+        raise ValueError(f"precond must be 'jacobi' or 'cluster', got {precond!r}")
     pairs = None
     if linear == "dense":
         # pair tables are part of the observation-pattern plan: lazily
@@ -924,6 +1101,19 @@ def solve_schur_large(
         if lb.pairs is None or lb.pairs.n_pair_chunks != n_pair_chunks:
             lb.pairs = build_dense_pairs(lb, n_pair_chunks)
         pairs = lb.pairs
+    cluster = 0
+    cpairs = None
+    if linear == "pcg" and precond == "cluster":
+        cluster = cluster_size
+        if lb.cpairs is None or lb.cpairs_G != cluster:
+            lb.cpairs = build_cluster_pairs(lb, cluster, n_pair_chunks)
+            lb.cpairs_G = cluster
+        cpairs = lb.cpairs
+        if pcg_max_iters > 60:
+            raise ValueError(
+                "precond='cluster' runs in the fused PCG path only "
+                "(pcg_max_iters <= 60)"
+            )
     dtype = np.asarray(lb.poses).dtype
 
     from .host_loop import host_lm_loop, host_lm_loop_speculative
@@ -957,7 +1147,7 @@ def solve_schur_large(
             Hpp, g_p, Hll, g_l, W, PP, poses, lms, lb.free_p, lb.free_l,
             lb.ci, lb.li, pi, pj, lb.cam_starts, jnp.asarray(lam, dtype),
             lorder=lb.lorder, ci_l=lb.ci_l, lm_starts=lb.lm_starts,
-            dual=dual_order, pairs=pairs,
+            dual=dual_order, pairs=pairs, cluster=cluster, cpairs=cpairs,
         )
         return (new_poses, new_lms), dx_norm
 
@@ -1001,5 +1191,6 @@ __all__ = [
     "solve_schur_large",
     "prepare_large_ba",
     "build_dense_pairs",
+    "build_cluster_pairs",
     "DensePairs",
 ]

@@ -273,6 +273,75 @@ class TestDenseLinear:
         np.testing.assert_allclose(a, b, rtol=1e-12)
 
 
+class TestClusterPrecond:
+    """precond="cluster": camera-cluster block-Jacobi must converge to the
+    same optimum as SCHUR_JACOBI (a preconditioner changes the CG
+    trajectory, not the solution) and must not need MORE CG iterations."""
+
+    @pytest.mark.parametrize("G", [2, 4])
+    def test_matches_jacobi(self, G):
+        g = stereo_graph(seed=3)
+        opts = Options(method="lm", max_iters=15)
+        _, chi2_j, _ = solve_schur_large(
+            g, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=50
+        )
+        _, chi2_c, _ = solve_schur_large(
+            g, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=50,
+            precond="cluster", cluster_size=G,
+        )
+        np.testing.assert_allclose(chi2_c, chi2_j, rtol=1e-8)
+
+    def test_with_between_factors(self):
+        from pyslam_tpu.graph.core import FactorBatch, FactorGraph
+        from pyslam_tpu.losses import L2Loss
+
+        data = synth.ba_synthetic(n_cams=8, n_pts=64, obs_per_pt=4, seed=12)
+        g = build.ba_graph(data, dtype=jnp.float64)
+        Ti = np.arange(7, dtype=np.int32)
+        Tj = Ti + 1
+        T_obs = np.stack(
+            [data.T_gt[j] @ np.linalg.inv(data.T_gt[i]) for i, j in zip(Ti, Tj)]
+        )
+        between = FactorBatch.create(
+            kind="between_se3",
+            slots=("poses", "poses"),
+            indices=(Ti, Tj),
+            data={
+                "T_obs": jnp.asarray(T_obs, jnp.float64),
+                "sqrt_info": jnp.broadcast_to(
+                    10.0 * jnp.eye(6, dtype=jnp.float64), (7, 6, 6)
+                ),
+            },
+            loss=L2Loss(),
+        )
+        g2 = FactorGraph(dict(g.blocks), [g.batches[0], between])
+        opts = Options(method="lm", max_iters=15)
+        _, chi2_j, _ = solve_schur_large(
+            g2, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=50
+        )
+        _, chi2_c, _ = solve_schur_large(
+            g2, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=50,
+            precond="cluster", cluster_size=3,  # non-divisor: padded cluster
+        )
+        np.testing.assert_allclose(chi2_c, chi2_j, rtol=1e-8)
+
+    def test_plan_caches_cluster_pairs(self):
+        from pyslam_tpu.solver.schur_large import prepare_large_ba
+
+        g = stereo_graph(seed=5)
+        opts = Options(method="lm", max_iters=5)
+        plan = prepare_large_ba(g, 4)
+        solve_schur_large(
+            g, opts, n_chunks=4, plan=plan, precond="cluster", cluster_size=4
+        )
+        cp = plan.cpairs
+        assert cp is not None and plan.cpairs_G == 4
+        solve_schur_large(
+            g, opts, n_chunks=4, plan=plan, precond="cluster", cluster_size=4
+        )
+        assert plan.cpairs is cp  # reused, not rebuilt
+
+
 class TestDualOrder:
     def test_dual_order_matches(self):
         """Landmark-direction cumsum matvec (dual-order W) must reproduce
