@@ -38,7 +38,8 @@ def main():
     ap.add_argument("--obs-per-pt", type=int, default=5)
     ap.add_argument(
         "--linear", default="both",
-        choices=["both", "pcg", "dense", "cluster64", "cluster128", "all"],
+        choices=["both", "pcg", "dense", "cluster64", "cluster128", "stale",
+                 "all"],
     )
     ap.add_argument("--pair-chunks", type=int, default=4)
     ap.add_argument("--n-chunks", type=int, default=128)
@@ -77,13 +78,20 @@ def main():
     rows = []
     variants = (
         ["pcg", "dense"] if args.linear == "both"
-        else ["pcg", "dense", "cluster64", "cluster128"] if args.linear == "all"
+        else ["pcg", "dense", "stale", "cluster64", "cluster128"]
+        if args.linear == "all"
         else [args.linear]
     )
     for name in variants:
         common = dict(n_chunks=args.n_chunks, plan=plan)
         if name == "pcg":
             common.update(pcg_rtol=1e-4, pcg_max_iters=20)
+        elif name == "stale":
+            common.update(
+                pcg_rtol=1e-4, pcg_max_iters=20,
+                precond="stale", stale_refresh=3,
+                n_pair_chunks=args.pair_chunks,
+            )
         elif name.startswith("cluster"):
             common.update(
                 pcg_rtol=1e-4, pcg_max_iters=20,

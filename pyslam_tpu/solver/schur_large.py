@@ -800,6 +800,34 @@ def _dense_S_from_parts(C, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
     return S_pre + S_pre.T
 
 
+@partial(jax.jit, static_argnames=("method", "C", "L", "n_pair_chunks"))
+def _stale_factor(
+    method, C, L, n_pair_chunks,
+    Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
+    cam_starts, lam, lorder,
+    pair_a, pair_b, pair_q, pair_w,
+):
+    """Equilibrated Cholesky factor of the CURRENT reduced camera system S
+    for use as a STALE preconditioner on later iterations: assembly + the
+    10k-dof factorization cost ~2 s at Venice scale, but the factor then
+    solves S x = r in two ~27 ms triangular solves — so reusing it across
+    k LM iterations turns 20 SCHUR_JACOBI CG iterations into ~2-4
+    (docs/PERFORMANCE.md round-5 stale-S section).  Returns (Lc, s)."""
+    _Hpp_d, Hinv, W_m, PP_m, _g_l_m, _g_red, _Dinv, _live, _W_l, D = _schur_prepare(
+        method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
+        cam_starts, lam, lorder=lorder, dual=False,
+    )
+    S = _dense_S_from_parts(
+        C, n_pair_chunks, D, PP_m, pi, pj, W_m, Hinv, li,
+        pair_a, pair_b, pair_q, pair_w,
+    )
+    d = jnp.diagonal(S)
+    s = jax.lax.rsqrt(jnp.maximum(d, jnp.asarray(1e-30, S.dtype)))
+    Ss = S * s[:, None] * s[None, :]
+    Lc = jnp.linalg.cholesky(Ss)
+    return Lc, s
+
+
 @partial(jax.jit, static_argnames=("method", "C", "L", "n_pair_chunks", "dual"))
 def _dense_solve_fused(
     method, C, L, n_pair_chunks, dual,
@@ -851,6 +879,7 @@ def _schur_solve_fused(
     cam_starts, lam, lorder, ci_l, lm_starts,
     cluster=0, n_cpair_chunks=0,
     cpair_a=None, cpair_b=None, cpair_q=None, cpair_w=None,
+    stale_L=None, stale_s=None,
 ):
     """Whole Schur solve (prepare + tolerance-checked PCG + back-sub) as ONE
     program: at the measured ~80 ms/CG-iteration even a 30-iteration solve
@@ -873,7 +902,14 @@ def _schur_solve_fused(
     _, _, matvec = _mv_ops(C, L, Hpp_d, Hinv, W_m, ci, li, cam_starts, PP_m,
                            pi, pj, W_l, ci_l, lm_starts)
 
-    if cluster:
+    if stale_L is not None:
+
+        def precond(r):
+            x = r * stale_s
+            y = jax.scipy.linalg.solve_triangular(stale_L, x, lower=True)
+            z = jax.scipy.linalg.solve_triangular(stale_L.T, y, lower=False)
+            return z * stale_s
+    elif cluster:
         Lc, sc = _cluster_precond_factors(
             C, cluster, n_cpair_chunks, D, PP_m, pi, pj, W_m, Hinv, li,
             cpair_a, cpair_b, cpair_q, cpair_w,
@@ -926,13 +962,15 @@ def _schur_solve_large(
     pairs: "DensePairs | None" = None,
     cluster: int = 0,
     cpairs: "DensePairs | None" = None,
+    stale=None,
 ):
     """Host-orchestrated Schur solve: prepare / segmented PCG / back-sub.
     Solves with <= 60 CG iterations run as one fused program
     (_schur_solve_fused); larger budgets fall back to host-driven segments
     to keep single-program runtime bounded.  ``pairs`` selects the dense-S
     direct path (_dense_solve_fused) instead of PCG; ``cluster``/``cpairs``
-    select the cluster block-Jacobi PCG preconditioner (fused path only)."""
+    select the cluster block-Jacobi PCG preconditioner and ``stale`` a
+    prebuilt (Lc, s) stale-S factor preconditioner (fused path only)."""
     if pairs is not None:
         return _dense_solve_fused(
             method, C, L, pairs.n_pair_chunks, dual,
@@ -942,7 +980,9 @@ def _schur_solve_large(
         )
     if pcg_max_iters <= 60:
         ck = {}
-        if cluster and cpairs is not None:
+        if stale is not None:
+            ck = dict(stale_L=stale[0], stale_s=stale[1])
+        elif cluster and cpairs is not None:
             ck = dict(
                 cluster=cluster, n_cpair_chunks=cpairs.n_pair_chunks,
                 cpair_a=cpairs.pair_a, cpair_b=cpairs.pair_b,
@@ -1048,6 +1088,7 @@ def solve_schur_large(
     n_pair_chunks: int = 4,
     precond: str = "jacobi",
     cluster_size: int = 64,
+    stale_refresh: int = 3,
 ):
     """Venice-scale single-chip Schur LM.  Default CG budget is the
     measured knee at Venice scale: 30 its @ 1e-4 gives chi2 within 0.001%
@@ -1080,6 +1121,14 @@ def solve_schur_large(
     cluster diagonal, so CG needs fewer iterations on camera graphs with
     strong local coupling; pair tables cached on the plan.
 
+    ``precond="stale"`` is the stale-S factor preconditioner: every
+    ``stale_refresh`` solves, the CURRENT reduced system S is assembled
+    from the co-observation pair tables and Cholesky-factored (~2 s at
+    Venice scale); intermediate iterations precondition CG with that
+    stale factor (two ~27 ms triangular solves per CG iteration), which
+    collapses the CG iteration count while the factor stays close to the
+    fresh system.
+
     ``speculative=True`` (default) drives the speculative-linearization
     host loop: each iteration pays exactly one gradient linearization (at
     the trial point) instead of a gradient pass at the current point plus a
@@ -1091,29 +1140,35 @@ def solve_schur_large(
     )
     if linear not in ("pcg", "dense"):
         raise ValueError(f"linear must be 'pcg' or 'dense', got {linear!r}")
-    if precond not in ("jacobi", "cluster"):
-        raise ValueError(f"precond must be 'jacobi' or 'cluster', got {precond!r}")
+    if precond not in ("jacobi", "cluster", "stale"):
+        raise ValueError(
+            f"precond must be 'jacobi', 'cluster' or 'stale', got {precond!r}"
+        )
     pairs = None
-    if linear == "dense":
+    if linear == "dense" or (linear == "pcg" and precond == "stale"):
         # pair tables are part of the observation-pattern plan: lazily
         # build them once and keep them on the plan object so repeated
         # solves (and the prebuilt-plan bench protocol) reuse them
         if lb.pairs is None or lb.pairs.n_pair_chunks != n_pair_chunks:
             lb.pairs = build_dense_pairs(lb, n_pair_chunks)
-        pairs = lb.pairs
+        pairs = lb.pairs if linear == "dense" else None
     cluster = 0
     cpairs = None
+    if linear == "pcg" and precond in ("cluster", "stale") and pcg_max_iters > 60:
+        raise ValueError(
+            f"precond={precond!r} runs in the fused PCG path only "
+            "(pcg_max_iters <= 60)"
+        )
     if linear == "pcg" and precond == "cluster":
         cluster = cluster_size
         if lb.cpairs is None or lb.cpairs_G != cluster:
             lb.cpairs = build_cluster_pairs(lb, cluster, n_pair_chunks)
             lb.cpairs_G = cluster
         cpairs = lb.cpairs
-        if pcg_max_iters > 60:
-            raise ValueError(
-                "precond='cluster' runs in the fused PCG path only "
-                "(pcg_max_iters <= 60)"
-            )
+    # stale-S preconditioner state: the factored (Lc, s) of a recent
+    # iteration's S, rebuilt every ``stale_refresh`` solves (host closure)
+    _stale = {"fac": None, "age": 0}
+    use_stale = linear == "pcg" and precond == "stale"
     dtype = np.asarray(lb.poses).dtype
 
     from .host_loop import host_lm_loop, host_lm_loop_speculative
@@ -1142,12 +1197,27 @@ def solve_schur_large(
     def solve_from(state, lin, lam):
         poses, lms = state
         _chi2, Hpp, g_p, Hll, g_l, W, PP, pi, pj = lin
+        stale = None
+        if use_stale:
+            if _stale["fac"] is None or _stale["age"] >= stale_refresh:
+                _stale["fac"] = _stale_factor(
+                    options.method, lb.C, lb.L, lb.pairs.n_pair_chunks,
+                    Hpp, g_p, Hll, g_l, W, PP, lb.free_p, lb.free_l,
+                    lb.ci, lb.li, pi, pj, lb.cam_starts,
+                    jnp.asarray(lam, dtype), lb.lorder,
+                    lb.pairs.pair_a, lb.pairs.pair_b, lb.pairs.pair_q,
+                    lb.pairs.pair_w,
+                )
+                _stale["age"] = 0
+            _stale["age"] += 1
+            stale = _stale["fac"]
         new_poses, new_lms, dx_norm = _schur_solve_large(
             options.method, pcg_rtol, pcg_max_iters, lb.C, lb.L,
             Hpp, g_p, Hll, g_l, W, PP, poses, lms, lb.free_p, lb.free_l,
             lb.ci, lb.li, pi, pj, lb.cam_starts, jnp.asarray(lam, dtype),
             lorder=lb.lorder, ci_l=lb.ci_l, lm_starts=lb.lm_starts,
             dual=dual_order, pairs=pairs, cluster=cluster, cpairs=cpairs,
+            stale=stale,
         )
         return (new_poses, new_lms), dx_norm
 

@@ -325,6 +325,23 @@ class TestClusterPrecond:
         )
         np.testing.assert_allclose(chi2_c, chi2_j, rtol=1e-8)
 
+    @pytest.mark.parametrize("refresh", [1, 3])
+    def test_stale_matches_jacobi(self, refresh):
+        """precond="stale" (S factored every `refresh` solves, reused as
+        CG preconditioner in between) converges to the SCHUR_JACOBI
+        optimum — a preconditioner, stale or not, changes the CG
+        trajectory but not the solution."""
+        g = stereo_graph(seed=7)
+        opts = Options(method="lm", max_iters=15)
+        _, chi2_j, _ = solve_schur_large(
+            g, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=50
+        )
+        _, chi2_s, _ = solve_schur_large(
+            g, opts, n_chunks=4, pcg_rtol=1e-10, pcg_max_iters=50,
+            precond="stale", stale_refresh=refresh,
+        )
+        np.testing.assert_allclose(chi2_s, chi2_j, rtol=1e-8)
+
     def test_plan_caches_cluster_pairs(self):
         from pyslam_tpu.solver.schur_large import prepare_large_ba
 
