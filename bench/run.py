@@ -305,7 +305,10 @@ def config_6():
     # the observation-pattern plan (sorts, padding, device uploads) is
     # one-time per graph structure, like compilation: built inside the
     # warmup timer, reused by the timed solve (solve_schur_large plan=)
-    common = dict(n_chunks=128, pcg_rtol=1e-4, pcg_max_iters=20)
+    # pcg budget: the round-5 sweep knee (bench/results.jsonl
+    # venice_cg_sweep rows) — 12 its keeps chi2 within 2.3e-4 of the
+    # converged optimum (gate 1e-3) at 2.32 s/it vs 2.94 at 20 its
+    common = dict(n_chunks=128, pcg_rtol=1e-4, pcg_max_iters=12)
     # WARMUP (round-3, VERDICT r2 weak #1): one LM iteration absorbs jit
     # compile AND the axon tunnel's cold-attach latency (measured up to
     # ~400 s billed to the first device sync of a fresh process).  The
@@ -349,7 +352,8 @@ def config_6():
         chi2=chi2,
         chi2_gt=chi2_gt,
         conv_chi2=conv_chi2,
-        parity=chi2_ok and (s_per_it < 4.5 or jax.default_backend() != "tpu"),
+        # s/it gate: r5 floor 2.32 x ~1.5 (tunnel-mood headroom)
+        parity=chi2_ok and (s_per_it < 3.5 or jax.default_backend() != "tpu"),
         speedup=None,
     )
 
