@@ -110,7 +110,11 @@ def main():
         # parity (7310.78, == the x64 optimum to 5e-7 relative) at the same
         # wall as the loose round-1 config — tighter CG cuts an LM iteration
         s, info = solve_ell(g, opts, plan=plan, pcg_rtol=3e-6, pcg_max_iters=120)
-        jax.block_until_ready(s.blocks["poses"].values)
+        # scalar readback, NOT block_until_ready: on the axon runtime
+        # block_until_ready can return before execution completes
+        # (measured round 5 — docs/PERFORMANCE.md), which would fake the
+        # timing; a float() host readback cannot return early
+        float(info.chi2)
         return s, info
 
     run()  # compile

@@ -79,9 +79,9 @@ def config_1():
 
     def run():
         s, info = solve(g, opts)
-        import jax
-
-        jax.block_until_ready(s.blocks["poses"].values)
+        # scalar readback: on the axon runtime block_until_ready can
+        # return EARLY (measured r5); a float() sync cannot
+        float(info.chi2)
         return info
 
     info, wall = _timed(run)
@@ -130,7 +130,7 @@ def config_2():
 
     def run():
         s, info = solve(g, opts)
-        jax.block_until_ready(s.blocks["poses"].values)
+        float(info.chi2)  # real sync (axon block_until_ready returns early)
         return info
 
     info, wall = _timed(run)
@@ -173,7 +173,7 @@ def config_3():
 
     def run():
         s, info = solve_ell(g, opts, plan=plan, pcg_rtol=3e-6, pcg_max_iters=120)
-        jax.block_until_ready(s.blocks["poses"].values)
+        float(info.chi2)  # real sync (axon block_until_ready returns early)
         return info
 
     info, wall = _timed(run)
@@ -211,8 +211,11 @@ def config_4():
     opts = Options(method="lm", max_iters=25)
 
     def run():
-        s, info = solve_schur(g, opts, mode="pcg", pcg_rtol=1e-6, pcg_max_iters=100)
-        jax.block_until_ready(s.blocks["poses"].values)
+        # pcg budget: round-5 knee (ladybug_cg_sweep rows) — 1e-4/30
+        # keeps chi2 within 5.8e-5 of the f64 baseline (gate 1e-2) at
+        # roughly half the 1e-6/100 wall
+        s, info = solve_schur(g, opts, mode="pcg", pcg_rtol=1e-4, pcg_max_iters=30)
+        float(info.chi2)  # real sync (axon block_until_ready returns early)
         return info
 
     info, wall = _timed(run)
@@ -391,9 +394,7 @@ def config_7():
 
     def run():
         s2, info = solve(g, opts)
-        import jax
-
-        jax.block_until_ready(s2.blocks["poses"].values)
+        float(info.chi2)  # real sync (axon block_until_ready returns early)
         return info
 
     info, wall = _timed(run)
@@ -447,9 +448,7 @@ def config_8():
 
     def run():
         s2, info = solve_auto(g, opts)
-        import jax
-
-        jax.block_until_ready(s2.blocks["poses"].values)
+        float(info.chi2)  # real sync (axon block_until_ready returns early)
         return info
 
     info, wall = _timed(run)

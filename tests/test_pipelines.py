@@ -166,6 +166,22 @@ class TestRGBDPipeline:
 
 
 class TestStereoPipeline:
+    def test_track_batch_stereo(self):
+        """track_batch lives on the shared base class: stereo pipelines
+        batch K left frames against the current (disparity-built)
+        keyframe identically."""
+        cam = StereoCamera(b=0.3, **CAM)
+        pipe = DenseStereoPipeline(cam, pyrlevels=3, keyframe_trans_thresh=10.0)
+        im0l, im0r, disp0 = render_stereo(np.zeros(3))
+        pipe.track(im0l, im0r, disp=disp0)
+        steps = [np.array([0.03 * k, 0.0, 0.0]) for k in range(1, 4)]
+        out = pipe.track_batch([render_stereo(t)[0] for t in steps])
+        assert len(out) == 3
+        for k, t in enumerate(steps):
+            np.testing.assert_allclose(
+                np.asarray(out[k].mat)[:3, 3], -t, atol=4e-3
+            )
+
     def test_recovers_translation_injected_disp(self):
         cam = StereoCamera(b=0.3, **CAM)
         pipe = DenseStereoPipeline(cam, pyrlevels=3, keyframe_trans_thresh=10.0)
