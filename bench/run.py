@@ -223,12 +223,12 @@ def config_4():
     return dict(
         config="4_bal_ladybug_schur",
         wall_s=wall,
-        wall_gate_s=0.30,  # r4 floor 220 ms
+        wall_gate_s=0.20,  # r5 floor 113 ms (knee cfg)
         iters=int(info.iterations),
         chi2=chi2,
         baseline_wall_s=base["wall_s"],
         baseline_chi2=base["chi2"],
-        parity=chi2 <= base["chi2"] * 1.01 and _wall_ok(wall, 0.30),
+        parity=chi2 <= base["chi2"] * 1.01 and _wall_ok(wall, 0.20),
         speedup=base["wall_s"] / wall,
     )
 
