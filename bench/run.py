@@ -359,7 +359,7 @@ def config_6():
         chi2_gt=chi2_gt,
         conv_chi2=conv_chi2,
         # s/it gate: r5 floor 2.32 x ~1.5 (tunnel-mood headroom)
-        parity=chi2_ok and (s_per_it < 3.5 or jax.default_backend() != "tpu"),
+        parity=chi2_ok and _wall_ok(s_per_it, 3.5),
         speedup=None,
     )
 

@@ -644,22 +644,12 @@ def build_cluster_pairs(plan: LargeBA, cluster: int, n_pair_chunks: int = 4) -> 
     )
 
 
-def _cluster_precond_factors(C, G, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
-                             pair_a, pair_b, pair_q, pair_w):
-    """Cholesky factors of the (6G, 6G) cluster-diagonal blocks of S.
-
-    Same lane-major pair assembly as _dense_S_from_parts, restricted to
-    same-cluster pairs: K = ceil(C/G) blocks.  Returns (Lc (K, 6G, 6G),
-    s (K, 6G)) with Jacobi equilibration scales s (the f32 Cholesky at
-    6G ~ a few hundred needs the diagonal scaled to 1, same reasoning as
-    the dense-S solve).  Cameras past C in the padded last cluster get
-    unit diagonal."""
-    dtype = W.dtype
-    K = -(-C // G)
-    Cp = K * G
-
+def _T_lane_major(W, Hinv, li):
+    """Row-major (Mp, 18) copies of W and T = W·Hll^-1 — the shared input
+    of every pair-product assembly (pair gathers must be row gathers).
+    T[m, 3i+k] = sum_j W[3i+j, m] * Hinv[li[m]][j, k] (lane arithmetic)."""
     Wr = W.T  # (Mp, 18)
-    Hg = Hinv.T[li]  # (Mp, 9)
+    Hg = Hinv.T[li]  # (Mp, 9) padded gather
     Tr = jnp.stack(
         [
             Wr[:, 3 * i] * Hg[:, k] + Wr[:, 3 * i + 1] * Hg[:, 3 + k]
@@ -669,14 +659,28 @@ def _cluster_precond_factors(C, G, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
         ],
         axis=1,
     )  # (Mp, 18)
+    return Wr, Tr
 
+
+def _pair_products(Wr, Tr, n_pair_chunks, n_buckets,
+                   pair_a, pair_b, pair_q, pair_w):
+    """Accumulate the 36 block entries T_a W_b^T of every co-observation
+    pair into ``pair_q`` buckets: (n_buckets, 36) via one exact
+    segment_sum per pair chunk (cumsum boundary-diffs are NOT
+    precision-safe at a handful of pairs per bucket — same reasoning as
+    the landmark reduction in _linearize_stream).  Shared by the dense-S
+    assembly (buckets = C^2 camera pairs) and the cluster block-Jacobi
+    preconditioner (buckets = cluster-local pairs)."""
+    dtype = Wr.dtype
     P = pair_a.shape[0]
     Pc = P // n_pair_chunks
-    acc = jnp.zeros((K * G * G, 36), dtype)
+    acc = jnp.zeros((n_buckets, 36), dtype)
+    # unrolled host loop (not lax.scan): avoids double-buffering the
+    # bucket carry, and n_pair_chunks is small
     for k in range(n_pair_chunks):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, k * Pc, Pc, axis=0)
         pa, pb, q, w = sl(pair_a), sl(pair_b), sl(pair_q), sl(pair_w)
-        Tg = Tr[pa]
+        Tg = Tr[pa]  # (Pc, 18) padded gather
         Wg = Wr[pb]
         blocks = jnp.stack(
             [
@@ -690,15 +694,35 @@ def _cluster_precond_factors(C, G, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
                 for j in range(6)
             ],
             axis=1,
-        )
-        acc = acc + jax.ops.segment_sum(blocks, q, num_segments=K * G * G)
+        )  # (Pc, 36)
+        acc = acc + jax.ops.segment_sum(blocks, q, num_segments=n_buckets)
+    return acc
 
-    acc = -acc
-    # fold D (diag, half weight pre-sym) and same-cluster PP couplings
+
+def _cluster_precond_factors(C, G, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
+                             pair_a, pair_b, pair_q, pair_w):
+    """Cholesky factors of the (6G, 6G) cluster-diagonal blocks of S.
+
+    Same lane-major pair assembly as _dense_S_from_parts (shared
+    _pair_products helper), restricted to same-cluster pairs:
+    K = ceil(C/G) blocks.  Returns (Lc (K, 6G, 6G), s (K, 6G)) with
+    Jacobi equilibration scales s (the f32 Cholesky at 6G ~ a few
+    hundred needs the diagonal scaled to 1, same reasoning as the
+    dense-S solve).  Cameras past C in the padded last cluster get unit
+    diagonal (decoupled; _cluster_apply zero-pads their r-components)."""
+    dtype = W.dtype
+    K = -(-C // G)
+    Cp = K * G
+
+    Wr, Tr = _T_lane_major(W, Hinv, li)
+    acc = -_pair_products(Wr, Tr, n_pair_chunks, K * G * G,
+                          pair_a, pair_b, pair_q, pair_w)
+    # fold D (diag, half weight pre-sym: symmetrization doubles the
+    # diagonal bucket) and same-cluster PP couplings
     cam = jnp.arange(Cp, dtype=jnp.int32)
     diag_ids = (cam // G) * G * G + (cam % G) * G + (cam % G)
     Dp = jnp.concatenate(
-        [D.reshape(C, 36), jnp.tile(0.5 * jnp.eye(6, dtype=dtype).reshape(1, 36), (Cp - C, 1))]
+        [D.reshape(C, 36), jnp.tile(jnp.eye(6, dtype=dtype).reshape(1, 36), (Cp - C, 1))]
     ) if Cp > C else D.reshape(C, 36)
     acc = acc.at[diag_ids].add(0.5 * Dp)
     if PP is not None and PP.shape[0]:
@@ -746,48 +770,9 @@ def _dense_S_from_parts(C, n_pair_chunks, D, PP, pi, pj, W, Hinv, li,
     landmark reduction in _linearize_stream).  The block diagonal D and the
     pose-pose couplings PP are folded into the buckets pre-symmetrization
     (D at half weight: sym doubles the diagonal bucket)."""
-    dtype = W.dtype
-    Mp = W.shape[1]
-    P = pair_a.shape[0]
-    Pc = P // n_pair_chunks
-
-    Wr = W.T  # (Mp, 18) row-major copy: pair gathers must be row gathers
-    Hg = Hinv.T[li]  # (Mp, 9) padded gather
-    # T[m, 3i+k] = sum_j W[3i+j, m] * Hinv[li[m]][j, k]  (lane arithmetic)
-    Tr = jnp.stack(
-        [
-            Wr[:, 3 * i] * Hg[:, k] + Wr[:, 3 * i + 1] * Hg[:, 3 + k]
-            + Wr[:, 3 * i + 2] * Hg[:, 6 + k]
-            for i in range(6)
-            for k in range(3)
-        ],
-        axis=1,
-    )  # (Mp, 18)
-
-    acc = jnp.zeros((C * C, 36), dtype)
-    # unrolled host loop (not lax.scan): avoids double-buffering the
-    # (C^2, 36) carry, and n_pair_chunks is small
-    for k in range(n_pair_chunks):
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, k * Pc, Pc, axis=0)
-        pa, pb, q, w = sl(pair_a), sl(pair_b), sl(pair_q), sl(pair_w)
-        Tg = Tr[pa]  # (Pc, 18) padded gather
-        Wg = Wr[pb]
-        blocks = jnp.stack(
-            [
-                (
-                    Tg[:, 3 * i] * Wg[:, 3 * j]
-                    + Tg[:, 3 * i + 1] * Wg[:, 3 * j + 1]
-                    + Tg[:, 3 * i + 2] * Wg[:, 3 * j + 2]
-                )
-                * w
-                for i in range(6)
-                for j in range(6)
-            ],
-            axis=1,
-        )  # (Pc, 36)
-        acc = acc + jax.ops.segment_sum(blocks, q, num_segments=C * C)
-
-    acc = -acc
+    Wr, Tr = _T_lane_major(W, Hinv, li)
+    acc = -_pair_products(Wr, Tr, n_pair_chunks, C * C,
+                          pair_a, pair_b, pair_q, pair_w)
     diag_ids = jnp.arange(C, dtype=jnp.int32) * (C + 1)
     acc = acc.at[diag_ids].add(0.5 * D.reshape(C, 36))
     if PP is not None and PP.shape[0]:
@@ -812,7 +797,13 @@ def _stale_factor(
     10k-dof factorization cost ~2 s at Venice scale, but the factor then
     solves S x = r in two ~27 ms triangular solves — so reusing it across
     k LM iterations turns 20 SCHUR_JACOBI CG iterations into ~2-4
-    (docs/PERFORMANCE.md round-5 stale-S section).  Returns (Lc, s)."""
+    (docs/PERFORMANCE.md round-5 stale-S section).  Returns (Lc, s).
+
+    Cost note: the refresh solve pays _schur_prepare twice (once here,
+    once inside the fused PCG program) — ~0.3 s extra per refresh at
+    Venice scale, included in the recorded measurements; folding the
+    factor build into the fused solve would save it if this path ever
+    graduates from its measured-negative status."""
     _Hpp_d, Hinv, W_m, PP_m, _g_l_m, _g_red, _Dinv, _live, _W_l, D = _schur_prepare(
         method, C, L, Hpp, g_p, Hll, g_l, W, PP, free_p, free_l, ci, li, pi, pj,
         cam_starts, lam, lorder=lorder, dual=False,
@@ -1144,6 +1135,12 @@ def solve_schur_large(
         raise ValueError(
             f"precond must be 'jacobi', 'cluster' or 'stale', got {precond!r}"
         )
+    if linear == "pcg" and precond in ("cluster", "stale") and pcg_max_iters > 60:
+        # validate BEFORE the (expensive) pair-table builds below
+        raise ValueError(
+            f"precond={precond!r} runs in the fused PCG path only "
+            "(pcg_max_iters <= 60)"
+        )
     pairs = None
     if linear == "dense" or (linear == "pcg" and precond == "stale"):
         # pair tables are part of the observation-pattern plan: lazily
@@ -1154,14 +1151,13 @@ def solve_schur_large(
         pairs = lb.pairs if linear == "dense" else None
     cluster = 0
     cpairs = None
-    if linear == "pcg" and precond in ("cluster", "stale") and pcg_max_iters > 60:
-        raise ValueError(
-            f"precond={precond!r} runs in the fused PCG path only "
-            "(pcg_max_iters <= 60)"
-        )
     if linear == "pcg" and precond == "cluster":
         cluster = cluster_size
-        if lb.cpairs is None or lb.cpairs_G != cluster:
+        if (
+            lb.cpairs is None
+            or lb.cpairs_G != cluster
+            or lb.cpairs.n_pair_chunks != n_pair_chunks
+        ):
             lb.cpairs = build_cluster_pairs(lb, cluster, n_pair_chunks)
             lb.cpairs_G = cluster
         cpairs = lb.cpairs

@@ -54,15 +54,23 @@ def main():
     )
     wall = time.perf_counter() - t0
     iters = len(hist) - 1
-    # gradient inf-norm at the solution (one extra linearize)
+    # gradient inf-norm at the solution (one extra linearize) — includes
+    # the unary/pose-pose contributions (gauge prior) the observation
+    # stream omits (ADVICE r5)
+    from pyslam_tpu.solver.schur_large import _unary_contrib
+
     lb = prepare_large_ba(solved, 128)
     out = _linearize_stream(
         lb.kind, lb.loss, 128, lb.C, lb.L, True, lb.trails,
         lb.poses, lb.lms, lb.obs_data, lb.ci, lb.li, lb.w_pad,
         lb.cam_starts, lb.lorder, lb.lm_starts,
     )
+    g_p = out[2]
+    if lb.unary:
+        _, _, g_u, _ = _unary_contrib(lb.unary, lb.poses, lb.C, True)
+        g_p = g_p + g_u
     g_inf = float(
-        max(float(jnp.abs(out[2]).max()), float(jnp.abs(out[4]).max()))
+        max(float(jnp.abs(g_p).max()), float(jnp.abs(out[4]).max()))
     )
     row = dict(
         config="6_venice_full_convergence",
