@@ -342,6 +342,32 @@ class TestClusterPrecond:
         )
         np.testing.assert_allclose(chi2_s, chi2_j, rtol=1e-8)
 
+    def test_stale_reuses_dense_pair_tables(self):
+        # precond="stale" builds the same co-observation pair tables the
+        # dense-S solve uses, caches them on the plan, and reuses them
+        from pyslam_tpu.solver.schur_large import prepare_large_ba
+
+        g = stereo_graph(seed=6)
+        opts = Options(method="lm", max_iters=5)
+        plan = prepare_large_ba(g, 4)
+        solve_schur_large(g, opts, n_chunks=4, plan=plan, precond="stale")
+        pairs = plan.pairs
+        assert pairs is not None
+        solve_schur_large(g, opts, n_chunks=4, plan=plan, precond="stale")
+        assert plan.pairs is pairs
+
+    def test_stale_budget_validated_before_pair_build(self):
+        from pyslam_tpu.solver.schur_large import prepare_large_ba
+
+        g = stereo_graph(seed=6)
+        plan = prepare_large_ba(g, 4)
+        with pytest.raises(ValueError, match="fused"):
+            solve_schur_large(
+                g, Options(method="lm", max_iters=5), n_chunks=4, plan=plan,
+                precond="stale", pcg_max_iters=100,
+            )
+        assert plan.pairs is None  # the invalid call must not mutate the plan
+
     def test_plan_caches_cluster_pairs(self):
         from pyslam_tpu.solver.schur_large import prepare_large_ba
 
