@@ -77,6 +77,85 @@ def pose_graph(
     return FactorGraph(blocks, [batch])
 
 
+def switchable_pose_graph(
+    data,
+    loss=None,
+    anchor_first: bool = True,
+    dtype=jnp.float32,
+    init: str = "odometry",
+    xi: float = 5.0,
+    loop_mask=None,
+) -> FactorGraph:
+    """Pose graph with SWITCHABLE loop closures (Suenderhauf & Protzel
+    ICRA 2012): odometry edges stay plain between factors; each loop edge
+    gets a scalar switch variable (block "switches", init 1.0) through the
+    ``between_*_switch`` kernel, whose xi-weighted prior row lets wrong
+    loop closures turn themselves off during optimization.  Beyond-
+    reference; the weight-based alternative is solver/gnc.solve_gnc.
+
+    ``xi`` sets the switch prior stiffness: too small and correct loops
+    switch off before the drifted odometry init corrects (measured: xi=2
+    kills inliers on a 60-pose loop, xi=5 separates cleanly — inliers
+    >0.94, outliers <0.01; tests/test_switchable.py); too large and
+    outliers stay half-on.
+
+    ``loop_mask``: boolean (E,) marking which edges are loop closures;
+    defaults to non-consecutive edges (|i - j| != 1).  Read the converged
+    switch values from ``solved.blocks["switches"].values[:, 0]`` — near 0
+    means the edge was rejected.  Solve with ``solver.solve`` (dense path;
+    2-block graphs with 3-slot factors are outside the Schur routes)."""
+    loss = loss if loss is not None else L2Loss()
+    kind = "se2" if data.dim == 2 else "se3"
+    T0 = data.T_gt if init == "gt" else data.T_init
+    n = T0.shape[0]
+    const = np.zeros(n, bool)
+    if anchor_first:
+        const[0] = True
+    ei = np.asarray(data.edges_i)
+    ej = np.asarray(data.edges_j)
+    if loop_mask is None:
+        loop_mask = np.abs(ei - ej) != 1
+    loop_mask = np.asarray(loop_mask, bool)
+    odo = ~loop_mask
+    n_loops = int(loop_mask.sum())
+    blocks = {
+        "poses": VariableBlock.create(kind, jnp.asarray(T0, dtype), const),
+        "switches": VariableBlock.create(
+            "euclidean", jnp.ones((max(n_loops, 1), 1), dtype)
+        ),
+    }
+    batches = [
+        FactorBatch.create(
+            kind=f"between_{kind}",
+            slots=("poses", "poses"),
+            indices=(ei[odo], ej[odo]),
+            data={
+                "T_obs": jnp.asarray(np.asarray(data.T_meas)[odo], dtype),
+                "sqrt_info": jnp.asarray(np.asarray(data.sqrt_info)[odo], dtype),
+            },
+            loss=loss,
+        ),
+        FactorBatch.create(
+            kind=f"between_{kind}_switch",
+            slots=("poses", "poses", "switches"),
+            indices=(
+                ei[loop_mask],
+                ej[loop_mask],
+                np.arange(n_loops, dtype=np.int32),
+            ),
+            data={
+                "T_obs": jnp.asarray(np.asarray(data.T_meas)[loop_mask], dtype),
+                "sqrt_info": jnp.asarray(
+                    np.asarray(data.sqrt_info)[loop_mask], dtype
+                ),
+                "xi": jnp.full((n_loops,), xi, dtype),
+            },
+            loss=loss,
+        ),
+    ]
+    return FactorGraph(blocks, batches)
+
+
 def sim3_pose_graph(
     data, loss=None, anchor_first: bool = True, dtype=jnp.float32, init: str = "odometry"
 ) -> FactorGraph:

@@ -98,6 +98,49 @@ def between_se2(data, T1, T2, compute_jacobians=True):
     return _between(se2, data, T1, T2, compute_jacobians)
 
 
+# --------------------------------------------------------------------------
+# Switchable constraints (Suenderhauf & Protzel ICRA 2012, "Vertigo"):
+#   r = [ s * sqrt_info * log(T_est * T_obs^-1) ;  xi * (1 - s) ]
+# Each loop closure carries a scalar switch s (init 1); an outlier edge is
+# cheaper to switch OFF (paying the xi prior) than to satisfy, so wrong
+# loop closures disable themselves DURING optimization.  The complementary
+# robust path is solver/gnc.py (graduated non-convexity); switchable
+# constraints keep a per-edge posterior "is this loop real" variable, which
+# GNC's weights do not expose to downstream modules.  Beyond-reference.
+# --------------------------------------------------------------------------
+
+
+def _between_switch(ops, data, T1, T2, s, compute_jacobians):
+    r_b, jac = _between(ops, data, T1, T2, compute_jacobians)
+    sv = s[:, 0:1]  # (F, 1) switch value; linear Psi(s) = s (unconstrained:
+    # the xi prior pulls toward 1, outliers settle near 0 — measured in
+    # tests; no clamp so the residual stays smooth everywhere)
+    xi = data["xi"]
+    xi = xi[:, None] if xi.ndim == 1 else xi  # (F, 1)
+    r = jnp.concatenate([sv * r_b, xi * (1.0 - sv)], axis=1)
+    if not compute_jacobians:
+        return r, None
+    J1, J2 = jac
+    F, m = r_b.shape
+    zrow = jnp.zeros((F, 1, J1.shape[2]), J1.dtype)
+    J1s = jnp.concatenate([sv[:, :, None] * J1, zrow], axis=1)
+    J2s = jnp.concatenate([sv[:, :, None] * J2, zrow], axis=1)
+    Js = jnp.concatenate([r_b[:, :, None], -xi[:, :, None]], axis=1)  # (F, m+1, 1)
+    return r, (J1s, J2s, Js)
+
+
+@register_factor("between_se2_switch")
+def between_se2_switch(data, T1, T2, s, compute_jacobians=True):
+    """Switchable SE(2) loop-closure factor (slots: pose_i, pose_j, switch)."""
+    return _between_switch(se2, data, T1, T2, s, compute_jacobians)
+
+
+@register_factor("between_se3_switch")
+def between_se3_switch(data, T1, T2, s, compute_jacobians=True):
+    """Switchable SE(3) loop-closure factor (slots: pose_i, pose_j, switch)."""
+    return _between_switch(se3, data, T1, T2, s, compute_jacobians)
+
+
 @register_factor("between_sim3")
 def between_sim3(data, S1, S2, compute_jacobians=True):
     """Sim(3) relative-similarity factor — the scale-drift-aware loop

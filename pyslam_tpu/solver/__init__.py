@@ -158,7 +158,18 @@ def route_auto(
     kinds = {name: b.kind for name, b in blocks.items()}
     lie_blocks = [n for n, k in kinds.items() if k != "euclidean"]
     euc_blocks = [n for n, k in kinds.items() if k == "euclidean"]
-    is_ba = len(blocks) == 2 and len(lie_blocks) == 1 and len(euc_blocks) == 1
+    # BA shape = one lie + one euclidean block AND at least one (pose,
+    # landmark) binary batch — a 2-block graph coupled only by other
+    # factor arities (e.g. switchable pose graphs: poses + switches via
+    # 3-slot factors) is NOT BA and must not enter the Schur routes
+    is_ba = (
+        len(blocks) == 2
+        and len(lie_blocks) == 1
+        and len(euc_blocks) == 1
+        and any(
+            fb.slots == (lie_blocks[0], euc_blocks[0]) for fb in graph.batches
+        )
+    )
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
 
     if mesh is not None and n_dev > 1:

@@ -1,0 +1,131 @@
+"""Switchable loop-closure constraints (Suenderhauf & Protzel ICRA 2012;
+beyond-reference): analytic Jacobians vs autodiff, outlier loops turning
+themselves off during optimization, and routing (2-block poses+switches
+graphs must NOT enter the Schur paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyslam_tpu.graph import build
+from pyslam_tpu.graph.core import FACTOR_KERNELS
+from pyslam_tpu.io import synth
+from pyslam_tpu.lie import se2, se3
+from pyslam_tpu.solver import Options, route_auto, solve
+
+
+class TestSwitchKernelJacobians:
+    @pytest.mark.parametrize("ops,dof,kind", [(se3, 6, "between_se3_switch"),
+                                              (se2, 3, "between_se2_switch")])
+    def test_vs_autodiff(self, ops, dof, kind):
+        rng = np.random.default_rng(3)
+        F = 4
+        T1 = ops.exp(jnp.asarray(rng.normal(size=(F, dof))))
+        T2 = ops.exp(jnp.asarray(rng.normal(size=(F, dof))))
+        s = jnp.asarray(rng.uniform(0.2, 1.1, size=(F, 1)))
+        data = {
+            "T_obs": ops.exp(jnp.asarray(rng.normal(size=(F, dof)) * 0.1)),
+            "sqrt_info": jnp.asarray(
+                np.stack([np.diag(rng.uniform(0.5, 2, dof)) for _ in range(F)])
+            ),
+            "xi": jnp.asarray(rng.uniform(0.5, 2, size=F)),
+        }
+        kern = FACTOR_KERNELS[kind]
+        r, (J1, J2, Js) = kern(data, T1, T2, s, compute_jacobians=True)
+        assert r.shape == (F, dof + 1)
+
+        f1 = lambda e: kern(data, ops.exp(e[None]) @ T1, T2, s,
+                            compute_jacobians=False)[0]
+        f2 = lambda e: kern(data, T1, ops.exp(e[None]) @ T2, s,
+                            compute_jacobians=False)[0]
+        fs = lambda e: kern(data, T1, T2, s + e[None], compute_jacobians=False)[0]
+        for J, f, d in [(J1, f1, dof), (J2, f2, dof), (Js, fs, 1)]:
+            # shared-eps trick: every factor perturbed at once; row f of the
+            # residual depends only on row f of each slot
+            Jn = jax.jacfwd(f)(jnp.zeros(d, jnp.float64))
+            np.testing.assert_allclose(np.asarray(J), np.asarray(Jn), atol=1e-9)
+
+    def test_prior_row_zero_at_s_one(self):
+        T = se2.exp(jnp.zeros((1, 3), jnp.float64))
+        data = {
+            "T_obs": se2.exp(jnp.zeros((1, 3), jnp.float64)),
+            "sqrt_info": jnp.eye(3, dtype=jnp.float64)[None],
+            "xi": jnp.ones(1, jnp.float64),
+        }
+        r, _ = FACTOR_KERNELS["between_se2_switch"](
+            data, T, T, jnp.ones((1, 1), jnp.float64), compute_jacobians=False
+        )
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-12)
+
+
+def _outlier_graph(seed=0, n_bad=3):
+    """se2 loop with n_bad WRONG loop-closure measurements appended."""
+    data = synth.se2_loop(n_poses=60, n_loops=8, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    ei = np.asarray(data.edges_i).copy()
+    ej = np.asarray(data.edges_j).copy()
+    T_meas = np.asarray(data.T_meas).copy()
+    sqrt_info = np.asarray(data.sqrt_info).copy()
+    bad_i = rng.integers(0, 25, n_bad)
+    bad_j = rng.integers(30, 59, n_bad)
+    bad_T = np.asarray(se2.exp(jnp.asarray(rng.normal(size=(n_bad, 3)) * 2.0)))
+    ei = np.concatenate([ei, bad_i.astype(ei.dtype)])
+    ej = np.concatenate([ej, bad_j.astype(ej.dtype)])
+    T_meas = np.concatenate([T_meas, bad_T])
+    sqrt_info = np.concatenate([sqrt_info, sqrt_info[-n_bad:]])
+    import dataclasses
+
+    data2 = dataclasses.replace(
+        data, edges_i=ei, edges_j=ej, T_meas=T_meas, sqrt_info=sqrt_info
+    )
+    n_real_loops = int((np.abs(np.asarray(data.edges_i) - np.asarray(data.edges_j)) != 1).sum())
+    return data, data2, n_real_loops, n_bad
+
+
+class TestSwitchableOutlierRejection:
+    def test_wrong_loops_switch_off(self):
+        clean, poisoned, n_real, n_bad = _outlier_graph()
+        g = build.switchable_pose_graph(poisoned, dtype=jnp.float64, xi=5.0)
+        solved, info = solve(g, Options(method="lm", max_iters=60))
+        s = np.asarray(solved.blocks["switches"].values)[:, 0]
+        # switch variables are ordered: real loops first, injected last
+        assert s[-n_bad:].max() < 0.25, f"outlier switches stayed on: {s[-n_bad:]}"
+        assert s[:n_real].min() > 0.75, f"inlier switches turned off: {s[:n_real]}"
+        # trajectory must match the clean-graph solution despite the poison
+        g_clean = build.pose_graph(clean, dtype=jnp.float64)
+        solved_c, _ = solve(g_clean, Options(method="lm", max_iters=60))
+        T_sw = np.asarray(solved.blocks["poses"].values)
+        T_cl = np.asarray(solved_c.blocks["poses"].values)
+        err = np.abs(T_sw[:, :2, 2] - T_cl[:, :2, 2]).max()
+        assert err < 0.05, f"poisoned-graph trajectory off by {err}"
+
+    def test_clean_graph_keeps_switches_on(self):
+        clean, _, n_real, _ = _outlier_graph()
+        g = build.switchable_pose_graph(clean, dtype=jnp.float64, xi=5.0)
+        solved, _ = solve(g, Options(method="lm", max_iters=60))
+        s = np.asarray(solved.blocks["switches"].values)[:, 0]
+        assert s.min() > 0.8
+
+
+class TestSwitchableRouting:
+    def test_single_chip_routes_dense_not_schur(self):
+        clean, _, _, _ = _outlier_graph()
+        g = build.switchable_pose_graph(clean, dtype=jnp.float64)
+        # 2-block lie+euclidean graph with NO (pose, landmark) batch must
+        # not be mistaken for BA
+        assert route_auto(g) == "dense"
+
+    def test_mesh_routes_factor_parallel(self):
+        from pyslam_tpu.dist import make_mesh
+        from pyslam_tpu.solver import solve_auto
+
+        clean, _, _, _ = _outlier_graph()
+        g = build.switchable_pose_graph(clean, dtype=jnp.float64, xi=5.0)
+        mesh = make_mesh(8, axis_name="f")
+        assert route_auto(g, mesh=mesh) == "factor_parallel"
+        solved, hist = solve_auto(g, Options(method="lm", max_iters=40), mesh=mesh)
+        _, info_ref = solve_auto(g, Options(method="lm", max_iters=40))
+        np.testing.assert_allclose(
+            float(hist[-1]), float(info_ref.chi2), rtol=1e-5
+        )
