@@ -1,6 +1,7 @@
 """TrajectoryMetrics / TrajectoryVisualizer (reference L6 parity,
 SURVEY.md §3.5): error definitions, segment errors, serialization, plots."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -158,3 +159,82 @@ class TestVisualizer:
         viz.plot_cum_norm_err(outfile=str(tmp_path / "cum.png"))
         for name in ["topdown.png", "seg.png", "norm.png", "cum.png"]:
             assert (tmp_path / name).stat().st_size > 1000
+
+
+class TestTrajectorySync:
+    """Timestamp association + SE(3) interpolation (eval/sync.py;
+    evo-style trajectory sync — beyond-reference)."""
+
+    def test_associate_nearest_within_tolerance(self):
+        from pyslam_tpu.eval import associate
+
+        t_ref = np.arange(0.0, 1.0, 0.1)
+        rng = np.random.default_rng(0)
+        t_est = t_ref + rng.uniform(-0.015, 0.015, t_ref.shape)
+        i, j = associate(t_ref, t_est, max_dt=0.02)
+        assert len(i) == len(t_ref)
+        np.testing.assert_array_equal(i, j)
+
+    def test_associate_respects_max_dt_and_uniqueness(self):
+        from pyslam_tpu.eval import associate
+
+        t_ref = np.array([0.0, 1.0, 2.0])
+        t_est = np.array([0.005, 0.009, 5.0])  # two near 0.0, one far
+        i, j = associate(t_ref, t_est, max_dt=0.02)
+        # only ONE est stamp may claim ref 0.0; the far stamp matches nothing
+        assert len(i) == 1 and i[0] == 0 and j[0] == 0
+
+    def test_associate_offset(self):
+        from pyslam_tpu.eval import associate
+
+        t_ref = np.array([10.0, 11.0])
+        t_est = np.array([0.0, 1.0])  # 10 s clock skew
+        i, j = associate(t_ref, t_est, max_dt=0.01, offset=10.0)
+        assert len(i) == 2
+
+    def test_interpolate_midpoint_geodesic(self):
+        from pyslam_tpu.eval import interpolate_poses
+        from pyslam_tpu.lie import se3
+
+        xi = jnp.asarray([0.3, -0.2, 0.5, 0.2, -0.1, 0.15], jnp.float64)
+        Ta = np.asarray(se3.exp(jnp.zeros((1, 6), jnp.float64)))[0]
+        Tb = np.asarray(se3.exp(xi[None]))[0]
+        T = np.stack([Ta, Tb])
+        Tm = interpolate_poses(T, [0.0, 1.0], [0.5])[0]
+        T_expect = np.asarray(se3.exp(0.5 * xi[None]))[0]
+        np.testing.assert_allclose(Tm, T_expect, atol=1e-9)
+
+    def test_interpolate_at_knots_exact(self):
+        from pyslam_tpu.eval import interpolate_poses
+        from pyslam_tpu.lie import se3
+
+        rng = np.random.default_rng(1)
+        T = np.asarray(se3.exp(jnp.asarray(rng.normal(size=(5, 6)) * 0.3)))
+        t = np.array([0.0, 0.5, 1.1, 2.0, 3.5])
+        Tq = interpolate_poses(T, t, t)
+        np.testing.assert_allclose(Tq, T, atol=1e-9)
+
+    def test_interpolate_out_of_range_raises(self):
+        from pyslam_tpu.eval import interpolate_poses
+
+        T = np.tile(np.eye(4), (2, 1, 1))
+        with pytest.raises(ValueError, match="outside"):
+            interpolate_poses(T, [0.0, 1.0], [2.0])
+        # clamped when extrapolate=True
+        Tq = interpolate_poses(T, [0.0, 1.0], [2.0], extrapolate=True)
+        np.testing.assert_allclose(Tq[0], np.eye(4), atol=1e-12)
+
+    def test_end_to_end_sync_then_metrics(self):
+        """Different-rate trajectories: interpolate gt at est stamps, then
+        ATE — the full real-dataset evaluation recipe."""
+        from pyslam_tpu.eval import TrajectoryMetrics, interpolate_poses
+        from pyslam_tpu.lie import se3
+
+        t_gt = np.linspace(0.0, 10.0, 101)  # 10 Hz ground truth
+        xi_rate = jnp.asarray([0.1, 0.02, 0.0, 0.0, 0.0, 0.05], jnp.float64)
+        T_gt = np.asarray(se3.exp(jnp.asarray(t_gt)[:, None] * xi_rate[None]))
+        t_est = np.linspace(0.3, 9.7, 48)  # ~5 Hz estimates, offset window
+        T_est = np.asarray(se3.exp(jnp.asarray(t_est)[:, None] * xi_rate[None]))
+        T_gt_at_est = interpolate_poses(T_gt, t_gt, t_est)
+        tm = TrajectoryMetrics(T_gt_at_est, T_est, convention="Twv")
+        assert float(tm.armse("trans")) < 1e-6
