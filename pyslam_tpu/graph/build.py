@@ -83,8 +83,9 @@ def switchable_pose_graph(
     anchor_first: bool = True,
     dtype=jnp.float32,
     init: str = "odometry",
-    xi: float = 5.0,
+    xi=5.0,
     loop_mask=None,
+    s_init=None,
 ) -> FactorGraph:
     """Pose graph with SWITCHABLE loop closures (Suenderhauf & Protzel
     ICRA 2012): odometry edges stay plain between factors; each loop edge
@@ -98,6 +99,10 @@ def switchable_pose_graph(
     kills inliers on a 60-pose loop, xi=5 separates cleanly — inliers
     >0.94, outliers <0.01; tests/test_switchable.py); too large and
     outliers stay half-on.
+
+    ``xi`` and ``s_init`` may be per-loop-edge arrays — e.g. straight from
+    ``io.g2o.read_g2o_switchable`` (Vertigo dataset files):
+    ``build.switchable_pose_graph(data, **sw)``.
 
     ``loop_mask``: boolean (E,) marking which edges are loop closures;
     defaults to non-consecutive edges (|i - j| != 1).  Read the converged
@@ -118,11 +123,16 @@ def switchable_pose_graph(
     loop_mask = np.asarray(loop_mask, bool)
     odo = ~loop_mask
     n_loops = int(loop_mask.sum())
+    s0 = (
+        np.ones((max(n_loops, 1), 1))
+        if s_init is None
+        else np.broadcast_to(
+            np.asarray(s_init, np.float64).reshape(-1, 1), (max(n_loops, 1), 1)
+        )
+    )
     blocks = {
         "poses": VariableBlock.create(kind, jnp.asarray(T0, dtype), const),
-        "switches": VariableBlock.create(
-            "euclidean", jnp.ones((max(n_loops, 1), 1), dtype)
-        ),
+        "switches": VariableBlock.create("euclidean", jnp.asarray(s0, dtype)),
     }
     batches = [
         FactorBatch.create(
@@ -148,7 +158,10 @@ def switchable_pose_graph(
                 "sqrt_info": jnp.asarray(
                     np.asarray(data.sqrt_info)[loop_mask], dtype
                 ),
-                "xi": jnp.full((n_loops,), xi, dtype),
+                "xi": jnp.asarray(
+                    np.broadcast_to(np.asarray(xi, np.float64), (n_loops,)),
+                    dtype,
+                ),
             },
             loss=loss,
         ),

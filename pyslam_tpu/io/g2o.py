@@ -63,6 +63,10 @@ _G2O_WIDTH = {  # numeric fields per record (incl. integer id/index fields)
     "VERTEX_SE3:QUAT": 8, "EDGE_SE3:QUAT": 30,
     "VERTEX_SIM3:QUAT": 9, "EDGE_SIM3:QUAT": 38,
     "VERTEX_XY": 3, "EDGE_SE2_XY": 7,
+    # Vertigo switchable-constraint records (Suenderhauf's datasets:
+    # manhattanOlson3500 with outliers, city10000, ...)
+    "VERTEX_SWITCH": 2, "EDGE_SWITCH_PRIOR": 3,
+    "EDGE_SE2_SWITCHABLE": 12, "EDGE_SE3_SWITCHABLE": 31,
 }
 
 
@@ -397,3 +401,110 @@ def write_g2o(path, data: PoseGraphData, use_init: bool = True):
                 up = [info[a, b] for a in range(dof) for b in range(a, dof)]
                 row = list(t) + list(q) + ([s] if is_sim3 else []) + up
                 f.write(f"{etag} {gi} {gj} " + " ".join(f"{v:.9g}" for v in row) + "\n")
+
+
+def read_g2o_switchable(path):
+    """Parse a Vertigo-format g2o file (Suenderhauf's switchable-constraint
+    datasets: VERTEX_SWITCH / EDGE_SWITCH_PRIOR / EDGE_SE2_SWITCHABLE /
+    EDGE_SE3_SWITCHABLE alongside the regular pose records).
+
+    Returns ``(data, sw)``: ``data`` is PoseGraphData whose edge arrays are
+    the regular edges followed by the switchable ones, and ``sw`` a dict
+    with ``loop_mask`` (True on the appended switchable edges, per-edge),
+    ``xi`` (per-switchable-edge prior stiffness, sqrt of the
+    EDGE_SWITCH_PRIOR information scalar; 1.0 where absent) and ``s_init``
+    (per-switchable-edge VERTEX_SWITCH initial values).  Feed straight into
+    ``build.switchable_pose_graph(data, **sw)``."""
+    import dataclasses
+
+    recs = _tokenize_g2o(path)
+    base = read_g2o(path)  # regular records only; switch tags are separate
+    if base.dim == 2:
+        sw = recs.get("EDGE_SE2_SWITCHABLE", np.zeros((0, 12)))
+        M = _se2_mats(sw[:, 3:6])
+        info = _unpack_upper_batch(sw[:, 6:12], 3)
+    else:
+        sw = recs.get("EDGE_SE3_SWITCHABLE", np.zeros((0, 31)))
+        M = _se3_mats(sw[:, 3:6], sw[:, 6:10])
+        info = _unpack_upper_batch(sw[:, 10:31], 6)
+    ei = sw[:, 0].astype(np.int64)
+    ej = sw[:, 1].astype(np.int64)
+    sid = sw[:, 2].astype(np.int64)
+
+    vs = recs.get("VERTEX_SWITCH", np.zeros((0, 2)))
+    s_ids = vs[:, 0].astype(np.int64)
+    order = np.argsort(s_ids)
+    s_ids_sorted = s_ids[order]
+    s_vals = vs[order, 1] if len(vs) else np.zeros(0)
+    xi_by_switch = np.ones(len(s_ids_sorted))
+    sp = recs.get("EDGE_SWITCH_PRIOR", np.zeros((0, 3)))
+    if len(sp):
+        pos = _dense_index(s_ids_sorted, sp[:, 0].astype(np.int64), "switch")
+        xi_by_switch[pos] = np.sqrt(np.clip(sp[:, 2], 0.0, None))
+    sw_idx = _dense_index(s_ids_sorted, sid, "switch")
+
+    n_reg = len(base.edges_i)
+    data = dataclasses.replace(
+        base,
+        # our (slot1, slot2) = (j, i) in g2o terms, matching read_g2o
+        edges_i=np.concatenate([base.edges_i, ej]),
+        edges_j=np.concatenate([base.edges_j, ei]),
+        T_meas=np.concatenate([base.T_meas, M]),
+        sqrt_info=np.concatenate([base.sqrt_info, _sqrt_info_batch(info)]),
+    )
+    loop_mask = np.zeros(n_reg + len(ei), bool)
+    loop_mask[n_reg:] = True
+    return data, dict(
+        loop_mask=loop_mask,
+        xi=xi_by_switch[sw_idx],
+        s_init=s_vals[sw_idx] if len(s_vals) else np.ones(len(sw_idx)),
+    )
+
+
+def write_g2o_switchable(path, data, loop_mask, xi=5.0, s_init=None,
+                         use_init: bool = True):
+    """Write PoseGraphData as a Vertigo-format 2D file: regular records for
+    non-loop edges, VERTEX_SWITCH + EDGE_SWITCH_PRIOR + EDGE_SE2_SWITCHABLE
+    for the ``loop_mask`` edges (inverse of read_g2o_switchable; SE2 only —
+    the published Vertigo datasets are 2D)."""
+    import dataclasses
+
+    if data.dim != 2:
+        raise NotImplementedError("write_g2o_switchable supports SE2 only")
+    loop_mask = np.asarray(loop_mask, bool)
+    n_loops = int(loop_mask.sum())
+    xi = np.broadcast_to(np.asarray(xi, np.float64), (n_loops,))
+    s_init = (
+        np.ones(n_loops) if s_init is None
+        else np.broadcast_to(np.asarray(s_init, np.float64), (n_loops,))
+    )
+    odo = ~loop_mask
+    base = dataclasses.replace(
+        data,
+        edges_i=np.asarray(data.edges_i)[odo],
+        edges_j=np.asarray(data.edges_j)[odo],
+        T_meas=np.asarray(data.T_meas)[odo],
+        sqrt_info=np.asarray(data.sqrt_info)[odo],
+    )
+    write_g2o(path, base, use_init=use_init)
+    n_poses = data.T_init.shape[0]
+    li = np.asarray(data.edges_i)[loop_mask]
+    lj = np.asarray(data.edges_j)[loop_mask]
+    lM = np.asarray(data.T_meas)[loop_mask]
+    lS = np.asarray(data.sqrt_info)[loop_mask]
+    with open(path, "a") as f:
+        for k in range(n_loops):
+            sid = n_poses + k  # switch vertices share the g2o id space
+            f.write(f"VERTEX_SWITCH {sid} {s_init[k]:.9g}\n")
+            f.write(f"EDGE_SWITCH_PRIOR {sid} 1 {xi[k] ** 2:.9g}\n")
+            gj, gi = int(li[k]), int(lj[k])  # slot convention inverse
+            M = lM[k]
+            th = np.arctan2(M[1, 0], M[0, 0])
+            info = lS[k].T @ lS[k]
+            up = [info[a, b] for a in range(3) for b in range(a, 3)]
+            f.write(
+                f"EDGE_SE2_SWITCHABLE {gi} {gj} {sid} "
+                f"{M[0, 2]:.9g} {M[1, 2]:.9g} {th:.9g} "
+                + " ".join(f"{v:.9g}" for v in up)
+                + "\n"
+            )

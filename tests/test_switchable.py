@@ -129,3 +129,51 @@ class TestSwitchableRouting:
         np.testing.assert_allclose(
             float(hist[-1]), float(info_ref.chi2), rtol=1e-5
         )
+
+
+class TestVertigoG2o:
+    """Vertigo-format g2o round trip (VERTEX_SWITCH / EDGE_SWITCH_PRIOR /
+    EDGE_SE2_SWITCHABLE) and file -> solve end-to-end."""
+
+    def test_round_trip(self, tmp_path):
+        from pyslam_tpu.io.g2o import read_g2o_switchable, write_g2o_switchable
+
+        _, poisoned, n_real, n_bad = _outlier_graph()
+        ei = np.asarray(poisoned.edges_i)
+        ej = np.asarray(poisoned.edges_j)
+        loop_mask = np.abs(ei - ej) != 1
+        rng = np.random.default_rng(2)
+        xi = rng.uniform(2.0, 8.0, int(loop_mask.sum()))
+        s0 = rng.uniform(0.5, 1.0, int(loop_mask.sum()))
+        path = str(tmp_path / "vertigo.g2o")
+        write_g2o_switchable(path, poisoned, loop_mask, xi=xi, s_init=s0)
+        data, sw = read_g2o_switchable(path)
+        assert int(sw["loop_mask"].sum()) == int(loop_mask.sum())
+        np.testing.assert_allclose(sw["xi"], xi, rtol=1e-6)
+        np.testing.assert_allclose(sw["s_init"], s0, rtol=1e-6)
+        # edge sets match (file reorders loops after odometry)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(data.edges_i)), np.sort(ei)
+        )
+        # measurements of the switchable edges survive the text round trip
+        lm_file = np.asarray(data.T_meas)[sw["loop_mask"]]
+        lm_orig = np.asarray(poisoned.T_meas)[loop_mask]
+        key = lambda A: A[np.lexsort(A.reshape(len(A), -1).T)]
+        np.testing.assert_allclose(key(lm_file), key(lm_orig), atol=1e-6)
+
+    def test_file_to_solve_end_to_end(self, tmp_path):
+        from pyslam_tpu.io.g2o import read_g2o_switchable, write_g2o_switchable
+
+        _, poisoned, n_real, n_bad = _outlier_graph()
+        ei = np.asarray(poisoned.edges_i)
+        ej = np.asarray(poisoned.edges_j)
+        loop_mask = np.abs(ei - ej) != 1
+        path = str(tmp_path / "vertigo.g2o")
+        write_g2o_switchable(path, poisoned, loop_mask, xi=5.0)
+        data, sw = read_g2o_switchable(path)
+        g = build.switchable_pose_graph(data, dtype=jnp.float64, **sw)
+        solved, _ = solve(g, Options(method="lm", max_iters=60))
+        s = np.asarray(solved.blocks["switches"].values)[:, 0]
+        # the 3 injected outliers are the LAST loop edges written
+        assert s[-n_bad:].max() < 0.25
+        assert np.sort(s)[n_bad:].min() > 0.75
