@@ -119,8 +119,12 @@ def test_route_auto_keeps_pcg_for_dense_coobservation():
 
 def test_route_survives_zero_observation_batches():
     """BA-shaped graph (pose + landmark blocks) with only pose batches:
-    the sparse-Schur gate must not crash on the empty observation list
-    (regression: np.concatenate([]) in coobservation_stats)."""
+    the router must not crash on the empty observation list (regression:
+    np.concatenate([]) in coobservation_stats).  Since round 5 a 2-block
+    graph with NO pose-landmark batch is not considered BA at all
+    (switchable graphs and this degenerate case both lack Schur
+    structure) and routes through the generic dense path instead of the
+    Schur gate."""
     from pyslam_tpu.graph.core import VariableBlock
     from pyslam_tpu.losses import L2Loss
 
@@ -140,7 +144,7 @@ def test_route_survives_zero_observation_batches():
         L2Loss(),
     )
     g = FactorGraph(blocks, [batch])
-    assert route_auto(g) == "schur_pcg"
+    assert route_auto(g) == "dense"
 
 
 def test_plan_survives_single_camera_graph():
