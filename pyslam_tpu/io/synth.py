@@ -54,6 +54,43 @@ class PoseGraphData:
     sqrt_info: np.ndarray  # (E, dof, dof)
 
 
+def with_outliers(data: "PoseGraphData", n_outliers: int, magnitude: float = 2.0,
+                  seed: int = 0):
+    """Append ``n_outliers`` WRONG loop-closure edges to a pose graph —
+    random pose pairs with random large relative measurements (tangent
+    noise of std ``magnitude``), each reusing an existing edge's
+    sqrt_info.  The standard robustness benchmark (Vertigo/GNC papers);
+    feed the result to ``build.switchable_pose_graph`` or
+    ``solver.solve_gnc``.  Returns (poisoned_data, outlier_mask) with the
+    mask True on the appended edges."""
+    import dataclasses
+
+    import jax.numpy as _jnp
+
+    from ..lie import se2 as _se2, se3 as _se3
+
+    rng = np.random.default_rng(seed)
+    n = data.T_gt.shape[0]
+    dof = data.sqrt_info.shape[-1]
+    ops = _se2 if data.dim == 2 else _se3
+    bad_i = rng.integers(0, n, n_outliers)
+    bad_j = (bad_i + rng.integers(n // 4, max(n // 2, n // 4 + 1), n_outliers)) % n
+    bad_T = np.asarray(
+        ops.exp(_jnp.asarray(rng.normal(size=(n_outliers, dof)) * magnitude))
+    )
+    si_pick = rng.integers(0, len(data.sqrt_info), n_outliers)
+    poisoned = dataclasses.replace(
+        data,
+        edges_i=np.concatenate([np.asarray(data.edges_i), bad_i.astype(np.asarray(data.edges_i).dtype)]),
+        edges_j=np.concatenate([np.asarray(data.edges_j), bad_j.astype(np.asarray(data.edges_j).dtype)]),
+        T_meas=np.concatenate([np.asarray(data.T_meas), bad_T]),
+        sqrt_info=np.concatenate([np.asarray(data.sqrt_info), np.asarray(data.sqrt_info)[si_pick]]),
+    )
+    mask = np.zeros(len(poisoned.edges_i), bool)
+    mask[len(data.edges_i):] = True
+    return poisoned, mask
+
+
 def se2_loop(n_poses=100, n_loops=12, odo_trans_std=0.03, odo_rot_std=0.01, seed=0):
     """Config #1: ~100-pose SE(2) ring with odometry + loop closures."""
     rng = np.random.default_rng(seed)

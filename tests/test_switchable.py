@@ -177,3 +177,27 @@ class TestVertigoG2o:
         # the 3 injected outliers are the LAST loop edges written
         assert s[-n_bad:].max() < 0.25
         assert np.sort(s)[n_bad:].min() > 0.75
+
+
+class TestWithOutliersHelper:
+    def test_se3_poisoning_shapes_and_mask(self):
+        data = synth.se3_sphere(n_poses=50, n_loops=6, seed=2)
+        poisoned, mask = synth.with_outliers(data, 4, seed=3)
+        E0 = len(np.asarray(data.edges_i))
+        assert len(np.asarray(poisoned.edges_i)) == E0 + 4
+        assert mask.sum() == 4 and mask[E0:].all()
+        assert poisoned.T_meas.shape == (E0 + 4, 4, 4)
+        assert poisoned.sqrt_info.shape[0] == E0 + 4
+        # outlier edges span distant pose pairs, never self-loops
+        oi = np.asarray(poisoned.edges_i)[mask]
+        oj = np.asarray(poisoned.edges_j)[mask]
+        assert (oi != oj).all()
+
+    def test_se2_poisoned_graph_recovers_with_switchables(self):
+        clean = synth.se2_loop(n_poses=50, n_loops=6, seed=4)
+        poisoned, mask = synth.with_outliers(clean, 3, seed=5)
+        g = build.switchable_pose_graph(poisoned, dtype=jnp.float64, xi=5.0)
+        solved, _ = solve(g, Options(method="lm", max_iters=60))
+        s = np.asarray(solved.blocks["switches"].values)[:, 0]
+        n_out = int(mask.sum())
+        assert s[-n_out:].max() < 0.25
