@@ -15,6 +15,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_enable_x64", True)  # the demo compares in f64
+
 import jax.numpy as jnp
 import numpy as np
 

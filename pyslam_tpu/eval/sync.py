@@ -27,15 +27,19 @@ def associate(t_ref, t_est, max_dt: float = 0.02, offset: float = 0.0):
     """
     t_ref = np.asarray(t_ref, np.float64)
     t_est = np.asarray(t_est, np.float64) + offset
-    # candidate pairs: for each est stamp, its insertion neighbors in ref
-    pos = np.searchsorted(t_ref, t_est)
+    # sort internally (searchsorted needs it; logs are not always ordered)
+    # and map matches back to the caller's original indices
+    ref_order = np.argsort(t_ref, kind="stable")
+    t_ref_s = t_ref[ref_order]
+    # candidate pairs: for each est stamp, EVERY ref stamp within max_dt
+    # (the TUM protocol's all-pairs set; the two bracketing neighbors are
+    # not enough when a greedy earlier match consumes them)
+    lo = np.searchsorted(t_ref_s, t_est - max_dt, side="left")
+    hi = np.searchsorted(t_ref_s, t_est + max_dt, side="right")
     cands = []
-    for j, p in enumerate(pos):
-        for i in (p - 1, p):
-            if 0 <= i < len(t_ref):
-                dt = abs(t_ref[i] - t_est[j])
-                if dt <= max_dt:
-                    cands.append((dt, i, j))
+    for j in range(len(t_est)):
+        for i in range(lo[j], hi[j]):
+            cands.append((abs(t_ref_s[i] - t_est[j]), int(ref_order[i]), j))
     cands.sort()
     used_i, used_j = set(), set()
     out_i, out_j = [], []

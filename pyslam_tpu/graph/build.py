@@ -123,13 +123,14 @@ def switchable_pose_graph(
     loop_mask = np.asarray(loop_mask, bool)
     odo = ~loop_mask
     n_loops = int(loop_mask.sum())
-    s0 = (
-        np.ones((max(n_loops, 1), 1))
-        if s_init is None
-        else np.broadcast_to(
-            np.asarray(s_init, np.float64).reshape(-1, 1), (max(n_loops, 1), 1)
+    if s_init is None or n_loops == 0:
+        # n_loops == 0: the (padded) placeholder switch slot ignores any
+        # (0,)-shaped s_init from read_g2o_switchable on a loop-free file
+        s0 = np.ones((max(n_loops, 1), 1))
+    else:
+        s0 = np.broadcast_to(
+            np.asarray(s_init, np.float64).reshape(-1, 1), (n_loops, 1)
         )
-    )
     blocks = {
         "poses": VariableBlock.create(kind, jnp.asarray(T0, dtype), const),
         "switches": VariableBlock.create("euclidean", jnp.asarray(s0, dtype)),

@@ -189,7 +189,7 @@ def _se3_mats(t, q, scale=None):
 
 
 
-def read_g2o(path) -> "PoseGraphData | LandmarkSLAM2DData":
+def read_g2o(path, _recs=None) -> "PoseGraphData | LandmarkSLAM2DData":
     """Parse a g2o file into PoseGraphData — or LandmarkSLAM2DData when the
     file carries VERTEX_XY/EDGE_SE2_XY landmark records (world-to-body
     poses, between-factor slots already swapped per the convention bridge
@@ -199,8 +199,10 @@ def read_g2o(path) -> "PoseGraphData | LandmarkSLAM2DData":
     Python fallback otherwise) then a fully-batched numpy assembly (one
     quat->R, inv, eigh call over each record batch instead of per-record
     Python), so 50k-pose files load in well under a second either way.
+    ``_recs`` lets callers that already tokenized the file (the Vertigo
+    reader) skip the second scan.
     """
-    recs = _tokenize_g2o(path)
+    recs = _recs if _recs is not None else _tokenize_g2o(path)
     if not recs:
         raise ValueError(f"{path}: no recognized g2o records")
     sim3 = "VERTEX_SIM3:QUAT" in recs or "EDGE_SIM3:QUAT" in recs
@@ -418,7 +420,7 @@ def read_g2o_switchable(path):
     import dataclasses
 
     recs = _tokenize_g2o(path)
-    base = read_g2o(path)  # regular records only; switch tags are separate
+    base = read_g2o(path, _recs=recs)  # one tokenization feeds both stages
     if base.dim == 2:
         sw = recs.get("EDGE_SE2_SWITCHABLE", np.zeros((0, 12)))
         M = _se2_mats(sw[:, 3:6])
@@ -432,16 +434,26 @@ def read_g2o_switchable(path):
     sid = sw[:, 2].astype(np.int64)
 
     vs = recs.get("VERTEX_SWITCH", np.zeros((0, 2)))
-    s_ids = vs[:, 0].astype(np.int64)
-    order = np.argsort(s_ids)
-    s_ids_sorted = s_ids[order]
-    s_vals = vs[order, 1] if len(vs) else np.zeros(0)
+    if len(vs):
+        s_ids = vs[:, 0].astype(np.int64)
+        order = np.argsort(s_ids)
+        s_ids_sorted = s_ids[order]
+        s_vals = vs[order, 1]
+    else:
+        # files without VERTEX_SWITCH records: switch ids exist only on
+        # the edges; default every initial value to 1
+        s_ids_sorted = np.unique(sid)
+        s_vals = np.ones(len(s_ids_sorted))
     xi_by_switch = np.ones(len(s_ids_sorted))
     sp = recs.get("EDGE_SWITCH_PRIOR", np.zeros((0, 3)))
     if len(sp):
         pos = _dense_index(s_ids_sorted, sp[:, 0].astype(np.int64), "switch")
         xi_by_switch[pos] = np.sqrt(np.clip(sp[:, 2], 0.0, None))
-    sw_idx = _dense_index(s_ids_sorted, sid, "switch")
+    sw_idx = (
+        _dense_index(s_ids_sorted, sid, "switch")
+        if len(sid)
+        else np.zeros(0, np.int64)
+    )
 
     n_reg = len(base.edges_i)
     data = dataclasses.replace(
@@ -457,7 +469,7 @@ def read_g2o_switchable(path):
     return data, dict(
         loop_mask=loop_mask,
         xi=xi_by_switch[sw_idx],
-        s_init=s_vals[sw_idx] if len(s_vals) else np.ones(len(sw_idx)),
+        s_init=s_vals[sw_idx],
     )
 
 

@@ -339,7 +339,16 @@ class Problem:
                 return covariance_block(graph, s1.index, s2.index)
             lie = [n for n, k in kinds.items() if k != "euclidean"]
             euc = [n for n, k in kinds.items() if k == "euclidean"]
-            if len(graph.blocks) == 2 and len(lie) == 1 and len(euc) == 1:
+            # same hardened BA-shape gate as route_auto: the Schur
+            # covariance helpers need an actual (pose, landmark) batch —
+            # 2-block graphs coupled only by other arities (e.g.
+            # switchable-style factors) must fall through to the error
+            if (
+                len(graph.blocks) == 2
+                and len(lie) == 1
+                and len(euc) == 1
+                and any(fb.slots == (lie[0], euc[0]) for fb in graph.batches)
+            ):
                 # where the solve gate says S is sparse, S-solves go through
                 # the factored sparse S — exact, no PCG tolerance
                 from .solver import route_auto

@@ -60,26 +60,13 @@ class TestSwitchKernelJacobians:
 
 
 def _outlier_graph(seed=0, n_bad=3):
-    """se2 loop with n_bad WRONG loop-closure measurements appended."""
+    """se2 loop with n_bad WRONG loop-closure measurements appended (the
+    production synth.with_outliers helper — same code users call)."""
     data = synth.se2_loop(n_poses=60, n_loops=8, seed=seed)
-    rng = np.random.default_rng(seed + 1)
-    ei = np.asarray(data.edges_i).copy()
-    ej = np.asarray(data.edges_j).copy()
-    T_meas = np.asarray(data.T_meas).copy()
-    sqrt_info = np.asarray(data.sqrt_info).copy()
-    bad_i = rng.integers(0, 25, n_bad)
-    bad_j = rng.integers(30, 59, n_bad)
-    bad_T = np.asarray(se2.exp(jnp.asarray(rng.normal(size=(n_bad, 3)) * 2.0)))
-    ei = np.concatenate([ei, bad_i.astype(ei.dtype)])
-    ej = np.concatenate([ej, bad_j.astype(ej.dtype)])
-    T_meas = np.concatenate([T_meas, bad_T])
-    sqrt_info = np.concatenate([sqrt_info, sqrt_info[-n_bad:]])
-    import dataclasses
-
-    data2 = dataclasses.replace(
-        data, edges_i=ei, edges_j=ej, T_meas=T_meas, sqrt_info=sqrt_info
+    data2, _mask = synth.with_outliers(data, n_bad, magnitude=2.0, seed=seed + 1)
+    n_real_loops = int(
+        (np.abs(np.asarray(data.edges_i) - np.asarray(data.edges_j)) != 1).sum()
     )
-    n_real_loops = int((np.abs(np.asarray(data.edges_i) - np.asarray(data.edges_j)) != 1).sum())
     return data, data2, n_real_loops, n_bad
 
 
