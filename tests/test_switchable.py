@@ -188,3 +188,23 @@ class TestWithOutliersHelper:
         s = np.asarray(solved.blocks["switches"].values)[:, 0]
         n_out = int(mask.sum())
         assert s[-n_out:].max() < 0.25
+
+
+class TestSwitchableSE3:
+    def test_se3_outliers_switch_off(self):
+        """3D path end-to-end: poisoned sphere graph recovers with the
+        se3 switch kernel (the 2D tests cover se2)."""
+        clean = synth.se3_sphere(n_poses=40, n_loops=8, seed=6)
+        poisoned, mask = synth.with_outliers(clean, 3, seed=7)
+        g = build.switchable_pose_graph(poisoned, dtype=jnp.float64, xi=5.0)
+        solved, _ = solve(g, Options(method="lm", max_iters=60))
+        s = np.asarray(solved.blocks["switches"].values)[:, 0]
+        n_out = int(mask.sum())
+        assert s[-n_out:].max() < 0.25, f"se3 outlier switches on: {s[-n_out:]}"
+        # trajectory close to the clean-graph solve
+        g_clean, _ = solve(build.pose_graph(clean, dtype=jnp.float64),
+                           Options(method="lm", max_iters=60))
+        T_sw = np.asarray(solved.blocks["poses"].values)
+        T_cl = np.asarray(g_clean.blocks["poses"].values)
+        err = np.abs(T_sw[:, :3, 3] - T_cl[:, :3, 3]).max()
+        assert err < 0.1, f"se3 poisoned trajectory off by {err}"
