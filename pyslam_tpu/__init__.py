@@ -37,6 +37,7 @@ from .residuals import (  # noqa: F401
     LandmarkXYResidual,
     PoseResidual,
     PoseToPoseResidual,
+    PoseToPoseSwitchableResidual,
     QuadraticResidual,
     ReprojectionMotionOnlyBatchResidual,
     ReprojectionResidual,

@@ -121,6 +121,34 @@ class PoseToPoseResidual(_ResidualBase):
         return {"T_obs": self.T_obs, "sqrt_info": self.sqrt_info}
 
 
+class PoseToPoseSwitchableResidual(_ResidualBase):
+    """Vertigo switchable loop closure for the Problem API (Suenderhauf &
+    Protzel ICRA 2012; beyond-reference): parameters [T_1, T_2, s] where
+    ``s`` is a (1,) euclidean switch variable the caller initializes near
+    1.0 — read it back after solve; near 0 means the edge was rejected.
+
+    r = [s * stiffness * log(T_2_0 T_1_0^-1 T_obs^-1); xi * (1 - s)].
+    The batched-graph equivalent is ``build.switchable_pose_graph``
+    (graph/build.py); xi tuning notes live on its docstring."""
+
+    def __init__(self, T_2_1_obs, stiffness, xi: float = 5.0):
+        self.T_obs = _as_matrix(T_2_1_obs)
+        dim = self.T_obs.shape[-1]
+        kind = "se2" if dim == 3 else "se3"
+        self.dof = {"se2": 3, "se3": 6}[kind]
+        self.factor_kind = f"between_{kind}_switch"
+        self.param_kinds = (kind, kind, "euclidean")
+        self.sqrt_info = _stiffness_matrix(stiffness, self.dof, self.T_obs.dtype)
+        self.xi = float(xi)
+
+    def batch_data(self):
+        return {
+            "T_obs": self.T_obs,
+            "sqrt_info": self.sqrt_info,
+            "xi": jnp.asarray(self.xi, self.T_obs.dtype),
+        }
+
+
 class ReprojectionResidual(_ResidualBase):
     """Stereo/RGB-D reprojection: r = stiffness * (cam.project(T * p) - obs)
     (reference ReprojectionResidual; call stack SURVEY.md §3.2).
@@ -277,6 +305,7 @@ __all__ = [
     "QuadraticResidual",
     "PoseResidual",
     "PoseToPoseResidual",
+    "PoseToPoseSwitchableResidual",
     "ReprojectionResidual",
     "ReprojectionMotionOnlyBatchResidual",
     "ImuResidual",

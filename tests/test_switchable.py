@@ -208,3 +208,54 @@ class TestSwitchableSE3:
         T_cl = np.asarray(g_clean.blocks["poses"].values)
         err = np.abs(T_sw[:, :3, 3] - T_cl[:, :3, 3]).max()
         assert err < 0.1, f"se3 poisoned trajectory off by {err}"
+
+
+class TestSwitchableProblemApi:
+    def test_problem_api_switch_rejects_outlier(self):
+        """Ceres-style API: PoseToPoseSwitchableResidual with a (1,)
+        switch parameter — the wrong loop's switch converges to ~0."""
+        from pyslam_tpu import (
+            Options as POptions,
+            PoseToPoseResidual,
+            PoseToPoseSwitchableResidual,
+            Problem,
+            SE2,
+        )
+
+        data = synth.se2_loop(n_poses=14, n_loops=4, seed=8)
+        names = [f"T_{i}" for i in range(14)]
+        prob = Problem(POptions(method="lm", max_iters=60))
+        ei = np.asarray(data.edges_i)
+        ej = np.asarray(data.edges_j)
+        n_sw = 0
+        for k in range(len(ei)):
+            i, j = int(ei[k]), int(ej[k])
+            if abs(i - j) == 1:
+                prob.add_residual_block(
+                    PoseToPoseResidual(data.T_meas[k], data.sqrt_info[k]),
+                    [names[i], names[j]],
+                )
+            else:
+                prob.add_residual_block(
+                    PoseToPoseSwitchableResidual(
+                        data.T_meas[k], data.sqrt_info[k], xi=5.0
+                    ),
+                    [names[i], names[j], f"s_{n_sw}"],
+                )
+                n_sw += 1
+        # one WRONG loop closure with its own switch
+        bad_T = np.asarray(se2.exp(jnp.asarray([[1.5, -2.0, 2.5]], jnp.float64)))[0]
+        prob.add_residual_block(
+            PoseToPoseSwitchableResidual(bad_T, data.sqrt_info[0], xi=5.0),
+            [names[2], names[11], f"s_{n_sw}"],
+        )
+        params = {n: SE2(jnp.asarray(T, jnp.float64)) for n, T in zip(names, data.T_init)}
+        for k in range(n_sw + 1):
+            params[f"s_{k}"] = np.ones(1)
+        prob.initialize_params(params)
+        prob.set_parameters_constant(names[0])
+        out = prob.solve()
+        s_bad = float(np.asarray(out[f"s_{n_sw}"])[0])
+        s_good = [float(np.asarray(out[f"s_{k}"])[0]) for k in range(n_sw)]
+        assert s_bad < 0.25, f"outlier switch stayed on: {s_bad}"
+        assert min(s_good) > 0.75, f"inlier switch off: {s_good}"
